@@ -1,0 +1,54 @@
+"""Model registry.
+
+Counterpart of reference ``vllm/model_executor/models/__init__.py``: maps HF
+architecture names to model implementations. Implementations are pure
+functional JAX (params pytree + forward function), registered lazily.
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Dict, Type
+
+# arch name -> (module, attribute)
+_MODEL_REGISTRY: Dict[str, tuple] = {
+    "OPTForCausalLM": ("vllm_ltr_tpu.models.opt", "OPTForCausalLM"),
+    "OPTForSequenceClassification":
+    ("vllm_ltr_tpu.models.opt", "OPTForSequenceClassification"),
+    "LlamaForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
+    "LLaMAForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
+    "MistralForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
+    "Qwen2ForCausalLM": ("vllm_ltr_tpu.models.qwen2", "Qwen2ForCausalLM"),
+    "GPT2LMHeadModel": ("vllm_ltr_tpu.models.gpt2", "GPT2LMHeadModel"),
+    "GemmaForCausalLM": ("vllm_ltr_tpu.models.gemma", "GemmaForCausalLM"),
+    "MixtralForCausalLM": ("vllm_ltr_tpu.models.mixtral",
+                           "MixtralForCausalLM"),
+}
+
+
+class ModelRegistry:
+
+    @staticmethod
+    def load_model_cls(arch: str):
+        if arch not in _MODEL_REGISTRY:
+            return None
+        module_name, attr = _MODEL_REGISTRY[arch]
+        module = importlib.import_module(module_name)
+        return getattr(module, attr)
+
+    @staticmethod
+    def get_supported_archs():
+        return list(_MODEL_REGISTRY.keys())
+
+    @staticmethod
+    def register_model(arch: str, module_name: str, attr: str):
+        _MODEL_REGISTRY[arch] = (module_name, attr)
+
+
+def resolve_model_cls(architectures):
+    for arch in architectures:
+        cls = ModelRegistry.load_model_cls(arch)
+        if cls is not None:
+            return cls
+    raise ValueError(
+        f"Model architectures {architectures} are not supported. "
+        f"Supported: {ModelRegistry.get_supported_archs()}")

@@ -1,0 +1,153 @@
+"""Llama-family decoder (Llama 1/2/3, Mistral), TPU-native.
+
+Behavioral counterpart of reference ``vllm/model_executor/models/llama.py``
+(448 LoC): RMSNorm, SwiGLU MLP, rotary embeddings, grouped-query attention,
+paged KV cache, FP8-KV scale hook (reference llama.py:126,429-445). Pure
+functional JAX with stacked layer params + ``lax.scan``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
+from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
+                                        normal_init, rms_norm, silu_and_mul,
+                                        stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import paged_attention_reference
+from vllm_ltr_tpu.ops.kv_cache import write_kv
+
+
+class LlamaForCausalLM:
+
+    @staticmethod
+    def init_params(cfg, rng, dtype) -> Dict[str, Any]:
+        H = cfg.hidden_size
+        I = cfg.intermediate_size
+        V = cfg.vocab_size
+        L = cfg.num_hidden_layers
+        QH = cfg.num_attention_heads
+        KH = getattr(cfg, "num_key_value_heads", QH) or QH
+        D = H // QH
+        keys = jax.random.split(rng, L + 3)
+
+        def layer_params(key):
+            ks = jax.random.split(key, 7)
+            return {
+                "q_w": normal_init(ks[0], (H, QH * D), dtype),
+                "k_w": normal_init(ks[1], (H, KH * D), dtype),
+                "v_w": normal_init(ks[2], (H, KH * D), dtype),
+                "o_w": normal_init(ks[3], (QH * D, H), dtype),
+                "gate_w": normal_init(ks[4], (H, I), dtype),
+                "up_w": normal_init(ks[5], (H, I), dtype),
+                "down_w": normal_init(ks[6], (I, H), dtype),
+                "input_ln": jnp.ones((H, ), dtype),
+                "post_ln": jnp.ones((H, ), dtype),
+            }
+
+        params = {
+            "embed_tokens": normal_init(keys[0], (V, H), dtype),
+            "norm": jnp.ones((H, ), dtype),
+            "layers": stack_layers([layer_params(k) for k in keys[2:2 + L]]),
+        }
+        if not getattr(cfg, "tie_word_embeddings", False):
+            params["lm_head"] = normal_init(keys[1], (H, V), dtype)
+        return params
+
+    @staticmethod
+    def params_from_torch(cfg, state_dict, dtype) -> Dict[str, Any]:
+        sd = dict(state_dict)
+
+        def pop(name):
+            for prefix in ("model.", ""):
+                if prefix + name in sd:
+                    return sd.pop(prefix + name)
+            raise KeyError(name)
+
+        L = cfg.num_hidden_layers
+        params: Dict[str, Any] = {
+            "embed_tokens": t2j(pop("embed_tokens.weight"), dtype),
+            "norm": t2j(pop("norm.weight"), dtype),
+        }
+        if "lm_head.weight" in sd:
+            params["lm_head"] = t2j(sd.pop("lm_head.weight"), dtype).T
+        layers = []
+        for i in range(L):
+            p = f"layers.{i}."
+            layers.append({
+                "q_w": t2j(pop(p + "self_attn.q_proj.weight"), dtype).T,
+                "k_w": t2j(pop(p + "self_attn.k_proj.weight"), dtype).T,
+                "v_w": t2j(pop(p + "self_attn.v_proj.weight"), dtype).T,
+                "o_w": t2j(pop(p + "self_attn.o_proj.weight"), dtype).T,
+                "gate_w": t2j(pop(p + "mlp.gate_proj.weight"), dtype).T,
+                "up_w": t2j(pop(p + "mlp.up_proj.weight"), dtype).T,
+                "down_w": t2j(pop(p + "mlp.down_proj.weight"), dtype).T,
+                "input_ln": t2j(pop(p + "input_layernorm.weight"), dtype),
+                "post_ln":
+                t2j(pop(p + "post_attention_layernorm.weight"), dtype),
+            })
+        params["layers"] = stack_layers(layers)
+        return params
+
+    @staticmethod
+    def forward(params, tokens: jax.Array, positions: jax.Array,
+                kv_cache: jax.Array, meta: AttentionMetadata,
+                cfg) -> Tuple[jax.Array, jax.Array]:
+        H = cfg.hidden_size
+        QH = cfg.num_attention_heads
+        KH = getattr(cfg, "num_key_value_heads", QH) or QH
+        D = H // QH
+        scale = D**-0.5
+        rope_theta = getattr(cfg, "rope_theta", 10000.0)
+        rope_scaling = getattr(cfg, "rope_scaling", None) or {}
+        scaling_type = rope_scaling.get("type",
+                                        rope_scaling.get("rope_type"))
+        scaling_factor = rope_scaling.get("factor", 1.0)
+        max_pos = cfg.max_position_embeddings
+        eps = getattr(cfg, "rms_norm_eps", 1e-6)
+        sliding_window = getattr(cfg, "sliding_window", None)
+
+        h = params["embed_tokens"][tokens]
+
+        def layer_fn(h, scan_in):
+            lp, layer_cache = scan_in
+            residual = h
+            x = rms_norm(h, lp["input_ln"], eps)
+            T = x.shape[0]
+            q = linear(x, lp["q_w"]).reshape(T, QH, D)
+            k = linear(x, lp["k_w"]).reshape(T, KH, D)
+            v = linear(x, lp["v_w"]).reshape(T, KH, D)
+            q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
+                                          rope_theta, True, scaling_type,
+                                          scaling_factor)
+            layer_cache = write_kv(layer_cache,
+                                   k.astype(layer_cache.dtype),
+                                   v.astype(layer_cache.dtype),
+                                   meta.slot_mapping)
+            attn = paged_attention_reference(q, layer_cache,
+                                             meta.block_tables,
+                                             meta.token_seq, meta.token_pos,
+                                             meta.seq_lens, scale,
+                                             sliding_window=sliding_window)
+            h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
+
+            residual = h
+            x = rms_norm(h, lp["post_ln"], eps)
+            x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
+            h = residual + linear(x, lp["down_w"])
+            return h, layer_cache
+
+        h, new_cache = jax.lax.scan(layer_fn, h,
+                                    (params["layers"], kv_cache))
+        h = rms_norm(h, params["norm"], eps)
+        return h, new_cache
+
+    @staticmethod
+    def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:
+        if "lm_head" in params:
+            return jnp.dot(hidden, params["lm_head"],
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(hidden, params["embed_tokens"].T,
+                       preferred_element_type=jnp.float32)

@@ -1,0 +1,104 @@
+"""Paged attention over a flattened (mixed prefill/decode) token batch.
+
+TPU-native counterpart of the reference attention stack
+(``vllm/attention/ops/paged_attn.py`` + ``csrc/attention/attention_kernels.cu``
+paged-attention v1/v2 + flash-attn prefill): one unified formulation that
+serves chunked prefill, full prefill, and decode in a single jitted step:
+
+1. the step's new K/V are scattered into the paged cache first
+   (ops/kv_cache.write_kv),
+2. every query token then attends over its sequence's cached pages with a
+   causal mask on absolute positions.
+
+This file holds the XLA reference implementation (gather + masked softmax),
+used for CPU tests and correctness baselines. The Pallas decode kernel in
+``ops/pallas/paged_attention.py`` is the production fast path; both share
+this interface.
+
+Shapes:
+  q:            [T, QH, D]   flattened new tokens (padded to bucket)
+  kv_cache:     [2, N+1, Bs, KH, D] one layer's cache (KV already written)
+  block_tables: [S, MB]     physical block numbers per sequence
+  token_seq:    [T]         sequence row (0..S-1) of each token; -1 padding
+  token_pos:    [T]         absolute position of each token in its sequence
+  seq_lens:     [S]         context length per sequence AFTER this step
+Returns:        [T, QH, D]
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def paged_attention_reference(
+    q: jax.Array,
+    layer_cache: jax.Array,
+    block_tables: jax.Array,
+    token_seq: jax.Array,
+    token_pos: jax.Array,
+    seq_lens: jax.Array,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    kv_scale: float = 1.0,
+) -> jax.Array:
+    T, QH, D = q.shape
+    _, num_blocks_p1, block_size, KH, _ = layer_cache.shape
+    S, MB = block_tables.shape
+    group = QH // KH  # GQA group size
+
+    # Gather each sequence's pages: [S, MB*Bs, KH, D]. The compute dtype is
+    # the query dtype; FP8 caches are upcast here (fused by XLA).
+    k_pages = layer_cache[0][block_tables]  # [S, MB, Bs, KH, D]
+    v_pages = layer_cache[1][block_tables]
+    ctx = MB * block_size
+    k = k_pages.reshape(S, ctx, KH, D).astype(q.dtype) * kv_scale
+    v = v_pages.reshape(S, ctx, KH, D).astype(q.dtype) * kv_scale
+
+    # Per-token gather of its sequence's K/V: [T, ctx, KH, D].
+    safe_seq = jnp.maximum(token_seq, 0)
+    k_t = k[safe_seq]
+    v_t = v[safe_seq]
+
+    # Scores: [T, QH, ctx] with GQA head mapping.
+    qh = q.reshape(T, KH, group, D)
+    scores = jnp.einsum("tkgd,tckd->tkgc", qh, k_t,
+                        preferred_element_type=jnp.float32) * scale
+
+    # Causal mask on absolute positions: key position <= query position,
+    # and key position < seq_len (live context only).
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (T, ctx), 1)
+    valid = key_pos <= token_pos[:, None]
+    valid &= key_pos < seq_lens[safe_seq][:, None]
+    if sliding_window is not None:
+        valid &= key_pos > (token_pos[:, None] - sliding_window)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkgc,tckd->tkgd", probs.astype(q.dtype), v_t)
+    return out.reshape(T, QH, D)
+
+
+def paged_attention_decode_reference(
+    q: jax.Array,
+    layer_cache: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    scale: float,
+    kv_scale: float = 1.0,
+) -> jax.Array:
+    """Decode-only variant: one query per sequence.
+
+    q: [S, QH, D]; returns [S, QH, D]. Equivalent to the reference's
+    paged_attention v1/v2 decode kernels (csrc attention_kernels.cu).
+    """
+    S, QH, D = q.shape
+    token_seq = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).squeeze(-1)
+    token_pos = jnp.maximum(seq_lens - 1, 0)
+    return paged_attention_reference(q, layer_cache, block_tables, token_seq,
+                                     token_pos, seq_lens, scale,
+                                     kv_scale=kv_scale)

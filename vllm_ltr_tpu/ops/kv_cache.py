@@ -1,0 +1,136 @@
+"""Paged KV-cache ops: write (reshape_and_cache), copy (CoW), swap.
+
+TPU-native counterpart of reference ``csrc/cache_kernels.cu``
+(reshape_and_cache / copy_blocks / swap_blocks / convert_fp8, ~360 LoC CUDA):
+here the scatter/gather are XLA ops on a stacked cache array, fused by the
+compiler; FP8 conversion is a dtype cast on the value path.
+
+Cache layout: ``[num_layers, 2, num_blocks, block_size, kv_heads, head_dim]``
+(K at index 0, V at index 1), sharded over the kv-head axis of the mesh.
+Flat "slot" addressing: slot = block_number * block_size + offset, with
+slot -1 mapping to the reserved trash block (the last block), so padded
+lanes never corrupt live cache.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def kv_cache_shape(num_layers: int, num_blocks: int, block_size: int,
+                   num_kv_heads: int, head_dim: int) -> Tuple[int, ...]:
+    # One extra trash block at the end absorbs writes from padded slots.
+    return (num_layers, 2, num_blocks + 1, block_size, num_kv_heads,
+            head_dim)
+
+
+def allocate_kv_cache(num_layers: int,
+                      num_blocks: int,
+                      block_size: int,
+                      num_kv_heads: int,
+                      head_dim: int,
+                      dtype=jnp.bfloat16,
+                      sharding=None) -> jax.Array:
+    shape = kv_cache_shape(num_layers, num_blocks, block_size, num_kv_heads,
+                           head_dim)
+    if sharding is not None:
+        return jax.device_put(jnp.zeros(shape, dtype=dtype), sharding)
+    return jnp.zeros(shape, dtype=dtype)
+
+
+def write_kv(layer_cache: jax.Array, key: jax.Array, value: jax.Array,
+             slot_mapping: jax.Array) -> jax.Array:
+    """Scatter new K/V for one layer into the paged cache.
+
+    layer_cache: [2, num_blocks+1, block_size, KH, D]
+    key/value:   [T, KH, D] (already in cache dtype)
+    slot_mapping:[T] flat slots; -1 => trash block.
+    """
+    _, num_blocks_p1, block_size, _, _ = layer_cache.shape
+    trash = (num_blocks_p1 - 1) * block_size
+    slots = jnp.where(slot_mapping < 0, trash, slot_mapping)
+    block_idx = slots // block_size
+    block_off = slots % block_size
+    kv = jnp.stack([key, value])  # [2, T, KH, D]
+    # Scatter at (kv, block, offset) coordinates.
+    return layer_cache.at[:, block_idx, block_off].set(
+        kv, mode="drop", unique_indices=False)
+
+
+def copy_blocks(kv_cache: jax.Array, src: jax.Array,
+                dst: jax.Array) -> jax.Array:
+    """Copy whole blocks src[i] -> dst[i] across all layers (CoW commit).
+
+    kv_cache: [L, 2, N+1, Bs, KH, D]; src/dst: [M] block numbers.
+    """
+    data = kv_cache[:, :, src]
+    return kv_cache.at[:, :, dst].set(data)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, ))
+def _copy_blocks_jit(kv_cache, src, dst):
+    return copy_blocks(kv_cache, src, dst)
+
+
+def run_copy_blocks(kv_cache: jax.Array,
+                    blocks_to_copy: Dict[int, List[int]]) -> jax.Array:
+    """Host entry: apply the scheduler's CoW mapping in one fused jit call."""
+    if not blocks_to_copy:
+        return kv_cache
+    srcs, dsts = [], []
+    for src, dst_list in blocks_to_copy.items():
+        for dst in dst_list:
+            srcs.append(src)
+            dsts.append(dst)
+    return _copy_blocks_jit(kv_cache, jnp.asarray(srcs, jnp.int32),
+                            jnp.asarray(dsts, jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, ))
+def _swap_in_jit(kv_cache, host_chunk, dst):
+    return kv_cache.at[:, :, dst].set(host_chunk.astype(kv_cache.dtype))
+
+
+class HostSwapSpace:
+    """Host-memory mirror for swapped-out KV blocks.
+
+    Counterpart of the reference's pinned-CPU CacheEngine tensors +
+    swap_blocks memcpys (``vllm/worker/cache_engine.py``, csrc
+    cache_kernels.cu:swap_blocks). Device->host reads and host->device
+    writes happen at block granularity, batched per scheduler step.
+    """
+
+    def __init__(self, num_layers: int, num_cpu_blocks: int, block_size: int,
+                 num_kv_heads: int, head_dim: int, dtype) -> None:
+        self.num_cpu_blocks = num_cpu_blocks
+        self._np_dtype = np.dtype(
+            dtype.dtype if hasattr(dtype, "dtype") else dtype)
+        self.buf = np.zeros(
+            (num_layers, 2, max(num_cpu_blocks, 1), block_size, num_kv_heads,
+             head_dim),
+            dtype=self._np_dtype)
+
+    def swap_out(self, kv_cache: jax.Array,
+                 mapping: Dict[int, int]) -> jax.Array:
+        """Copy device blocks to host: mapping device_block -> host_block."""
+        if not mapping:
+            return kv_cache
+        src = jnp.asarray(list(mapping.keys()), jnp.int32)
+        chunk = np.asarray(kv_cache[:, :, src])  # device -> host transfer
+        dst = np.asarray(list(mapping.values()), np.int64)
+        self.buf[:, :, dst] = chunk
+        return kv_cache
+
+    def swap_in(self, kv_cache: jax.Array,
+                mapping: Dict[int, int]) -> jax.Array:
+        """Copy host blocks back to device: mapping host_block -> device_block."""
+        if not mapping:
+            return kv_cache
+        src = np.asarray(list(mapping.keys()), np.int64)
+        dst = jnp.asarray(list(mapping.values()), jnp.int32)
+        chunk = jnp.asarray(self.buf[:, :, src])
+        return _swap_in_jit(kv_cache, chunk, dst)
