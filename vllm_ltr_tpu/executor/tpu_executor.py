@@ -1,0 +1,435 @@
+"""TPU executor: owns the mesh, the model params, the paged KV cache, and
+the jitted step function.
+
+Collapses the reference's executor/worker/model-runner/cache-engine stack
+(``vllm/executor/gpu_executor.py``, ``ray_gpu_executor.py``,
+``vllm/worker/worker.py``, ``model_runner.py``, ``cache_engine.py``) into one
+single-controller component: the scheduler's per-step plan is packed into
+padded arrays (executor/input_batch.py) and dispatched as ONE jit call over
+the device mesh — GSPMD inserts the TP collectives that NCCL/Ray provided in
+the reference (SURVEY.md §2.5). Per-bucket jit caches replace CUDA-graph
+capture per batch size (model_runner.py:974-1226).
+
+Also hosts the AUX predictor as a second jitted (dense, non-paged) forward on
+the same mesh — the entire dual-worker Ray machinery of the reference
+(ray_gpu_executor.py:31-218) reduces to `score_prompts`.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vllm_ltr_tpu.config import EngineConfig
+from vllm_ltr_tpu.executor.input_batch import (PreparedBatch, make_buckets,
+                                               prepare_batch)
+from vllm_ltr_tpu.layers.sampler import SamplingTensors, sample
+from vllm_ltr_tpu.logger import init_logger
+from vllm_ltr_tpu.models import resolve_model_cls
+from vllm_ltr_tpu.models.common import AttentionMetadata, dtype_by_name
+from vllm_ltr_tpu.models.weights import load_params
+from vllm_ltr_tpu.ops.kv_cache import (HostSwapSpace, allocate_kv_cache,
+                                       run_copy_blocks)
+from vllm_ltr_tpu.parallel.mesh import (MODEL_AXIS, ShardingLayout,
+                                        build_mesh, set_global_mesh)
+from vllm_ltr_tpu.sequence import (Logprob, SamplerOutput, SequenceGroupOutput,
+                                   SequenceGroupMetadata, SequenceOutput)
+from vllm_ltr_tpu.utils import STR_DTYPE_TO_KV_DTYPE, cdiv
+
+logger = init_logger(__name__)
+
+_GB = 1 << 30
+
+
+def _param_spec(path: Tuple[str, ...], ndim: int) -> P:
+    """Name-pattern tensor-parallel sharding for model params.
+
+    Column-parallel (output sharded): q/k/v/gate/up/fc1/qkv weights.
+    Row-parallel (input sharded): o/down/fc2/out weights.
+    Vocab-parallel: token embeddings. Everything else replicated.
+    Layer-stacked params carry a leading layer axis (dim 0).
+    """
+    name = path[-1]
+    stacked = "layers" in path
+
+    def spec(*tail):
+        lead = (None, ) if stacked else ()
+        full = lead + tail
+        return P(*full[:ndim]) if len(full) >= ndim else P(*full)
+
+    if name in ("q_w", "k_w", "v_w", "gate_w", "up_w", "fc1_w", "qkv_w"):
+        return spec(None, MODEL_AXIS)
+    if name in ("o_w", "down_w", "fc2_w", "out_w"):
+        return spec(MODEL_AXIS, None)
+    if name in ("qkv_b", "fc1_b"):
+        return spec(MODEL_AXIS)
+    if name == "embed_tokens":
+        return P(MODEL_AXIS, None)
+    if name == "lm_head":
+        return P(None, MODEL_AXIS)
+    return P()
+
+
+def shard_params(params, mesh) -> Any:
+    """Place a params pytree onto the mesh with TP shardings."""
+
+    def place(path, leaf):
+        names = tuple(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path)
+        sharding = NamedSharding(mesh, _param_spec(names, leaf.ndim))
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+class TPUExecutor:
+    """Single-controller executor over a (data, model) device mesh."""
+
+    def __init__(self, engine_config: EngineConfig) -> None:
+        self.config = engine_config
+        model_config = engine_config.model_config
+        parallel_config = engine_config.parallel_config
+        cache_config = engine_config.cache_config
+        scheduler_config = engine_config.scheduler_config
+
+        self.mesh = build_mesh(parallel_config.tensor_parallel_size,
+                               parallel_config.data_parallel_size)
+        set_global_mesh(self.mesh)
+        self.layout = ShardingLayout(self.mesh)
+
+        self.hf_config = model_config.hf_config
+        self.model_cls = resolve_model_cls(model_config.architectures)
+        self.dtype = dtype_by_name(model_config.dtype)
+        kv_dtype_name = STR_DTYPE_TO_KV_DTYPE[cache_config.cache_dtype]
+        self.kv_dtype = (self.dtype if kv_dtype_name is None else
+                         getattr(jnp, kv_dtype_name))
+
+        # Model dims (per full model; sharding splits heads across devices).
+        self.num_layers = self.hf_config.num_hidden_layers
+        self.num_kv_heads = model_config.get_total_num_kv_heads()
+        self.head_dim = model_config.get_head_size()
+        self.vocab_size = self.hf_config.vocab_size
+        self.block_size = cache_config.block_size
+        self.max_model_len = model_config.max_model_len
+        self.max_blocks_per_seq = cdiv(self.max_model_len, self.block_size)
+
+        # Load + place weights.
+        t0 = time.time()
+        params = load_params(self.model_cls, model_config.model,
+                             self.hf_config, self.dtype,
+                             engine_config.load_config.load_format,
+                             model_config.seed)
+        self.params = shard_params(params, self.mesh)
+        self.param_bytes = sum(
+            x.nbytes for x in jax.tree.leaves(self.params))
+        logger.info("Loaded model in %.2fs (%.2f GiB params)",
+                    time.time() - t0, self.param_bytes / _GB)
+
+        # Step-shape buckets.
+        self.token_buckets = make_buckets(
+            16, scheduler_config.max_num_batched_tokens)
+        self.seq_buckets = make_buckets(8, scheduler_config.max_num_seqs)
+
+        self.kv_cache: Optional[jax.Array] = None
+        self.swap_space: Optional[HostSwapSpace] = None
+        self._rng = jax.random.PRNGKey(model_config.seed)
+        self._step_fn = self._build_step_fn()
+
+        # AUX predictor state (attached later via init_aux_model).
+        self.aux_params = None
+        self.aux_model_cls = None
+        self.aux_hf_config = None
+        self.aux_prefill_config = None
+
+    # ------------------------------------------------------------------
+    # KV cache sizing (counterpart of Worker.determine_num_available_blocks,
+    # reference worker.py:120-164)
+    # ------------------------------------------------------------------
+
+    def _block_bytes(self) -> int:
+        kv_itemsize = jnp.zeros((), self.kv_dtype).dtype.itemsize
+        return (self.num_layers * 2 * self.block_size * self.num_kv_heads *
+                self.head_dim * kv_itemsize)
+
+    def determine_num_available_blocks(self) -> Tuple[int, int]:
+        cache_config = self.config.cache_config
+        num_cpu_blocks = int(cache_config.swap_space_bytes //
+                             self._block_bytes())
+        if cache_config.num_device_blocks_override is not None:
+            return cache_config.num_device_blocks_override, num_cpu_blocks
+
+        dev = jax.local_devices()[0]
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            pass
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit is None:
+            # CPU backend (tests): small fixed cache.
+            logger.warning(
+                "Device memory stats unavailable; defaulting to 512 blocks")
+            return 512, num_cpu_blocks
+
+        # Reserve activation headroom: the largest step's intermediate
+        # tensors. Estimated from the max token bucket; XLA fusion keeps
+        # true usage below this.
+        hidden = self.hf_config.hidden_size
+        act_reserve = (self.token_buckets[-1] * hidden * 4 * 16 +
+                       self.seq_buckets[-1] * self.vocab_size * 4 * 4)
+        tp = self.config.parallel_config.tensor_parallel_size
+        available = (limit * cache_config.hbm_utilization - in_use -
+                     act_reserve)
+        # The cache array is sharded over kv heads: per-device block bytes
+        # shrink by tp, so the device fits tp x more logical blocks.
+        num_gpu_blocks = int(available * tp // self._block_bytes())
+        num_gpu_blocks = max(num_gpu_blocks, 0)
+        logger.info(
+            "HBM %.2f GiB limit, %.2f GiB in use -> %d device blocks "
+            "(%d host swap blocks)", limit / _GB, in_use / _GB,
+            num_gpu_blocks, num_cpu_blocks)
+        return num_gpu_blocks, num_cpu_blocks
+
+    def initialize_cache(self, num_gpu_blocks: int,
+                         num_cpu_blocks: int) -> None:
+        cache_config = self.config.cache_config
+        cache_config.num_gpu_blocks = num_gpu_blocks
+        cache_config.num_cpu_blocks = num_cpu_blocks
+        self.kv_cache = allocate_kv_cache(self.num_layers,
+                                          num_gpu_blocks,
+                                          self.block_size,
+                                          self.num_kv_heads,
+                                          self.head_dim,
+                                          dtype=self.kv_dtype,
+                                          sharding=self.layout.kv_cache)
+        self.swap_space = HostSwapSpace(self.num_layers, num_cpu_blocks,
+                                        self.block_size, self.num_kv_heads,
+                                        self.head_dim, self.kv_dtype)
+
+    def initialize_cache_empty(self) -> None:
+        """AUX-engine path: no real cache (reference
+        ray_gpu_executor.py:384-400). The dense scorer needs none."""
+        self.config.cache_config.num_gpu_blocks = 0
+        self.config.cache_config.num_cpu_blocks = 0
+
+    # ------------------------------------------------------------------
+    # The jitted step
+    # ------------------------------------------------------------------
+
+    def _build_step_fn(self):
+        model_cls = self.model_cls
+        cfg = self.hf_config
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(1, ),
+            static_argnames=("use_penalties", ))
+        def step_fn(params, kv_cache, tokens, positions, token_seq,
+                    slot_mapping, block_tables, seq_lens, sample_idx,
+                    temperature, top_p, top_k, min_p, greedy, presence,
+                    frequency, repetition, token_counts, rng,
+                    use_penalties: bool):
+            meta = AttentionMetadata(token_seq=token_seq,
+                                     token_pos=positions,
+                                     slot_mapping=slot_mapping,
+                                     block_tables=block_tables,
+                                     seq_lens=seq_lens)
+            hidden, kv_cache = model_cls.forward(params, tokens, positions,
+                                                 kv_cache, meta, cfg)
+            sel = hidden[sample_idx]  # [S, H] last-token hidden states
+            logits = model_cls.compute_logits(params, sel, cfg)
+            st = SamplingTensors(temperature=temperature,
+                                 top_p=top_p,
+                                 top_k=top_k,
+                                 min_p=min_p,
+                                 greedy=greedy,
+                                 presence_penalty=presence,
+                                 frequency_penalty=frequency,
+                                 repetition_penalty=repetition)
+            res = sample(logits,
+                         st,
+                         rng,
+                         token_counts=token_counts if use_penalties else None)
+            return (kv_cache, res.tokens, res.logprobs, res.topk_ids,
+                    res.topk_logprobs)
+
+        return step_fn
+
+    # ------------------------------------------------------------------
+    # Engine-facing API (counterpart of ExecutorBase.execute_model,
+    # reference executor_base.py:78-86)
+    # ------------------------------------------------------------------
+
+    def execute_model(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        blocks_to_swap_in: Dict[int, int],
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+        num_lookahead_slots: int = 0,
+    ) -> List[SamplerOutput]:
+        assert self.kv_cache is not None, "initialize_cache first"
+
+        # KV maintenance in dependency order: read swap-outs before their
+        # blocks can be reused by swap-ins / new allocations.
+        if blocks_to_swap_out:
+            self.kv_cache = self.swap_space.swap_out(self.kv_cache,
+                                                     blocks_to_swap_out)
+        if blocks_to_swap_in:
+            self.kv_cache = self.swap_space.swap_in(self.kv_cache,
+                                                    blocks_to_swap_in)
+        if blocks_to_copy:
+            self.kv_cache = run_copy_blocks(self.kv_cache, blocks_to_copy)
+
+        if not seq_group_metadata_list:
+            return []
+
+        batch = prepare_batch(seq_group_metadata_list, self.block_size,
+                              self.max_blocks_per_seq, self.token_buckets,
+                              self.seq_buckets, self.vocab_size)
+        self._rng, step_key = jax.random.split(self._rng)
+        use_penalties = batch.token_counts is not None
+        token_counts = (jnp.asarray(batch.token_counts) if use_penalties else
+                        jnp.zeros((1, 1), jnp.uint8))
+
+        (self.kv_cache, tokens, logprobs, topk_ids,
+         topk_logprobs) = self._step_fn(
+             self.params, self.kv_cache, jnp.asarray(batch.tokens),
+             jnp.asarray(batch.positions), jnp.asarray(batch.token_seq),
+             jnp.asarray(batch.slot_mapping),
+             jnp.asarray(batch.block_tables), jnp.asarray(batch.seq_lens),
+             jnp.asarray(batch.sample_idx), jnp.asarray(batch.temperature),
+             jnp.asarray(batch.top_p), jnp.asarray(batch.top_k),
+             jnp.asarray(batch.min_p), jnp.asarray(batch.greedy),
+             jnp.asarray(batch.presence_penalty),
+             jnp.asarray(batch.frequency_penalty),
+             jnp.asarray(batch.repetition_penalty), token_counts, step_key,
+             use_penalties)
+
+        return self._assemble_outputs(seq_group_metadata_list, batch,
+                                      np.asarray(tokens),
+                                      np.asarray(logprobs),
+                                      np.asarray(topk_ids),
+                                      np.asarray(topk_logprobs))
+
+    def _assemble_outputs(self, seq_group_metadata_list, batch: PreparedBatch,
+                          tokens, logprobs, topk_ids,
+                          topk_logprobs) -> List[SamplerOutput]:
+        """Build per-group SequenceGroupOutput structures from device results."""
+        sample_rows = set(batch.rows_to_sample)
+        group_samples: Dict[int, List[SequenceOutput]] = {
+            i: []
+            for i in range(len(seq_group_metadata_list))
+        }
+        for row, (g_idx, seq_id) in enumerate(batch.row_owners):
+            if row not in sample_rows:
+                continue
+            meta = seq_group_metadata_list[g_idx]
+            token = int(tokens[row])
+            lp = float(logprobs[row])
+            num_lp = meta.sampling_params.logprobs
+            logprob_dict = {token: Logprob(lp)}
+            if num_lp:
+                for k in range(min(num_lp, topk_ids.shape[1])):
+                    tid = int(topk_ids[row, k])
+                    logprob_dict.setdefault(
+                        tid, Logprob(float(topk_logprobs[row, k]), rank=k + 1))
+            group_samples[g_idx].append(
+                SequenceOutput(parent_seq_id=seq_id,
+                               output_token=token,
+                               logprobs=logprob_dict))
+
+        outputs = []
+        for g_idx, meta in enumerate(seq_group_metadata_list):
+            outputs.append(
+                SequenceGroupOutput(samples=group_samples[g_idx],
+                                    prompt_logprobs=None))
+        return [SamplerOutput(outputs=outputs)]
+
+    # ------------------------------------------------------------------
+    # AUX predictor (the LTR scorer) — reference AUXLLMEngine collapsed to
+    # one dense jitted forward on the same mesh (SURVEY.md §7).
+    # ------------------------------------------------------------------
+
+    def init_aux_model(self, prefill_predictor_config) -> None:
+        from vllm_ltr_tpu.transformers_utils.config import get_hf_config
+        self.aux_prefill_config = prefill_predictor_config
+        model_src = prefill_predictor_config.pred_model
+        hf_cfg = get_hf_config(model_src) if not hasattr(
+            prefill_predictor_config, "hf_config") else None
+        if hf_cfg is None:
+            hf_cfg = prefill_predictor_config.hf_config
+        hf_cfg.num_labels = prefill_predictor_config.num_labels
+        self.aux_hf_config = hf_cfg
+        arch = "OPTForSequenceClassification"
+        self.aux_model_cls = resolve_model_cls([arch])
+        params = load_params(self.aux_model_cls, model_src, hf_cfg,
+                             self.dtype)
+        self.aux_params = shard_params(params, self.mesh)
+        aux_cls, aux_cfg = self.aux_model_cls, hf_cfg
+
+        @jax.jit
+        def score_fn(params, tokens, positions, mask):
+            # Dense (non-paged) prefill over the padded prompt batch: the
+            # TPU-idiomatic replacement for the reference's fake-allocate
+            # AUXLLM engine. Causal attention; score read at last real token.
+            hidden = aux_cls.dense_forward(params, tokens, positions, mask,
+                                           aux_cfg)
+            last_idx = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)
+            last_hidden = jnp.take_along_axis(
+                hidden, last_idx[:, None, None], axis=1).squeeze(1)
+            scores = aux_cls.compute_logits(params, last_hidden, aux_cfg)
+            return scores
+
+        self._aux_score_fn = score_fn
+
+    def score_prompts(self, prompts_token_ids: List[List[int]]) -> List[float]:
+        """Score prompts with the predictor; returns one ranking score each
+        (higher = shorter predicted output). Classification predictors
+        (num_labels > 1) return the negative argmax bucket so that sorting by
+        -score still approximates SJF (reference opt.py:394-408)."""
+        assert self.aux_params is not None, "init_aux_model first"
+        cfg = self.aux_prefill_config
+        max_len = cfg.max_length
+        bs = cfg.max_batch_size
+        scores: List[float] = []
+        for i in range(0, len(prompts_token_ids), bs):
+            chunk = prompts_token_ids[i:i + bs]
+            trunc = [t[:max_len] for t in chunk]
+            L = max(max(len(t) for t in trunc), 1)
+            # Bucket the padded length to bound recompiles.
+            Lp = 16
+            while Lp < L:
+                Lp *= 2
+            B = len(trunc)
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            tokens = np.zeros((Bp, Lp), np.int32)
+            mask = np.zeros((Bp, Lp), np.int32)
+            for j, t in enumerate(trunc):
+                tokens[j, :len(t)] = t
+                mask[j, :len(t)] = 1
+            positions = np.broadcast_to(np.arange(Lp, dtype=np.int32),
+                                        (Bp, Lp))
+            out = self._aux_score_fn(self.aux_params, jnp.asarray(tokens),
+                                     jnp.asarray(positions),
+                                     jnp.asarray(mask))
+            out = np.asarray(out)
+            if cfg.num_labels == 1:
+                scores.extend(float(s) for s in out[:B, 0])
+            else:
+                scores.extend(-float(s) for s in np.argmax(out[:B], axis=1))
+        return scores
+
+    # ------------------------------------------------------------------
+
+    def check_health(self) -> None:
+        if not jax.devices():
+            raise RuntimeError("No devices available")

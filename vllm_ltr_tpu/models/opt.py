@@ -179,6 +179,59 @@ class OPTForCausalLM:
         return h, new_cache
 
     @staticmethod
+    def dense_forward(params, tokens: jax.Array, positions: jax.Array,
+                      mask: jax.Array, cfg) -> jax.Array:
+        """Dense batched prefill (no KV cache): tokens/positions/mask [B, L]
+        -> hidden [B, L, H]. Used by the AUX predictor scorer (one-shot
+        prompt scoring needs no cache) and by training."""
+        H = cfg.hidden_size
+        num_heads = cfg.num_attention_heads
+        head_dim = H // num_heads
+        scale = head_dim**-0.5
+        do_lnb = getattr(cfg, "do_layer_norm_before", True)
+        B, L = tokens.shape
+
+        h = params["embed_tokens"][tokens]
+        if "project_in" in params:
+            h = linear(h, params["project_in"])
+        h = h + params["embed_positions"][positions + POS_OFFSET]
+
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        attn_mask = causal[None, :, :] & (mask[:, None, :] > 0)
+
+        def layer_fn(h, lp):
+            residual = h
+            x = layer_norm(h, lp["ln1_s"], lp["ln1_b"]) if do_lnb else h
+            qkv = linear(x, lp["qkv_w"], lp["qkv_b"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, L, num_heads, head_dim)
+            k = k.reshape(B, L, num_heads, head_dim)
+            v = v.reshape(B, L, num_heads, head_dim)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(attn_mask[:, None, :, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, H)
+            x = linear(attn, lp["out_w"], lp["out_b"])
+            h = residual + x
+            if not do_lnb:
+                h = layer_norm(h, lp["ln1_s"], lp["ln1_b"])
+            residual = h
+            x = layer_norm(h, lp["ln2_s"], lp["ln2_b"]) if do_lnb else h
+            x = linear(x, lp["fc1_w"], lp["fc1_b"])
+            x = jax.nn.relu(x)
+            x = linear(x, lp["fc2_w"], lp["fc2_b"])
+            h = residual + x
+            if not do_lnb:
+                h = layer_norm(h, lp["ln2_s"], lp["ln2_b"])
+            return h, None
+
+        h, _ = jax.lax.scan(layer_fn, h, params["layers"])
+        if do_lnb and "final_ln_s" in params:
+            h = layer_norm(h, params["final_ln_s"], params["final_ln_b"])
+        return h
+
+    @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:
         """hidden [*, H] -> logits [*, V] (tied lm head)."""
         h = hidden
