@@ -1,0 +1,114 @@
+"""Benchmark entry point (driver-run on real TPU hardware).
+
+Measures steady-state offline serving throughput (continuous batching,
+paged KV cache, device-side sampling) on a small random-weight Llama.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no absolute serving numbers (BASELINE.md), so
+``vs_baseline`` reports against the previous round's recorded value when
+available (BENCH_BASELINE.json), else 1.0.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default=None)
+    parser.add_argument("--num-requests", type=int, default=32)
+    parser.add_argument("--prompt-len", type=int, default=64)
+    parser.add_argument("--max-tokens", type=int, default=32)
+    parser.add_argument("--schedule-type", default="fcfs")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+    from transformers import LlamaConfig
+    from vllm_ltr_tpu import LLM, SamplingParams
+    from vllm_ltr_tpu.transformers_utils.config import register_builtin_config
+
+    register_builtin_config(
+        "bench-llama-s", lambda: LlamaConfig(
+            vocab_size=8192,
+            hidden_size=512,
+            intermediate_size=1408,
+            num_hidden_layers=8,
+            num_attention_heads=8,
+            num_key_value_heads=8,
+            max_position_embeddings=1024,
+        ))
+
+    llm = LLM(model="bench-llama-s",
+              skip_tokenizer_init=True,
+              dtype="bfloat16",
+              max_model_len=512,
+              max_num_seqs=args.num_requests,
+              max_num_batched_tokens=512,
+              num_gpu_blocks_override=1024,
+              block_size=16,
+              swap_space=0.25,
+              schedule_type=args.schedule_type,
+              disable_log_stats=True)
+
+    rng = np.random.RandomState(0)
+
+    def workload():
+        prompts = [
+            list(map(int, rng.randint(1, 8000, size=args.prompt_len)))
+            for _ in range(args.num_requests)
+        ]
+        params = SamplingParams(temperature=0.0,
+                                max_tokens=args.max_tokens,
+                                ignore_eos=True)
+        return llm.generate(prompt_token_ids=prompts,
+                            sampling_params=params,
+                            use_tqdm=False)
+
+    # Warmup (compiles all step buckets).
+    t0 = time.time()
+    workload()
+    warmup_s = time.time() - t0
+
+    # Measured run.
+    t0 = time.time()
+    outputs = workload()
+    elapsed = time.time() - t0
+    gen_tokens = sum(len(o.outputs[0].token_ids) for o in outputs)
+    prompt_tokens = sum(len(o.prompt_token_ids) for o in outputs)
+    tput = gen_tokens / elapsed
+
+    baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                baseline = json.load(f).get("value")
+        except Exception:
+            baseline = None
+    vs_baseline = (tput / baseline) if baseline else 1.0
+
+    print(
+        json.dumps({
+            "metric": "decode_tokens_per_sec",
+            "value": round(tput, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(vs_baseline, 3),
+        }))
+    print(
+        f"# warmup={warmup_s:.1f}s measured={elapsed:.1f}s "
+        f"gen_tokens={gen_tokens} prompt_tokens={prompt_tokens} "
+        f"requests={args.num_requests} schedule={args.schedule_type}",
+        file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

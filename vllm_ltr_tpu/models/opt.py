@@ -179,6 +179,66 @@ class OPTForCausalLM:
         return h, new_cache
 
     @staticmethod
+    def params_to_torch(cfg, params) -> Dict[str, Any]:
+        """Export params back to an HF OPT state dict (model.decoder.*),
+        for save_pretrained interop (used by the predictor trainer)."""
+        import numpy as np
+        import torch
+
+        def t(x, transpose=False):
+            arr = np.asarray(jax.device_get(x), dtype=np.float32)
+            if transpose:
+                arr = arr.T
+            return torch.from_numpy(arr)
+
+        H = cfg.hidden_size
+        sd: Dict[str, Any] = {
+            "model.decoder.embed_tokens.weight": t(params["embed_tokens"]),
+            "model.decoder.embed_positions.weight":
+            t(params["embed_positions"]),
+        }
+        if "project_in" in params:
+            sd["model.decoder.project_in.weight"] = t(params["project_in"],
+                                                      True)
+            sd["model.decoder.project_out.weight"] = t(
+                params["project_out"], True)
+        if "final_ln_s" in params:
+            sd["model.decoder.final_layer_norm.weight"] = t(
+                params["final_ln_s"])
+            sd["model.decoder.final_layer_norm.bias"] = t(
+                params["final_ln_b"])
+        L = cfg.num_hidden_layers
+        lp = params["layers"]
+        for i in range(L):
+            p = f"model.decoder.layers.{i}."
+            qkv_w = np.asarray(jax.device_get(lp["qkv_w"][i]),
+                               dtype=np.float32)
+            qkv_b = np.asarray(jax.device_get(lp["qkv_b"][i]),
+                               dtype=np.float32)
+            import torch as _torch
+            qw, kw, vw = np.split(qkv_w, 3, axis=1)
+            qb, kb, vb = np.split(qkv_b, 3)
+            sd[p + "self_attn.q_proj.weight"] = _torch.from_numpy(qw.T.copy())
+            sd[p + "self_attn.k_proj.weight"] = _torch.from_numpy(kw.T.copy())
+            sd[p + "self_attn.v_proj.weight"] = _torch.from_numpy(vw.T.copy())
+            sd[p + "self_attn.q_proj.bias"] = _torch.from_numpy(qb.copy())
+            sd[p + "self_attn.k_proj.bias"] = _torch.from_numpy(kb.copy())
+            sd[p + "self_attn.v_proj.bias"] = _torch.from_numpy(vb.copy())
+            sd[p + "self_attn.out_proj.weight"] = t(lp["out_w"][i], True)
+            sd[p + "self_attn.out_proj.bias"] = t(lp["out_b"][i])
+            sd[p + "self_attn_layer_norm.weight"] = t(lp["ln1_s"][i])
+            sd[p + "self_attn_layer_norm.bias"] = t(lp["ln1_b"][i])
+            sd[p + "fc1.weight"] = t(lp["fc1_w"][i], True)
+            sd[p + "fc1.bias"] = t(lp["fc1_b"][i])
+            sd[p + "fc2.weight"] = t(lp["fc2_w"][i], True)
+            sd[p + "fc2.bias"] = t(lp["fc2_b"][i])
+            sd[p + "final_layer_norm.weight"] = t(lp["ln2_s"][i])
+            sd[p + "final_layer_norm.bias"] = t(lp["ln2_b"][i])
+        if "score" in params:
+            sd["score.weight"] = t(params["score"], True)
+        return sd
+
+    @staticmethod
     def dense_forward(params, tokens: jax.Array, positions: jax.Array,
                       mask: jax.Array, cfg) -> jax.Array:
         """Dense batched prefill (no KV cache): tokens/positions/mask [B, L]
