@@ -1,0 +1,104 @@
+"""INT4 fused dequant+matmul tests: kernel vs reference vs float, plus
+AWQ/GPTQ repacking round trips (reference tests/kernels pattern)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vllm_ltr_tpu.ops.pallas.int4_matmul import (int4_matmul_pallas,
+                                                 int4_matmul_reference)
+from vllm_ltr_tpu.ops.quant_repack import (AWQ_ORDER, pack_cols_int32,
+                                           quantize_int4, repack_awq,
+                                           repack_gptq)
+
+
+def test_quantize_roundtrip_close_to_float():
+    rng = np.random.RandomState(0)
+    K, N, G = 256, 128, 64
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    packed, scales, zeros = quantize_int4(w, group_size=G)
+    x = rng.normal(size=(8, K)).astype(np.float32)
+    ref = x @ w
+    deq = np.asarray(
+        int4_matmul_reference(jnp.asarray(x), jnp.asarray(packed),
+                              jnp.asarray(scales), jnp.asarray(zeros), G))
+    # INT4 quantization error bound: relative Frobenius error small.
+    rel = np.linalg.norm(deq - ref) / np.linalg.norm(ref)
+    assert rel < 0.15, rel  # int4 asymmetric quantization error
+
+
+@pytest.mark.parametrize("M,K,N,G", [
+    (8, 512, 256, 128),
+    (16, 1024, 512, 128),
+    (8, 256, 256, 64),
+])
+def test_pallas_kernel_matches_reference(M, K, N, G):
+    rng = np.random.RandomState(1)
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    packed, scales, zeros = quantize_int4(w, group_size=G)
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    ref = np.asarray(
+        int4_matmul_reference(jnp.asarray(x), jnp.asarray(packed),
+                              jnp.asarray(scales), jnp.asarray(zeros), G))
+    out = np.asarray(
+        int4_matmul_pallas(jnp.asarray(x), jnp.asarray(packed),
+                           jnp.asarray(scales), jnp.asarray(zeros),
+                           group_size=G, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def _pack_awq_format(q, order):
+    """Pack int4 values [R, C] into AWQ's int32 nibble order."""
+    R, C = q.shape
+    v = q.reshape(R, C // 8, 8)
+    out = np.zeros((R, C // 8), dtype=np.uint32)
+    for i in range(8):
+        out |= (v[:, :, order[i]].astype(np.uint32) & 0xF) << (4 * i)
+    return out.astype(np.int32)
+
+
+def test_awq_repack_roundtrip():
+    rng = np.random.RandomState(2)
+    K, N, G = 128, 64, 32
+    q = rng.randint(0, 16, size=(K, N)).astype(np.int32)
+    z = rng.randint(0, 16, size=(K // G, N)).astype(np.int32)
+    s = rng.uniform(0.01, 0.1, size=(K // G, N)).astype(np.float16)
+
+    qweight = _pack_awq_format(q, AWQ_ORDER)
+    qzeros = _pack_awq_format(z, AWQ_ORDER)
+    packed, scales, zeros = repack_awq(qweight, qzeros, s)
+
+    # Dequantized weights must equal direct dequant of the source values.
+    from vllm_ltr_tpu.ops.pallas.int4_matmul import _unpack_int4
+    w_vals = np.asarray(_unpack_int4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(w_vals, q)
+    np.testing.assert_array_equal(zeros, z.astype(np.float32))
+    np.testing.assert_allclose(scales, s.astype(np.float32))
+
+
+def _pack_gptq_weight(q):
+    """Pack int4 values [K, N] along K into int32[K//8, N]."""
+    K, N = q.shape
+    v = q.reshape(K // 8, 8, N)
+    out = np.zeros((K // 8, N), dtype=np.uint32)
+    for i in range(8):
+        out |= (v[:, i, :].astype(np.uint32) & 0xF) << (4 * i)
+    return out.astype(np.int32)
+
+
+def test_gptq_repack_roundtrip():
+    rng = np.random.RandomState(3)
+    K, N, G = 128, 64, 32
+    q = rng.randint(0, 16, size=(K, N)).astype(np.int32)
+    z = rng.randint(0, 15, size=(K // G, N)).astype(np.int32)
+    s = rng.uniform(0.01, 0.1, size=(K // G, N)).astype(np.float16)
+
+    qweight = _pack_gptq_weight(q)
+    qzeros = pack_cols_int32(z)
+    packed, scales, zeros = repack_gptq(qweight, qzeros, s)
+
+    from vllm_ltr_tpu.ops.pallas.int4_matmul import _unpack_int4
+    w_vals = np.asarray(_unpack_int4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(w_vals, q)
+    # GPTQ zero points are stored as z-1 by exporters; repack adds 1 back.
+    np.testing.assert_array_equal(zeros, (z + 1).astype(np.float32))

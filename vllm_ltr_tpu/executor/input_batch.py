@@ -58,6 +58,8 @@ class PreparedBatch:
     row_owners: List[Tuple[int, int]]
     # rows whose sampled token should be applied (prefill complete or decode)
     rows_to_sample: List[int]
+    # True when every scheduled group is a single decode token (row-aligned)
+    decode_only: bool = False
     # token counts for penalties, or None when no request uses penalties
     token_counts: Optional[np.ndarray] = None  # u8[S, V]
 
@@ -70,6 +72,7 @@ def prepare_batch(
     seq_buckets: List[int],
     vocab_size: int,
 ) -> PreparedBatch:
+    decode_only = all(not m.is_prompt for m in seq_group_metadata_list)
     tokens: List[int] = []
     positions: List[int] = []
     token_seq: List[int] = []
@@ -138,8 +141,13 @@ def prepare_batch(
 
     num_real_tokens = len(tokens)
     num_real_seqs = len(seq_rows)
-    T = pad_to_bucket(max(num_real_tokens, 1), token_buckets)
     S = pad_to_bucket(max(num_real_seqs, 1), seq_buckets)
+    if decode_only:
+        # Decode-only steps keep token row i == sequence row i so the
+        # streaming decode kernel can treat q as [S, ...].
+        T = S
+    else:
+        T = pad_to_bucket(max(num_real_tokens, 1), token_buckets)
     assert num_real_tokens <= T and num_real_seqs <= S, (
         f"batch exceeds buckets: {num_real_tokens}>{T} or "
         f"{num_real_seqs}>{S}")
@@ -203,5 +211,6 @@ def prepare_batch(
         num_real_seqs=num_real_seqs,
         row_owners=row_owners,
         rows_to_sample=rows_to_sample,
+        decode_only=decode_only,
         token_counts=token_counts,
     )

@@ -46,6 +46,24 @@ logger = init_logger(__name__)
 _GB = 1 << 30
 
 
+def load_kv_cache_scales(path: str, num_layers: int):
+    """Parse per-layer KV scales. Accepts the reference schema
+    (kv_cache_scales.json: {"kv_cache": {"scaling_factor": {tp_rank:
+    {layer: scale}}}}, layers/quantization/schema.py) or a flat
+    {"kv_cache_scales": [per-layer floats]}."""
+    import json
+    with open(path) as f:
+        data = json.load(f)
+    if "kv_cache_scales" in data:
+        scales = list(map(float, data["kv_cache_scales"]))
+    else:
+        factors = data["kv_cache"]["scaling_factor"]
+        rank0 = factors[sorted(factors.keys())[0]]
+        scales = [float(rank0[str(i)]) for i in range(num_layers)]
+    assert len(scales) == num_layers, (len(scales), num_layers)
+    return scales
+
+
 def _param_spec(path: Tuple[str, ...], ndim: int) -> P:
     """Name-pattern tensor-parallel sharding for model params.
 
@@ -124,6 +142,15 @@ class TPUExecutor:
                              self.hf_config, self.dtype,
                              engine_config.load_config.load_format,
                              model_config.seed)
+        # FP8 KV-cache scales (reference --quantization-param-path +
+        # kv_cache_scales.json schema, model_runner.py:195-208).
+        if (cache_config.cache_dtype.startswith("fp8")
+                and model_config.quantization_param_path):
+            params["kv_scales"] = jnp.asarray(
+                load_kv_cache_scales(model_config.quantization_param_path,
+                                     self.num_layers), jnp.float32)
+            logger.info("Loaded FP8 KV-cache scales from %s",
+                        model_config.quantization_param_path)
         self.params = shard_params(params, self.mesh)
         self.param_bytes = sum(
             x.nbytes for x in jax.tree.leaves(self.params))
@@ -152,9 +179,10 @@ class TPUExecutor:
     # ------------------------------------------------------------------
 
     def _block_bytes(self) -> int:
+        from vllm_ltr_tpu.ops.kv_cache import padded_head_dim
         kv_itemsize = jnp.zeros((), self.kv_dtype).dtype.itemsize
         return (self.num_layers * 2 * self.block_size * self.num_kv_heads *
-                self.head_dim * kv_itemsize)
+                padded_head_dim(self.head_dim) * kv_itemsize)
 
     def determine_num_available_blocks(self) -> Tuple[int, int]:
         cache_config = self.config.cache_config
@@ -229,19 +257,20 @@ class TPUExecutor:
         @functools.partial(
             jax.jit,
             donate_argnums=(1, ),
-            static_argnames=("use_penalties", ))
+            static_argnames=("use_penalties", "decode_mode"))
         def step_fn(params, kv_cache, tokens, positions, token_seq,
                     slot_mapping, block_tables, seq_lens, sample_idx,
                     temperature, top_p, top_k, min_p, greedy, presence,
                     frequency, repetition, token_counts, rng,
-                    use_penalties: bool):
+                    use_penalties: bool, decode_mode: bool):
             meta = AttentionMetadata(token_seq=token_seq,
                                      token_pos=positions,
                                      slot_mapping=slot_mapping,
                                      block_tables=block_tables,
                                      seq_lens=seq_lens)
             hidden, kv_cache = model_cls.forward(params, tokens, positions,
-                                                 kv_cache, meta, cfg)
+                                                 kv_cache, meta, cfg,
+                                                 decode_mode=decode_mode)
             sel = hidden[sample_idx]  # [S, H] last-token hidden states
             logits = model_cls.compute_logits(params, sel, cfg)
             st = SamplingTensors(temperature=temperature,
@@ -310,7 +339,7 @@ class TPUExecutor:
              jnp.asarray(batch.presence_penalty),
              jnp.asarray(batch.frequency_penalty),
              jnp.asarray(batch.repetition_penalty), token_counts, step_key,
-             use_penalties)
+             use_penalties, batch.decode_only)
 
         return self._assemble_outputs(seq_group_metadata_list, batch,
                                       np.asarray(tokens),

@@ -16,7 +16,8 @@ from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
                                         normal_init, rms_norm, silu_and_mul,
                                         stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import paged_attention_reference
+from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
+                                         paged_attention_reference)
 from vllm_ltr_tpu.ops.kv_cache import write_kv
 
 
@@ -94,7 +95,10 @@ class LlamaForCausalLM:
     @staticmethod
     def forward(params, tokens: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttentionMetadata,
-                cfg) -> Tuple[jax.Array, jax.Array]:
+                cfg, decode_mode: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """decode_mode (static): every token is one decode step of the
+        same-index sequence row; attention runs the streaming Pallas decode
+        kernel instead of the mixed-batch reference path."""
         H = cfg.hidden_size
         QH = cfg.num_attention_heads
         KH = getattr(cfg, "num_key_value_heads", QH) or QH
@@ -110,9 +114,14 @@ class LlamaForCausalLM:
         sliding_window = getattr(cfg, "sliding_window", None)
 
         h = params["embed_tokens"][tokens]
+        # Per-layer FP8-KV scales (reference llama.py:126,429-445); ones
+        # for non-quantized caches.
+        L = cfg.num_hidden_layers
+        kv_scales = params.get("kv_scales",
+                               jnp.ones((L, ), jnp.float32))
 
         def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+            lp, layer_cache, kv_scale = scan_in
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -122,25 +131,34 @@ class LlamaForCausalLM:
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True, scaling_type,
                                           scaling_factor)
-            layer_cache = write_kv(layer_cache,
-                                   k.astype(layer_cache.dtype),
-                                   v.astype(layer_cache.dtype),
-                                   meta.slot_mapping)
-            attn = paged_attention_reference(q, layer_cache,
-                                             meta.block_tables,
-                                             meta.token_seq, meta.token_pos,
-                                             meta.seq_lens, scale,
-                                             sliding_window=sliding_window)
+            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping,
+                                   kv_scale)
+            # Dequantization is linear: fold the K scale into q and the V
+            # scale into the output, so the attention kernels never need a
+            # per-layer (traced) scale argument.
+            q = q * kv_scale.astype(q.dtype)
+            if decode_mode:
+                attn = paged_attention_decode(q, layer_cache,
+                                              meta.block_tables,
+                                              meta.seq_lens, scale,
+                                              sliding_window=sliding_window)
+            else:
+                attn = paged_attention_reference(
+                    q, layer_cache, meta.block_tables, meta.token_seq,
+                    meta.token_pos, meta.seq_lens, scale,
+                    sliding_window=sliding_window)
+            attn = attn * kv_scale.astype(attn.dtype)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
             x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
             h = residual + linear(x, lp["down_w"])
-            return h, layer_cache
+            return h, (layer_cache, kv_scale)
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, (new_cache, _) = jax.lax.scan(layer_fn, h,
+                                         (params["layers"], kv_cache,
+                                          kv_scales))
         h = rms_norm(h, params["norm"], eps)
         return h, new_cache
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
                                         linear, normal_init, stack_layers,
                                         t2j)
-from vllm_ltr_tpu.ops.attention import paged_attention_reference
+from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
+                                         paged_attention_reference)
 from vllm_ltr_tpu.ops.kv_cache import write_kv
 
 # OPT's learned positional embedding is offset by 2 (HF convention).
@@ -123,9 +124,9 @@ class OPTForCausalLM:
     @staticmethod
     def forward(params, tokens: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttentionMetadata,
-                cfg) -> Tuple[jax.Array, jax.Array]:
-        """tokens/positions: [T]; kv_cache: [L, 2, N+1, Bs, KH, D].
-        Returns (hidden [T, H], updated kv_cache)."""
+                cfg, decode_mode: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """tokens/positions: [T]; kv_cache: [L, 2, KH, N+1, Bs, D].
+        Returns (hidden [T, H], updated kv_cache). decode_mode: see llama."""
         H = cfg.hidden_size
         num_heads = cfg.num_attention_heads
         head_dim = H // num_heads
@@ -152,10 +153,14 @@ class OPTForCausalLM:
                                    k.astype(layer_cache.dtype),
                                    v.astype(layer_cache.dtype),
                                    meta.slot_mapping)
-            attn = paged_attention_reference(q, layer_cache,
-                                             meta.block_tables,
-                                             meta.token_seq, meta.token_pos,
-                                             meta.seq_lens, scale)
+            if decode_mode:
+                attn = paged_attention_decode(q, layer_cache,
+                                              meta.block_tables,
+                                              meta.seq_lens, scale)
+            else:
+                attn = paged_attention_reference(
+                    q, layer_cache, meta.block_tables, meta.token_seq,
+                    meta.token_pos, meta.seq_lens, scale)
             attn = attn.reshape(T, H)
             x = linear(attn, lp["out_w"], lp["out_b"])
             h = residual + x

@@ -17,7 +17,7 @@ this interface.
 
 Shapes:
   q:            [T, QH, D]   flattened new tokens (padded to bucket)
-  kv_cache:     [2, N+1, Bs, KH, D] one layer's cache (KV already written)
+  kv_cache:     [2, KH, N+1, Bs, D] one layer's cache (KV already written)
   block_tables: [S, MB]     physical block numbers per sequence
   token_seq:    [T]         sequence row (0..S-1) of each token; -1 padding
   token_pos:    [T]         absolute position of each token in its sequence
@@ -47,17 +47,20 @@ def paged_attention_reference(
     kv_scale: float = 1.0,
 ) -> jax.Array:
     T, QH, D = q.shape
-    _, num_blocks_p1, block_size, KH, _ = layer_cache.shape
+    _, KH, num_blocks_p1, block_size, Dp = layer_cache.shape
     S, MB = block_tables.shape
     group = QH // KH  # GQA group size
 
-    # Gather each sequence's pages: [S, MB*Bs, KH, D]. The compute dtype is
-    # the query dtype; FP8 caches are upcast here (fused by XLA).
-    k_pages = layer_cache[0][block_tables]  # [S, MB, Bs, KH, D]
-    v_pages = layer_cache[1][block_tables]
+    # Gather each sequence's pages (the cache head dim may be lane-padded).
+    # The compute dtype is the query dtype; FP8 caches are upcast here
+    # (fused by XLA).
+    k_pages = layer_cache[0][:, block_tables, :, :D]  # [KH, S, MB, Bs, D]
+    v_pages = layer_cache[1][:, block_tables, :, :D]
     ctx = MB * block_size
-    k = k_pages.reshape(S, ctx, KH, D).astype(q.dtype) * kv_scale
-    v = v_pages.reshape(S, ctx, KH, D).astype(q.dtype) * kv_scale
+    k = (k_pages.transpose(1, 2, 3, 0, 4).reshape(S, ctx, KH, D).astype(
+        q.dtype) * kv_scale)
+    v = (v_pages.transpose(1, 2, 3, 0, 4).reshape(S, ctx, KH, D).astype(
+        q.dtype) * kv_scale)
 
     # Per-token gather of its sequence's K/V: [T, ctx, KH, D].
     safe_seq = jnp.maximum(token_seq, 0)
@@ -102,3 +105,34 @@ def paged_attention_decode_reference(
     return paged_attention_reference(q, layer_cache, block_tables, token_seq,
                                      token_pos, seq_lens, scale,
                                      kv_scale=kv_scale)
+
+
+def paged_attention_decode(
+    q: jax.Array,
+    layer_cache: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    scale: float,
+    kv_scale: float = 1.0,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Decode-path dispatcher: the Pallas streaming kernel on TPU, the XLA
+    reference elsewhere (or when a feature the kernel lacks is needed)."""
+    import os
+    use_pallas = (jax.default_backend() == "tpu"
+                  and sliding_window is None
+                  and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
+    if use_pallas:
+        from vllm_ltr_tpu.ops.pallas.paged_attention import (
+            paged_attention_decode_pallas)
+        block_size = layer_cache.shape[3]
+        return paged_attention_decode_pallas(q,
+                                             layer_cache,
+                                             block_tables,
+                                             seq_lens,
+                                             block_size=block_size,
+                                             scale=scale,
+                                             kv_scale=kv_scale)
+    return paged_attention_decode_reference(q, layer_cache, block_tables,
+                                            seq_lens, scale,
+                                            kv_scale=kv_scale)

@@ -5,11 +5,14 @@ TPU-native counterpart of reference ``csrc/cache_kernels.cu``
 here the scatter/gather are XLA ops on a stacked cache array, fused by the
 compiler; FP8 conversion is a dtype cast on the value path.
 
-Cache layout: ``[num_layers, 2, num_blocks, block_size, kv_heads, head_dim]``
-(K at index 0, V at index 1), sharded over the kv-head axis of the mesh.
-Flat "slot" addressing: slot = block_number * block_size + offset, with
-slot -1 mapping to the reserved trash block (the last block), so padded
-lanes never corrupt live cache.
+Cache layout: ``[num_layers, 2, kv_heads, num_blocks+1, block_size, head_dim]``
+(K at index 0, V at index 1). The head axis leads the block axis so that
+per-(head, block) pages are contiguous [block_size, head_dim] tiles — DMA
+slices in the Pallas decode kernel stay tile-aligned and stream at full HBM
+bandwidth. The cache shards over the kv-head axis of the mesh. Flat "slot"
+addressing: slot = block_number * block_size + offset, with slot -1 mapping
+to the reserved trash block (the last block), so padded lanes never corrupt
+live cache.
 """
 from __future__ import annotations
 
@@ -20,12 +23,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vllm_ltr_tpu.utils import round_up
+
+# The cache's head_dim is padded to a full lane tile so Pallas DMA slices of
+# [block_size, head_dim] pages stay aligned (Mosaic requires 128-lane
+# alignment). Real serving models have head_dim 128 already; the padding
+# only costs memory for small test models.
+LANE = 128
+
+
+def padded_head_dim(head_dim: int) -> int:
+    return round_up(head_dim, LANE)
+
 
 def kv_cache_shape(num_layers: int, num_blocks: int, block_size: int,
                    num_kv_heads: int, head_dim: int) -> Tuple[int, ...]:
     # One extra trash block at the end absorbs writes from padded slots.
-    return (num_layers, 2, num_blocks + 1, block_size, num_kv_heads,
-            head_dim)
+    return (num_layers, 2, num_kv_heads, num_blocks + 1, block_size,
+            padded_head_dim(head_dim))
 
 
 def allocate_kv_cache(num_layers: int,
@@ -43,21 +58,30 @@ def allocate_kv_cache(num_layers: int,
 
 
 def write_kv(layer_cache: jax.Array, key: jax.Array, value: jax.Array,
-             slot_mapping: jax.Array) -> jax.Array:
+             slot_mapping: jax.Array, kv_scale=1.0) -> jax.Array:
     """Scatter new K/V for one layer into the paged cache.
 
-    layer_cache: [2, num_blocks+1, block_size, KH, D]
-    key/value:   [T, KH, D] (already in cache dtype)
+    layer_cache: [2, KH, num_blocks+1, block_size, D]
+    key/value:   [T, KH, D] (compute dtype; cast to the cache dtype here)
     slot_mapping:[T] flat slots; -1 => trash block.
+    kv_scale:    quantization scale for FP8 caches — values are stored as
+                 x / kv_scale and dequantized as x * kv_scale at read
+                 (reference csrc fp8_e5m2 quant_utils + llama.py kv_scale).
     """
-    _, num_blocks_p1, block_size, _, _ = layer_cache.shape
+    _, KH, num_blocks_p1, block_size, Dp = layer_cache.shape
     trash = (num_blocks_p1 - 1) * block_size
     slots = jnp.where(slot_mapping < 0, trash, slot_mapping)
     block_idx = slots // block_size
     block_off = slots % block_size
-    kv = jnp.stack([key, value])  # [2, T, KH, D]
-    # Scatter at (kv, block, offset) coordinates.
-    return layer_cache.at[:, block_idx, block_off].set(
+    # [2, KH, T, D] values scattered at (kv, :, block, offset).
+    kv = jnp.stack([key, value]).transpose(0, 2, 1, 3)
+    if kv.shape[-1] < Dp:
+        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0),
+                          (0, Dp - kv.shape[-1])))
+    if not (isinstance(kv_scale, float) and kv_scale == 1.0):
+        kv = kv / kv_scale
+    kv = kv.astype(layer_cache.dtype)
+    return layer_cache.at[:, :, block_idx, block_off].set(
         kv, mode="drop", unique_indices=False)
 
 
@@ -65,10 +89,10 @@ def copy_blocks(kv_cache: jax.Array, src: jax.Array,
                 dst: jax.Array) -> jax.Array:
     """Copy whole blocks src[i] -> dst[i] across all layers (CoW commit).
 
-    kv_cache: [L, 2, N+1, Bs, KH, D]; src/dst: [M] block numbers.
+    kv_cache: [L, 2, KH, N+1, Bs, D]; src/dst: [M] block numbers.
     """
-    data = kv_cache[:, :, src]
-    return kv_cache.at[:, :, dst].set(data)
+    data = kv_cache[:, :, :, src]
+    return kv_cache.at[:, :, :, dst].set(data)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, ))
@@ -92,7 +116,7 @@ def run_copy_blocks(kv_cache: jax.Array,
 
 @functools.partial(jax.jit, donate_argnums=(0, ))
 def _swap_in_jit(kv_cache, host_chunk, dst):
-    return kv_cache.at[:, :, dst].set(host_chunk.astype(kv_cache.dtype))
+    return kv_cache.at[:, :, :, dst].set(host_chunk.astype(kv_cache.dtype))
 
 
 class HostSwapSpace:
@@ -110,8 +134,8 @@ class HostSwapSpace:
         self._np_dtype = np.dtype(
             dtype.dtype if hasattr(dtype, "dtype") else dtype)
         self.buf = np.zeros(
-            (num_layers, 2, max(num_cpu_blocks, 1), block_size, num_kv_heads,
-             head_dim),
+            (num_layers, 2, num_kv_heads, max(num_cpu_blocks, 1), block_size,
+             padded_head_dim(head_dim)),
             dtype=self._np_dtype)
 
     def swap_out(self, kv_cache: jax.Array,
@@ -120,9 +144,9 @@ class HostSwapSpace:
         if not mapping:
             return kv_cache
         src = jnp.asarray(list(mapping.keys()), jnp.int32)
-        chunk = np.asarray(kv_cache[:, :, src])  # device -> host transfer
+        chunk = np.asarray(kv_cache[:, :, :, src])  # device -> host
         dst = np.asarray(list(mapping.values()), np.int64)
-        self.buf[:, :, dst] = chunk
+        self.buf[:, :, :, dst] = chunk
         return kv_cache
 
     def swap_in(self, kv_cache: jax.Array,
@@ -132,5 +156,5 @@ class HostSwapSpace:
             return kv_cache
         src = np.asarray(list(mapping.keys()), np.int64)
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
-        chunk = jnp.asarray(self.buf[:, :, src])
+        chunk = jnp.asarray(self.buf[:, :, :, src])
         return _swap_in_jit(kv_cache, chunk, dst)

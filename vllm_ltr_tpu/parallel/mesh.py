@@ -94,9 +94,9 @@ class ShardingLayout:
     # KV cache ----------------------------------------------------------
     @property
     def kv_cache(self) -> NamedSharding:
-        """[layers, 2, num_blocks, block_size, kv_heads, head_dim] sharded
+        """[layers, 2, kv_heads, num_blocks, block_size, head_dim] sharded
         over kv heads."""
-        return self._ns(None, None, None, None, MODEL_AXIS, None)
+        return self._ns(None, None, MODEL_AXIS, None, None, None)
 
     # Activations --------------------------------------------------------
     @property
