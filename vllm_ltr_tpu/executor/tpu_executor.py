@@ -74,6 +74,11 @@ def _param_spec(path: Tuple[str, ...], ndim: int) -> P:
     """
     name = path[-1]
     stacked = "layers" in path
+    # Quantized weights: the path ends with the field (packed/scales/zeros)
+    # under the weight name; all three shard along the same logical axes
+    # ([K, N]-shaped up to packing, so the specs below apply unchanged).
+    if name in ("packed", "scales", "zeros") and len(path) >= 2:
+        name = path[-2]
 
     def spec(*tail):
         lead = (None, ) if stacked else ()
@@ -141,7 +146,8 @@ class TPUExecutor:
         params = load_params(self.model_cls, model_config.model,
                              self.hf_config, self.dtype,
                              engine_config.load_config.load_format,
-                             model_config.seed)
+                             model_config.seed,
+                             quantization=model_config.quantization)
         # FP8 KV-cache scales (reference --quantization-param-path +
         # kv_cache_scales.json schema, model_runner.py:195-208).
         if (cache_config.cache_dtype.startswith("fp8")

@@ -43,10 +43,14 @@ class AttentionMetadata(NamedTuple):
     need_score: bool = False
 
 
-def linear(x: jax.Array, w: jax.Array,
-           b: Optional[jax.Array] = None) -> jax.Array:
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     """x[..., in] @ w[in, out] (+ b). Weights are stored input-major so the
-    MXU contraction needs no transpose."""
+    MXU contraction needs no transpose. INT4-quantized weights dispatch to
+    the fused dequant matmul."""
+    from vllm_ltr_tpu.layers.quantization.int4 import (QuantizedWeight,
+                                                       quantized_linear)
+    if isinstance(w, QuantizedWeight):
+        return quantized_linear(x, w, b)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b

@@ -93,6 +93,54 @@ class LlamaForCausalLM:
         return params
 
     @staticmethod
+    def params_from_torch_quantized(cfg, state_dict, dtype,
+                                    method: str) -> Dict[str, Any]:
+        """Convert an AutoAWQ / AutoGPTQ Llama checkpoint: quantized
+        projections repack to the canonical INT4 layout; everything else
+        converts as usual."""
+        from vllm_ltr_tpu.layers.quantization.int4 import (
+            load_quantized_proj)
+        sd = dict(state_dict)
+
+        def pop(name):
+            for prefix in ("model.", ""):
+                if prefix + name in sd:
+                    return sd.pop(prefix + name)
+            raise KeyError(name)
+
+        L = cfg.num_hidden_layers
+        params: Dict[str, Any] = {
+            "embed_tokens": t2j(pop("embed_tokens.weight"), dtype),
+            "norm": t2j(pop("norm.weight"), dtype),
+        }
+        if "lm_head.weight" in sd:
+            params["lm_head"] = t2j(sd.pop("lm_head.weight"), dtype).T
+        layers = []
+        for i in range(L):
+            p = f"model.layers.{i}."
+            layers.append({
+                "q_w": load_quantized_proj(sd, p + "self_attn.q_proj",
+                                           method),
+                "k_w": load_quantized_proj(sd, p + "self_attn.k_proj",
+                                           method),
+                "v_w": load_quantized_proj(sd, p + "self_attn.v_proj",
+                                           method),
+                "o_w": load_quantized_proj(sd, p + "self_attn.o_proj",
+                                           method),
+                "gate_w": load_quantized_proj(sd, p + "mlp.gate_proj",
+                                              method),
+                "up_w": load_quantized_proj(sd, p + "mlp.up_proj", method),
+                "down_w": load_quantized_proj(sd, p + "mlp.down_proj",
+                                              method),
+                "input_ln":
+                t2j(sd.pop(p + "input_layernorm.weight"), dtype),
+                "post_ln":
+                t2j(sd.pop(p + "post_attention_layernorm.weight"), dtype),
+            })
+        params["layers"] = stack_layers(layers)
+        return params
+
+    @staticmethod
     def forward(params, tokens: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttentionMetadata,
                 cfg, decode_mode: bool = False) -> Tuple[jax.Array, jax.Array]:

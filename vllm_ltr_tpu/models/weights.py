@@ -45,13 +45,35 @@ def load_hf_state_dict(model_dir: str) -> Dict[str, Any]:
 
 
 def load_params(model_cls, model_source: str, hf_config, dtype,
-                load_format: str = "auto", seed: int = 0):
-    """Resolve params for `model_cls` from a source path or built-in name."""
+                load_format: str = "auto", seed: int = 0,
+                quantization=None):
+    """Resolve params for `model_cls` from a source path or built-in name.
+
+    quantization: None | "int4" (quantize float weights at load) |
+    "awq"/"gptq" (checkpoint already quantized; converter repacks).
+    """
+    from vllm_ltr_tpu.layers.quantization import maybe_quantize_params
+    from vllm_ltr_tpu.layers.quantization.int4 import (
+        detect_checkpoint_quantization)
     if load_format == "dummy" or not os.path.isdir(model_source):
         logger.info("Initializing random weights for %s (%s)", model_source,
                     model_cls.__name__)
         rng = jax.random.PRNGKey(seed)
-        return model_cls.init_params(hf_config, rng, dtype)
+        params = model_cls.init_params(hf_config, rng, dtype)
+        return maybe_quantize_params(params, quantization)
     logger.info("Loading weights from %s", model_source)
     state_dict = load_hf_state_dict(model_source)
-    return model_cls.params_from_torch(hf_config, state_dict, dtype)
+    ckpt_method = detect_checkpoint_quantization(hf_config)
+    if ckpt_method in ("awq", "gptq"):
+        if quantization not in (None, ckpt_method):
+            raise ValueError(
+                f"Checkpoint is {ckpt_method}-quantized but "
+                f"quantization={quantization!r} was requested.")
+        converter = getattr(model_cls, "params_from_torch_quantized", None)
+        if converter is None:
+            raise ValueError(
+                f"{model_cls.__name__} does not support {ckpt_method} "
+                "checkpoints yet.")
+        return converter(hf_config, state_dict, dtype, ckpt_method)
+    params = model_cls.params_from_torch(hf_config, state_dict, dtype)
+    return maybe_quantize_params(params, quantization)

@@ -4,19 +4,25 @@ TPU-native counterpart of the reference's AWQ/GPTQ/Marlin CUDA GEMMs
 (``csrc/quantization/awq/gemm_kernels.cu`` 533 LoC,
 ``gptq/q_gemm.cu`` ~2,800 LoC, ``marlin/marlin_cuda_kernel.cu`` 1,145 LoC):
 a single kernel serves both weight formats after offline repacking to a
-canonical layout (ops/quant_repack.py), the Marlin strategy.
+canonical layout, the Marlin strategy (pre-layouting weights so the hot
+kernel does no data movement — SURVEY.md §7 "sub-byte unpack layout must
+match MXU tiling").
 
-Canonical layout (group-quantized, symmetric-or-asymmetric):
-  w_packed: int32[K, N // 8]   — 8 int4 nibbles packed along N
-                                 (nibble j of word n holds column n*8+j)
-  scales:   f32/bf16[K // G, N]
-  zeros:    f32/bf16[K // G, N] — dequant: (q - zeros) * scales
+Canonical **plane-major** layout (chosen so the kernel needs NO reshapes,
+dynamic slices, or repeats — all Mosaic-hostile):
 
-The kernel tiles (N, K): weights stream HBM->VMEM at INT4 width (4x less
-HBM traffic than bf16 — the point of weight-only quantization for
-memory-bound decode), unpack + dequant on the VPU, then MXU matmul with the
-activation tile. Activations [M, K] stay resident in VMEM (decode M is
-small).
+  N8  = N // 8, N8p = round_up(N8, 128) (lane padding)
+  Kp  = round_up(K, 8 * group_size)
+  packed: int32[Kp, N8p] — nibble j of word (k, n) holds logical weight
+          column  c = j * N8 + n  (so the kernel's per-plane outputs
+          concatenate to logical order by a plain outer reshape)
+  scales/zeros: f32[Kp // G, 8 * N8p] — storage column j * N8p + n
+
+Kernel: grid over K tiles of TK = 8*G rows; the int32 word block streams
+HBM->VMEM once (INT4 => 4x less weight traffic than bf16 — the win for
+memory-bound decode); two static loops (8 planes x 8 groups) do
+shift-mask dequant on the VPU and MXU-accumulate into the full-N f32
+accumulator; the output writes on the last K tile.
 """
 from __future__ import annotations
 
@@ -29,97 +35,149 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_ltr_tpu.utils import cdiv
+from vllm_ltr_tpu.utils import cdiv, round_up
+
+LANE = 128
+PLANES = 8
 
 
-def _unpack_int4(words: jax.Array) -> jax.Array:
-    """int32[K, Nw] -> int32[K, Nw*8] nibbles, nibble j -> column 8*n+j."""
-    K, Nw = words.shape
-    shifts = jnp.arange(8, dtype=jnp.int32) * 4  # [8]
-    # [K, Nw, 8]
-    nibbles = jax.lax.shift_right_logical(
-        words[:, :, None], shifts[None, None, :]) & 0xF
-    return nibbles.reshape(K, Nw * 8)
+def plane_major_shapes(K: int, N: int, group_size: int):
+    N8 = N // PLANES
+    N8p = round_up(max(N8, 1), LANE)
+    TK = PLANES * group_size
+    Kp = round_up(K, TK)
+    return N8, N8p, Kp, TK
+
+
+def to_plane_major(q_vals: np.ndarray, scales: np.ndarray,
+                   zeros: np.ndarray, group_size: int):
+    """Repack logical-order int4 values [K, N] (+ [K//G, N] scales/zeros)
+    into the canonical plane-major arrays."""
+    K, N = q_vals.shape
+    assert N % PLANES == 0, N
+    N8, N8p, Kp, TK = plane_major_shapes(K, N, group_size)
+    G = group_size
+
+    packed = np.zeros((Kp, N8p), dtype=np.uint32)
+    q = q_vals.astype(np.uint32).reshape(K, N)
+    for j in range(PLANES):
+        cols = q[:, j * N8:(j + 1) * N8]  # logical plane j
+        packed[:K, :N8] |= (cols & 0xF) << (4 * j)
+
+    n_groups_p = Kp // G
+    s_store = np.ones((n_groups_p, PLANES * N8p), dtype=np.float32)
+    z_store = np.zeros((n_groups_p, PLANES * N8p), dtype=np.float32)
+    ng = K // G
+    for j in range(PLANES):
+        s_store[:ng, j * N8p:j * N8p + N8] = scales[:, j * N8:(j + 1) * N8]
+        z_store[:ng, j * N8p:j * N8p + N8] = zeros[:, j * N8:(j + 1) * N8]
+    return packed.astype(np.int32), s_store, z_store
 
 
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                        n_k_tiles: int, group_size: int, tile_k: int):
-    """Grid (N//TN, K//TK). x [M, TK]; w [TK, TN//8] int32;
-    s/z [TK//G, TN]; o [M, TN]."""
-    k_idx = pl.program_id(1)
+                        group_size: int, n_k_tiles: int, n8p: int):
+    """Grid (Kp//TK,). x [Mp, TK]; w [TK, N8p] int32;
+    s/z [TK//G, 8*N8p]; o/acc [Mp, 8*N8p]."""
+    k_idx = pl.program_id(0)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = _unpack_int4(w_ref[...]).astype(jnp.float32)  # [TK, TN]
-    # Broadcast group scales/zeros over the K rows of this tile.
-    reps = tile_k // s_ref.shape[0] if s_ref.shape[0] else 1
-    s = jnp.repeat(s_ref[...].astype(jnp.float32), group_size, axis=0)
-    z = jnp.repeat(z_ref[...].astype(jnp.float32), group_size, axis=0)
-    w = (q - z) * s  # [TK, TN]
-
-    x = x_ref[...].astype(jnp.float32)
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1, ), (0, )), ((), ())),
-        preferred_element_type=jnp.float32)
+    words = w_ref[...]
+    n_groups = group_size * PLANES // group_size  # == PLANES rows per tile
+    for j in range(PLANES):
+        qj = jax.lax.shift_right_logical(words, 4 * j) & 0xF  # [TK, N8p]
+        for g in range(n_groups):
+            r0 = g * group_size
+            qg = qj[r0:r0 + group_size, :].astype(jnp.float32)
+            s = s_ref[g:g + 1, j * n8p:(j + 1) * n8p]  # [1, N8p]
+            z = z_ref[g:g + 1, j * n8p:(j + 1) * n8p]
+            w = ((qg - z) * s)  # [G, N8p] f32
+            xg = x_ref[:, r0:r0 + group_size].astype(jnp.float32)  # [Mp, G]
+            acc_ref[:, j * n8p:(j + 1) * n8p] += jax.lax.dot_general(
+                xg, w, (((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(k_idx == n_k_tiles - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
-def int4_matmul_pallas(
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "logical_n", "interpret"))
+def int4_matmul_plane_major(
     x: jax.Array,  # [M, K]
-    w_packed: jax.Array,  # int32[K, N//8]
-    scales: jax.Array,  # [K//G, N]
-    zeros: jax.Array,  # [K//G, N]
+    packed: jax.Array,  # int32[Kp, N8p]
+    scales: jax.Array,  # f32[Kp//G, 8*N8p]
+    zeros: jax.Array,  # f32[Kp//G, 8*N8p]
     *,
     group_size: int,
+    logical_n: int,
     interpret: bool = False,
 ) -> jax.Array:
     M, K = x.shape
-    N = w_packed.shape[1] * 8
-    TN = min(256, N)
-    TK = min(512, K)
-    # Tile sizes must respect the group quantization granularity.
-    TK = max(TK - TK % group_size, group_size)
-    assert K % TK == 0, (K, TK)
-    assert N % TN == 0, (N, TN)
-    n_k_tiles = K // TK
+    Kp, N8p = packed.shape
+    N8 = logical_n // PLANES
+    TK = PLANES * group_size
+    n_k_tiles = Kp // TK
 
-    grid = (N // TN, n_k_tiles)
+    Mp = max(round_up(M, 8), 8)
+    pad_m = Mp - M
+    pad_k = Kp - K
+    if pad_m or pad_k:
+        x = jnp.pad(x, ((0, pad_m), (0, pad_k)))
+
     out = pl.pallas_call(
         functools.partial(_int4_matmul_kernel,
-                          n_k_tiles=n_k_tiles,
                           group_size=group_size,
-                          tile_k=TK),
-        grid=grid,
+                          n_k_tiles=n_k_tiles,
+                          n8p=N8p),
+        grid=(n_k_tiles, ),
         in_specs=[
-            pl.BlockSpec((M, TK), lambda n, k: (0, k),
+            pl.BlockSpec((Mp, TK), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, TN // 8), lambda n, k: (k, n),
+            pl.BlockSpec((TK, N8p), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK // group_size, TN), lambda n, k: (k, n),
+            pl.BlockSpec((PLANES, PLANES * N8p), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK // group_size, TN), lambda n, k: (k, n),
+            pl.BlockSpec((PLANES, PLANES * N8p), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M, TN), lambda n, k: (0, n),
+        out_specs=pl.BlockSpec((Mp, PLANES * N8p), lambda k: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((M, TN), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, PLANES * N8p), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Mp, PLANES * N8p), jnp.float32)],
         interpret=interpret,
-    )(x, w_packed, scales, zeros)
+    )(x, packed, scales, zeros)
+    # Plane-major storage -> logical column order by construction.
+    out = out.reshape(Mp, PLANES, N8p)[:M, :, :N8].reshape(M, logical_n)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Logical-layout helpers (tests + CPU path keep the simple packing)
+# ---------------------------------------------------------------------------
+
+
+def _unpack_int4_2d(words: jax.Array) -> jax.Array:
+    """int32[R, Nw] -> int32[R, Nw*8]; nibble j -> column n*8+j (the simple
+    interleaved packing used by ops/quant_repack.py)."""
+    R, Nw = words.shape
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    nibbles = jax.lax.shift_right_logical(
+        words[:, :, None], shifts[None, None, :]) & 0xF
+    return nibbles.reshape(R, Nw * 8)
+
+
+_unpack_int4 = _unpack_int4_2d
 
 
 def int4_matmul_reference(x: jax.Array, w_packed: jax.Array,
                           scales: jax.Array, zeros: jax.Array,
                           group_size: int) -> jax.Array:
-    """XLA reference (materializes the dequantized weight; for tests/CPU)."""
-    q = _unpack_int4(w_packed).astype(jnp.float32)  # [K, N]
+    """XLA reference on the simple interleaved layout (tests/CPU)."""
+    q = _unpack_int4_2d(w_packed).astype(jnp.float32)  # [K, N]
     s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=0)
     z = jnp.repeat(zeros.astype(jnp.float32), group_size, axis=0)
     w = (q - z) * s
@@ -127,12 +185,57 @@ def int4_matmul_reference(x: jax.Array, w_packed: jax.Array,
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def int4_matmul(x: jax.Array, w_packed: jax.Array, scales: jax.Array,
-                zeros: jax.Array, group_size: int) -> jax.Array:
-    """Dispatcher: Pallas on TPU, XLA reference elsewhere."""
+def interleaved_to_plane_major(w_packed: np.ndarray, scales: np.ndarray,
+                               zeros: np.ndarray, group_size: int):
+    """Convert the simple interleaved packing to the kernel layout."""
+    import numpy as np
+    w_packed = np.asarray(w_packed)
+    q = np.zeros((w_packed.shape[0], w_packed.shape[1] * 8), np.int32)
+    wu = w_packed.astype(np.uint32)
+    for j in range(8):
+        q[:, j::8] = ((wu >> (4 * j)) & 0xF).astype(np.int32)
+    return to_plane_major(q, np.asarray(scales), np.asarray(zeros),
+                          group_size)
+
+
+def int4_matmul_pallas(x, w_packed, scales, zeros, *, group_size: int,
+                       interpret: bool = False):
+    """Compatibility entry taking the interleaved layout (repacks on the
+    fly — use PlaneMajorWeight / int4_matmul_plane_major in the hot path)."""
+    N = w_packed.shape[1] * 8
+    p, s, z = interleaved_to_plane_major(np.asarray(jax.device_get(w_packed)),
+                                         np.asarray(jax.device_get(scales)),
+                                         np.asarray(jax.device_get(zeros)),
+                                         group_size)
+    return int4_matmul_plane_major(x, jnp.asarray(p), jnp.asarray(s),
+                                   jnp.asarray(z), group_size=group_size,
+                                   logical_n=N, interpret=interpret)
+
+
+def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                zeros: jax.Array, group_size: int,
+                logical_n: Optional[int] = None) -> jax.Array:
+    """Hot-path dispatcher over the PLANE-MAJOR layout: Pallas on TPU, XLA
+    dequant elsewhere."""
     import os
+    assert logical_n is not None
     if (jax.default_backend() == "tpu"
             and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1"):
-        return int4_matmul_pallas(x, w_packed, scales, zeros,
-                                  group_size=group_size)
-    return int4_matmul_reference(x, w_packed, scales, zeros, group_size)
+        return int4_matmul_plane_major(x, packed, scales, zeros,
+                                       group_size=group_size,
+                                       logical_n=logical_n)
+    # Reference dequant of the plane-major layout.
+    Kp, N8p = packed.shape
+    N8 = logical_n // PLANES
+    words = packed.astype(jnp.uint32)
+    planes = [((words >> (4 * j)) & 0xF).astype(jnp.float32)
+              for j in range(PLANES)]
+    q = jnp.concatenate(planes, axis=1)  # [Kp, 8*N8p] storage order
+    s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=0)
+    z = jnp.repeat(zeros.astype(jnp.float32), group_size, axis=0)
+    w = (q - z) * s
+    K = x.shape[1]
+    y = jnp.dot(x.astype(jnp.float32), w[:K],
+                preferred_element_type=jnp.float32)
+    y = y.reshape(x.shape[0], PLANES, N8p)[:, :, :N8]
+    return y.reshape(x.shape[0], logical_n).astype(x.dtype)
