@@ -184,11 +184,15 @@ class ScheduleSpec:
 @dataclass
 class PredictorConfig:
     """Embedded mid-layer predictor config (reference config_predictor.py:8-76):
-    an MLP head grafted onto the serving model at ``pred_layer_idx``."""
-    fc_model: Optional[str] = None
-    post_model: Optional[str] = None
+    an MLP head grafted onto the serving model at ``pred_layer_idx``.
+    fc_model: {sizes, input_norm, activation, dropout};
+    post_model: {d_output, output_activation};
+    weights: optional torch state-dict path (reference LTRModel naming)."""
+    fc_model: Optional[Any] = None
+    post_model: Optional[Any] = None
     n_features: int = 4096
     pred_layer_idx: int = 31
+    weights: Optional[str] = None
 
     @classmethod
     def from_json(cls, path: str) -> "PredictorConfig":

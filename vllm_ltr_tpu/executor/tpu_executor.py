@@ -171,6 +171,26 @@ class TPUExecutor:
         self.kv_cache: Optional[jax.Array] = None
         self.swap_space: Optional[HostSwapSpace] = None
         self._rng = jax.random.PRNGKey(model_config.seed)
+
+        # Embedded mid-layer predictor (reference predictor.py + the
+        # --predictor-model-config graft, model_loader/loader.py:234-241).
+        self.pred_config = model_config.predictor_model_config
+        self.pred_params = None
+        if self.pred_config is not None:
+            from vllm_ltr_tpu.layers.embedded_predictor import (
+                init_predictor_params, load_predictor_params)
+            if getattr(self.pred_config, "weights", None):
+                self.pred_params = load_predictor_params(
+                    self.pred_config, self.pred_config.weights)
+            else:
+                self.pred_params = init_predictor_params(
+                    self.pred_config, jax.random.PRNGKey(0))
+            self.pred_params = jax.device_put(self.pred_params)
+            logger.info(
+                "Embedded predictor grafted at layer %d (n_features=%d)",
+                self.pred_config.pred_layer_idx,
+                self.pred_config.n_features)
+
         self._step_fn = self._build_step_fn()
 
         # AUX predictor state (attached later via init_aux_model).
@@ -260,23 +280,38 @@ class TPUExecutor:
         model_cls = self.model_cls
         cfg = self.hf_config
 
+        pred_config = self.pred_config
+
         @functools.partial(
             jax.jit,
             donate_argnums=(1, ),
-            static_argnames=("use_penalties", "decode_mode"))
-        def step_fn(params, kv_cache, tokens, positions, token_seq,
-                    slot_mapping, block_tables, seq_lens, sample_idx,
-                    temperature, top_p, top_k, min_p, greedy, presence,
-                    frequency, repetition, token_counts, rng,
-                    use_penalties: bool, decode_mode: bool):
+            static_argnames=("use_penalties", "decode_mode",
+                             "capture_layer"))
+        def step_fn(params, pred_params, kv_cache, tokens, positions,
+                    token_seq, slot_mapping, block_tables, seq_lens,
+                    sample_idx, temperature, top_p, top_k, min_p, greedy,
+                    presence, frequency, repetition, token_counts, rng,
+                    use_penalties: bool, decode_mode: bool,
+                    capture_layer=None):
             meta = AttentionMetadata(token_seq=token_seq,
                                      token_pos=positions,
                                      slot_mapping=slot_mapping,
                                      block_tables=block_tables,
                                      seq_lens=seq_lens)
-            hidden, kv_cache = model_cls.forward(params, tokens, positions,
-                                                 kv_cache, meta, cfg,
-                                                 decode_mode=decode_mode)
+            pred_scores = jnp.zeros(sample_idx.shape, jnp.float32)
+            if capture_layer is not None:
+                from vllm_ltr_tpu.layers.embedded_predictor import (
+                    predictor_score)
+                hidden, kv_cache, captured = model_cls.forward(
+                    params, tokens, positions, kv_cache, meta, cfg,
+                    decode_mode=decode_mode, capture_layer=capture_layer)
+                pred_scores = predictor_score(pred_params,
+                                              captured[sample_idx],
+                                              pred_config)
+            else:
+                hidden, kv_cache = model_cls.forward(
+                    params, tokens, positions, kv_cache, meta, cfg,
+                    decode_mode=decode_mode)
             sel = hidden[sample_idx]  # [S, H] last-token hidden states
             logits = model_cls.compute_logits(params, sel, cfg)
             st = SamplingTensors(temperature=temperature,
@@ -292,7 +327,7 @@ class TPUExecutor:
                          rng,
                          token_counts=token_counts if use_penalties else None)
             return (kv_cache, res.tokens, res.logprobs, res.topk_ids,
-                    res.topk_logprobs)
+                    res.topk_logprobs, pred_scores)
 
         return step_fn
 
@@ -332,10 +367,16 @@ class TPUExecutor:
         use_penalties = batch.token_counts is not None
         token_counts = (jnp.asarray(batch.token_counts) if use_penalties else
                         jnp.zeros((1, 1), jnp.uint8))
+        need_score = any(m.need_score for m in seq_group_metadata_list)
+        capture_layer = (self.pred_config.pred_layer_idx
+                         if (self.pred_params is not None
+                             and not batch.decode_only
+                             and (need_score or True)) else None)
 
-        (self.kv_cache, tokens, logprobs, topk_ids,
-         topk_logprobs) = self._step_fn(
-             self.params, self.kv_cache, jnp.asarray(batch.tokens),
+        (self.kv_cache, tokens, logprobs, topk_ids, topk_logprobs,
+         pred_scores) = self._step_fn(
+             self.params, self.pred_params, self.kv_cache,
+             jnp.asarray(batch.tokens),
              jnp.asarray(batch.positions), jnp.asarray(batch.token_seq),
              jnp.asarray(batch.slot_mapping),
              jnp.asarray(batch.block_tables), jnp.asarray(batch.seq_lens),
@@ -345,17 +386,19 @@ class TPUExecutor:
              jnp.asarray(batch.presence_penalty),
              jnp.asarray(batch.frequency_penalty),
              jnp.asarray(batch.repetition_penalty), token_counts, step_key,
-             use_penalties, batch.decode_only)
+             use_penalties, batch.decode_only, capture_layer)
 
         return self._assemble_outputs(seq_group_metadata_list, batch,
                                       np.asarray(tokens),
                                       np.asarray(logprobs),
                                       np.asarray(topk_ids),
-                                      np.asarray(topk_logprobs))
+                                      np.asarray(topk_logprobs),
+                                      np.asarray(pred_scores)
+                                      if capture_layer is not None else None)
 
     def _assemble_outputs(self, seq_group_metadata_list, batch: PreparedBatch,
-                          tokens, logprobs, topk_ids,
-                          topk_logprobs) -> List[SamplerOutput]:
+                          tokens, logprobs, topk_ids, topk_logprobs,
+                          pred_scores=None) -> List[SamplerOutput]:
         """Build per-group SequenceGroupOutput structures from device results."""
         sample_rows = set(batch.rows_to_sample)
         group_samples: Dict[int, List[SequenceOutput]] = {
@@ -380,11 +423,21 @@ class TPUExecutor:
                                output_token=token,
                                logprobs=logprob_dict))
 
+        # Embedded-predictor scores: attach to groups whose prefill
+        # completed this step (the rows that sampled).
+        group_pred: Dict[int, float] = {}
+        if pred_scores is not None:
+            for row, (g_idx, _) in enumerate(batch.row_owners):
+                if (row in sample_rows
+                        and seq_group_metadata_list[g_idx].is_prompt):
+                    group_pred[g_idx] = float(pred_scores[row])
+
         outputs = []
         for g_idx, meta in enumerate(seq_group_metadata_list):
             outputs.append(
                 SequenceGroupOutput(samples=group_samples[g_idx],
-                                    prompt_logprobs=None))
+                                    prompt_logprobs=None,
+                                    pred_score=group_pred.get(g_idx)))
         return [SamplerOutput(outputs=outputs)]
 
     # ------------------------------------------------------------------

@@ -143,10 +143,13 @@ class LlamaForCausalLM:
     @staticmethod
     def forward(params, tokens: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttentionMetadata,
-                cfg, decode_mode: bool = False) -> Tuple[jax.Array, jax.Array]:
+                cfg, decode_mode: bool = False, capture_layer=None):
         """decode_mode (static): every token is one decode step of the
         same-index sequence row; attention runs the streaming Pallas decode
-        kernel instead of the mixed-batch reference path."""
+        kernel instead of the mixed-batch reference path.
+        capture_layer (static): when set, additionally return the hidden
+        state entering that layer (the embedded mid-layer predictor hook,
+        reference llama.py:288-293)."""
         H = cfg.hidden_size
         QH = cfg.num_attention_heads
         KH = getattr(cfg, "num_key_value_heads", QH) or QH
@@ -168,8 +171,13 @@ class LlamaForCausalLM:
         kv_scales = params.get("kv_scales",
                                jnp.ones((L, ), jnp.float32))
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache, kv_scale = scan_in
+        layer_ids = jnp.arange(cfg.num_hidden_layers)
+
+        def layer_fn(carry, scan_in):
+            h, cap = carry
+            lp, layer_cache, kv_scale, lid = scan_in
+            if capture_layer is not None:
+                cap = jnp.where(lid == capture_layer, h, cap)
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -202,12 +210,15 @@ class LlamaForCausalLM:
             x = rms_norm(h, lp["post_ln"], eps)
             x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
             h = residual + linear(x, lp["down_w"])
-            return h, (layer_cache, kv_scale)
+            return (h, cap), (layer_cache, kv_scale)
 
-        h, (new_cache, _) = jax.lax.scan(layer_fn, h,
-                                         (params["layers"], kv_cache,
-                                          kv_scales))
+        cap0 = jnp.zeros_like(h)
+        (h, cap), (new_cache, _) = jax.lax.scan(
+            layer_fn, (h, cap0),
+            (params["layers"], kv_cache, kv_scales, layer_ids))
         h = rms_norm(h, params["norm"], eps)
+        if capture_layer is not None:
+            return h, new_cache, cap
         return h, new_cache
 
     @staticmethod

@@ -124,9 +124,10 @@ class OPTForCausalLM:
     @staticmethod
     def forward(params, tokens: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttentionMetadata,
-                cfg, decode_mode: bool = False) -> Tuple[jax.Array, jax.Array]:
+                cfg, decode_mode: bool = False, capture_layer=None):
         """tokens/positions: [T]; kv_cache: [L, 2, KH, N+1, Bs, D].
-        Returns (hidden [T, H], updated kv_cache). decode_mode: see llama."""
+        Returns (hidden [T, H], updated kv_cache[, captured hidden]).
+        decode_mode / capture_layer: see llama (reference opt.py:250-255)."""
         H = cfg.hidden_size
         num_heads = cfg.num_attention_heads
         head_dim = H // num_heads
@@ -139,8 +140,13 @@ class OPTForCausalLM:
         pos_emb = params["embed_positions"][positions + POS_OFFSET]
         h = h + pos_emb
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        layer_ids = jnp.arange(cfg.num_hidden_layers)
+
+        def layer_fn(carry, scan_in):
+            h, cap = carry
+            lp, layer_cache, lid = scan_in
+            if capture_layer is not None:
+                cap = jnp.where(lid == capture_layer, h, cap)
             residual = h
             x = layer_norm(h, lp["ln1_s"], lp["ln1_b"]) if do_lnb else h
             qkv = linear(x, lp["qkv_w"], lp["qkv_b"])
@@ -175,12 +181,15 @@ class OPTForCausalLM:
             h = residual + x
             if not do_lnb:
                 h = layer_norm(h, lp["ln2_s"], lp["ln2_b"])
-            return h, layer_cache
+            return (h, cap), layer_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        cap0 = jnp.zeros_like(h)
+        (h, cap), new_cache = jax.lax.scan(
+            layer_fn, (h, cap0), (params["layers"], kv_cache, layer_ids))
         if do_lnb and "final_ln_s" in params:
             h = layer_norm(h, params["final_ln_s"], params["final_ln_b"])
+        if capture_layer is not None:
+            return h, new_cache, cap
         return h, new_cache
 
     @staticmethod

@@ -9,7 +9,9 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-from transformers import AutoConfig, LlamaConfig, OPTConfig, PretrainedConfig
+from transformers import (AutoConfig, GPT2Config, GemmaConfig,
+                          LlamaConfig, MixtralConfig, OPTConfig,
+                          PretrainedConfig, Qwen2Config)
 
 # Built-in tiny configs for hermetic tests / benchmarks (random weights).
 _BUILTIN_CONFIGS = {
@@ -38,6 +40,43 @@ _BUILTIN_CONFIGS = {
         num_hidden_layers=2,
         num_attention_heads=4,
         num_key_value_heads=2,
+        max_position_embeddings=512,
+    ),
+    "test-qwen2-tiny": lambda: Qwen2Config(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    ),
+    "test-gpt2-tiny": lambda: GPT2Config(
+        vocab_size=512,
+        n_embd=64,
+        n_layer=2,
+        n_head=4,
+        n_positions=512,
+    ),
+    "test-gemma-tiny": lambda: GemmaConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=512,
+    ),
+    "test-mixtral-tiny": lambda: MixtralConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
         max_position_embeddings=512,
     ),
     "test-llama-1b": lambda: LlamaConfig(
@@ -72,6 +111,10 @@ def get_hf_config(model: str,
             arch = {
                 "opt": ["OPTForCausalLM"],
                 "llama": ["LlamaForCausalLM"],
+                "qwen2": ["Qwen2ForCausalLM"],
+                "gpt2": ["GPT2LMHeadModel"],
+                "gemma": ["GemmaForCausalLM"],
+                "mixtral": ["MixtralForCausalLM"],
             }[config.model_type]
             config.architectures = arch
         return config
