@@ -307,12 +307,12 @@ class BlockSpaceManager:
     def can_append_slots(self,
                          seq_group: SequenceGroup,
                          num_lookahead_slots: int = 0) -> bool:
-        assert num_lookahead_slots == 0, "lookahead allocation not supported"
-        # Simple heuristic: if there is at least one free block
-        # for each sequence, we can append.
+        # Heuristic: each running sequence may need one new block for its
+        # next token plus blocks for lookahead (speculative) slots.
+        blocks_per_seq = 1 + num_lookahead_slots // self.block_size
         num_free_gpu_blocks = self.gpu_allocator.get_num_free_blocks()
         num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return num_seqs <= num_free_gpu_blocks
+        return num_seqs * blocks_per_seq <= num_free_gpu_blocks
 
     def _promote_last_block(self, seq: Sequence,
                             last_block: PhysicalTokenBlock
@@ -355,22 +355,29 @@ class BlockSpaceManager:
     def append_slots(self,
                      seq: Sequence,
                      num_lookahead_slots: int = 0) -> Dict[int, List[int]]:
-        """Allocate a physical slot for a new token; returns CoW src->dsts."""
+        """Allocate physical slots for the next token (+ lookahead slots for
+        speculative decoding); returns CoW src->dsts."""
         logical_blocks = seq.logical_token_blocks
         block_table = self.block_tables[seq.seq_id]
-        # If we need to allocate a new physical block
-        if len(block_table) < len(logical_blocks):
-            # Currently this code only supports adding one physical block
-            assert len(block_table) == len(logical_blocks) - 1
-
-            if (self.block_sliding_window
-                    and len(block_table) >= self.block_sliding_window):
-                # reuse a block (round robin over the sliding window)
-                block_table.append(
-                    block_table[len(block_table) % self.block_sliding_window])
-            else:
-                new_block = self._allocate_last_physical_block(seq)
-                block_table.append(new_block)
+        # Blocks needed for the current tokens (the newest already appears
+        # in the logical blocks) plus speculative lookahead slots.
+        from vllm_ltr_tpu.utils import cdiv
+        needed_blocks = max(
+            len(logical_blocks),
+            cdiv(seq.get_len() + num_lookahead_slots, self.block_size))
+        # If we need to allocate new physical block(s)
+        if len(block_table) < needed_blocks:
+            while len(block_table) < needed_blocks:
+                if (self.block_sliding_window
+                        and len(block_table) >= self.block_sliding_window):
+                    # reuse a block (round robin over the sliding window)
+                    block_table.append(
+                        block_table[len(block_table) %
+                                    self.block_sliding_window])
+                else:
+                    new_block = self._allocate_last_physical_block(seq)
+                    block_table.append(new_block)
+            if len(logical_blocks) <= len(block_table):
                 return {}
 
         # We want to append the token to the last physical block.
@@ -420,7 +427,6 @@ class BlockSpaceManager:
     def can_swap_in(self,
                     seq_group: SequenceGroup,
                     num_lookahead_slots: int = 0) -> bool:
-        assert num_lookahead_slots == 0, "lookahead allocation not supported"
         blocks = self._get_physical_blocks(seq_group)
         num_swapped_seqs = seq_group.num_seqs(status=SequenceStatus.SWAPPED)
         num_free_blocks = self.gpu_allocator.get_num_free_blocks()

@@ -103,11 +103,16 @@ class EngineArgs:
         )
         model_config.verify_with_parallel_config(parallel_config)
         cache_config.verify_with_parallel_config(parallel_config)
+        num_lookahead_slots = self.num_lookahead_slots
+        if self.speculative_model is not None:
+            # Speculative decoding reserves k slots ahead per sequence.
+            num_lookahead_slots = max(num_lookahead_slots,
+                                      self.num_speculative_tokens)
         scheduler_config = SchedulerConfig(
             max_num_batched_tokens=self.max_num_batched_tokens,
             max_num_seqs=self.max_num_seqs,
             max_model_len=model_config.max_model_len,
-            num_lookahead_slots=self.num_lookahead_slots,
+            num_lookahead_slots=num_lookahead_slots,
             delay_factor=self.scheduler_delay_factor,
             enable_chunked_prefill=self.enable_chunked_prefill,
             schedule_type=self.schedule_type,

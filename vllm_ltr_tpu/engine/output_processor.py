@@ -94,23 +94,31 @@ class OutputProcessor:
         if output.aux_model_score is not None:
             seq_group.aux_model_score = output.aux_model_score
 
-        samples_by_parent = {s.parent_seq_id: s for s in output.samples}
+        samples_by_parent: dict = {}
+        for s in output.samples:
+            samples_by_parent.setdefault(s.parent_seq_id, []).append(s)
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            sample = samples_by_parent.get(seq.seq_id)
-            if sample is None:
+            samples = samples_by_parent.get(seq.seq_id)
+            if not samples:
                 # Chunked prefill still in flight: nothing sampled yet.
                 continue
-            seq.append_token_id(sample.output_token, sample.logprobs)
-            new_char_count = 0
-            if seq_group.sampling_params.detokenize and (
-                    self.detokenizer.tokenizer is not None):
-                before = len(seq.output_text)
-                self.detokenizer.decode_sequence_inplace(
-                    seq, seq_group.sampling_params.skip_special_tokens,
-                    seq_group.sampling_params.spaces_between_special_tokens)
-                new_char_count = len(seq.output_text) - before
-            self.stop_checker.maybe_stop_sequence(seq,
-                                                  seq_group.sampling_params,
-                                                  new_char_count)
+            # Multiple samples per step come from speculative decoding
+            # (reference multi_step output processor): append in order,
+            # stop-checking after each token.
+            for sample in samples:
+                seq.append_token_id(sample.output_token, sample.logprobs)
+                new_char_count = 0
+                if seq_group.sampling_params.detokenize and (
+                        self.detokenizer.tokenizer is not None):
+                    before = len(seq.output_text)
+                    self.detokenizer.decode_sequence_inplace(
+                        seq, seq_group.sampling_params.skip_special_tokens,
+                        seq_group.sampling_params.
+                        spaces_between_special_tokens)
+                    new_char_count = len(seq.output_text) - before
+                self.stop_checker.maybe_stop_sequence(
+                    seq, seq_group.sampling_params, new_char_count)
+                if seq.is_finished():
+                    break
             if seq.is_finished():
                 self.free_seq_fn(seq)

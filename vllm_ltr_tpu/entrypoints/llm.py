@@ -75,6 +75,7 @@ class LLM:
                                         List[SamplingParams]]] = None,
         prompt_token_ids: Optional[List[List[int]]] = None,
         use_tqdm: bool = True,
+        lora_request=None,
     ) -> List[RequestOutput]:
         if prompts is None and prompt_token_ids is None:
             raise ValueError("Either prompts or prompt_token_ids must be "
@@ -95,15 +96,19 @@ class LLM:
                          if prompt_token_ids is not None else None)
             sp = (sampling_params[i]
                   if isinstance(sampling_params, list) else sampling_params)
-            self._add_request(prompt, sp, token_ids)
+            lr = (lora_request[i]
+                  if isinstance(lora_request, list) else lora_request)
+            self._add_request(prompt, sp, token_ids, lr)
         return self._run_engine(use_tqdm)
 
-    def _add_request(self, prompt, sampling_params, prompt_token_ids) -> None:
+    def _add_request(self, prompt, sampling_params, prompt_token_ids,
+                     lora_request=None) -> None:
         request_id = str(next(self.request_counter))
         self.llm_engine.add_request(request_id,
                                     prompt,
                                     sampling_params,
-                                    prompt_token_ids=prompt_token_ids)
+                                    prompt_token_ids=prompt_token_ids,
+                                    lora_request=lora_request)
 
     def _run_engine(self, use_tqdm: bool) -> List[RequestOutput]:
         if use_tqdm:

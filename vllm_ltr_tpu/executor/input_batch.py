@@ -60,6 +60,8 @@ class PreparedBatch:
     rows_to_sample: List[int]
     # True when every scheduled group is a single decode token (row-aligned)
     decode_only: bool = False
+    # i32[T] LoRA bank slot per token (None when no request uses LoRA)
+    lora_slots: Optional[np.ndarray] = None
     # token counts for penalties, or None when no request uses penalties
     token_counts: Optional[np.ndarray] = None  # u8[S, V]
 
@@ -71,6 +73,7 @@ def prepare_batch(
     token_buckets: List[int],
     seq_buckets: List[int],
     vocab_size: int,
+    lora_slot_of=None,
 ) -> PreparedBatch:
     decode_only = all(not m.is_prompt for m in seq_group_metadata_list)
     tokens: List[int] = []
@@ -82,9 +85,17 @@ def prepare_batch(
     rows_to_sample: List[int] = []
     any_penalty = False
 
+    lora_token_slots: List[int] = []
+    any_lora = any(m.lora_request is not None
+                   for m in seq_group_metadata_list)
+
     row = 0
     for g_idx, meta in enumerate(seq_group_metadata_list):
         sp = meta.sampling_params
+        lora_slot = 0
+        if any_lora and meta.lora_request is not None:
+            assert lora_slot_of is not None, "LoRA request without a bank"
+            lora_slot = lora_slot_of(meta.lora_request.lora_int_id)
         if (sp.presence_penalty != 0.0 or sp.frequency_penalty != 0.0
                 or sp.repetition_penalty != 1.0):
             any_penalty = True
@@ -113,6 +124,7 @@ def prepare_batch(
                 "data": data,
             })
             row_owners.append((g_idx, seq_id))
+            lora_token_slots.extend([lora_slot] * chunk)
             # Sample only when the prefill completes this step.
             if computed + chunk == data.get_len():
                 rows_to_sample.append(row)
@@ -136,6 +148,7 @@ def prepare_batch(
                     "data": data,
                 })
                 row_owners.append((g_idx, seq_id))
+                lora_token_slots.append(lora_slot)
                 rows_to_sample.append(row)
                 row += 1
 
@@ -212,5 +225,6 @@ def prepare_batch(
         row_owners=row_owners,
         rows_to_sample=rows_to_sample,
         decode_only=decode_only,
+        lora_slots=pad1(lora_token_slots, T, 0) if any_lora else None,
         token_counts=token_counts,
     )

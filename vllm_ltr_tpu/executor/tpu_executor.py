@@ -193,6 +193,46 @@ class TPUExecutor:
 
         self._step_fn = self._build_step_fn()
 
+        # LoRA bank (counterpart of WorkerLoRAManager, reference
+        # vllm/lora/worker_manager.py): adapters load on first use, LRU.
+        self.lora_bank = None
+        if engine_config.lora_config is not None:
+            from vllm_ltr_tpu.lora.models import LoRABank
+            lc = engine_config.lora_config
+            self.lora_bank = LoRABank(lc.max_loras, lc.max_lora_rank,
+                                      self.num_layers, self.dtype)
+        self._lora_paths: Dict[int, str] = {}
+
+        # Speculative decoding (reference vllm/spec_decode, SURVEY §2.3).
+        self.spec_config = engine_config.speculative_config
+        self.draft_params = None
+        self.draft_cls = None
+        self.draft_hf_config = None
+        self.draft_kv_cache = None
+        self._spec_fn = None
+        self._draft_prefill_fn = None
+        if self.spec_config is not None and self.spec_config.draft_model:
+            from vllm_ltr_tpu.transformers_utils.config import get_hf_config
+            self.draft_hf_config = get_hf_config(
+                self.spec_config.draft_model)
+            self.draft_cls = resolve_model_cls(
+                getattr(self.draft_hf_config, "architectures", []) or
+                ["LlamaForCausalLM"])
+            draft_p = load_params(self.draft_cls,
+                                  self.spec_config.draft_model,
+                                  self.draft_hf_config, self.dtype,
+                                  engine_config.load_config.load_format,
+                                  model_config.seed + 1)
+            self.draft_params = shard_params(draft_p, self.mesh)
+            from vllm_ltr_tpu.executor.spec_decode import build_spec_step_fn
+            self._spec_fn = build_spec_step_fn(
+                self.model_cls, self.hf_config, self.draft_cls,
+                self.draft_hf_config, self.spec_config.num_speculative_tokens)
+            self._draft_prefill_fn = self._build_draft_prefill_fn()
+            logger.info("Speculative decoding: draft=%s k=%d",
+                        self.spec_config.draft_model,
+                        self.spec_config.num_speculative_tokens)
+
         # AUX predictor state (attached later via init_aux_model).
         self.aux_params = None
         self.aux_model_cls = None
@@ -265,6 +305,15 @@ class TPUExecutor:
         self.swap_space = HostSwapSpace(self.num_layers, num_cpu_blocks,
                                         self.block_size, self.num_kv_heads,
                                         self.head_dim, self.kv_dtype)
+        if self.draft_params is not None:
+            dc = self.draft_hf_config
+            d_kv_heads = getattr(dc, "num_key_value_heads",
+                                 dc.num_attention_heads)
+            d_head = dc.hidden_size // dc.num_attention_heads
+            self.draft_kv_cache = allocate_kv_cache(
+                dc.num_hidden_layers, num_gpu_blocks, self.block_size,
+                d_kv_heads, d_head, dtype=self.kv_dtype,
+                sharding=self.layout.kv_cache)
 
     def initialize_cache_empty(self) -> None:
         """AUX-engine path: no real cache (reference
@@ -291,13 +340,14 @@ class TPUExecutor:
                     token_seq, slot_mapping, block_tables, seq_lens,
                     sample_idx, temperature, top_p, top_k, min_p, greedy,
                     presence, frequency, repetition, token_counts, rng,
-                    use_penalties: bool, decode_mode: bool,
+                    lora_slots, use_penalties: bool, decode_mode: bool,
                     capture_layer=None):
             meta = AttentionMetadata(token_seq=token_seq,
                                      token_pos=positions,
                                      slot_mapping=slot_mapping,
                                      block_tables=block_tables,
-                                     seq_lens=seq_lens)
+                                     seq_lens=seq_lens,
+                                     lora_slots=lora_slots)
             pred_scores = jnp.zeros(sample_idx.shape, jnp.float32)
             if capture_layer is not None:
                 from vllm_ltr_tpu.layers.embedded_predictor import (
@@ -360,22 +410,50 @@ class TPUExecutor:
         if not seq_group_metadata_list:
             return []
 
-        batch = prepare_batch(seq_group_metadata_list, self.block_size,
-                              self.max_blocks_per_seq, self.token_buckets,
-                              self.seq_buckets, self.vocab_size)
+        # Load any new adapters before packing (on-demand, like the
+        # reference's apply_loras path).
+        if self.lora_bank is not None:
+            for m in seq_group_metadata_list:
+                if m.lora_request is not None:
+                    self.add_lora(m.lora_request)
+
+        batch = prepare_batch(
+            seq_group_metadata_list, self.block_size,
+            self.max_blocks_per_seq, self.token_buckets, self.seq_buckets,
+            self.vocab_size,
+            lora_slot_of=(self.lora_bank.slot_for
+                          if self.lora_bank is not None else None))
+
+        if self.spec_config is not None and self.draft_params is not None:
+            if (batch.decode_only
+                    and self._spec_eligible(seq_group_metadata_list)):
+                return self._execute_spec_decode(seq_group_metadata_list,
+                                                 batch)
+            # Keep the draft cache in sync: mirror this (prefill/mixed or
+            # ineligible-decode) step through the draft model.
+            self.draft_kv_cache = self._draft_prefill_fn(
+                self.draft_params, self.draft_kv_cache,
+                jnp.asarray(batch.tokens), jnp.asarray(batch.positions),
+                jnp.asarray(batch.token_seq),
+                jnp.asarray(batch.slot_mapping),
+                jnp.asarray(batch.block_tables),
+                jnp.asarray(batch.seq_lens))
         self._rng, step_key = jax.random.split(self._rng)
         use_penalties = batch.token_counts is not None
         token_counts = (jnp.asarray(batch.token_counts) if use_penalties else
                         jnp.zeros((1, 1), jnp.uint8))
+        params = self._params_with_lora(batch)
         need_score = any(m.need_score for m in seq_group_metadata_list)
         capture_layer = (self.pred_config.pred_layer_idx
                          if (self.pred_params is not None
                              and not batch.decode_only
                              and (need_score or True)) else None)
 
+        lora_slots = (jnp.asarray(batch.lora_slots)
+                      if batch.lora_slots is not None else None)
         (self.kv_cache, tokens, logprobs, topk_ids, topk_logprobs,
          pred_scores) = self._step_fn(
-             self.params, self.pred_params, self.kv_cache,
+             params, self.pred_params, self.kv_cache,
              jnp.asarray(batch.tokens),
              jnp.asarray(batch.positions), jnp.asarray(batch.token_seq),
              jnp.asarray(batch.slot_mapping),
@@ -386,7 +464,7 @@ class TPUExecutor:
              jnp.asarray(batch.presence_penalty),
              jnp.asarray(batch.frequency_penalty),
              jnp.asarray(batch.repetition_penalty), token_counts, step_key,
-             use_penalties, batch.decode_only, capture_layer)
+             lora_slots, use_penalties, batch.decode_only, capture_layer)
 
         return self._assemble_outputs(seq_group_metadata_list, batch,
                                       np.asarray(tokens),
@@ -515,6 +593,137 @@ class TPUExecutor:
             else:
                 scores.extend(-float(s) for s in np.argmax(out[:B], axis=1))
         return scores
+
+    # ------------------------------------------------------------------
+    # Speculative decoding helpers
+    # ------------------------------------------------------------------
+
+    def _build_draft_prefill_fn(self):
+        draft_cls, draft_cfg = self.draft_cls, self.draft_hf_config
+
+        @functools.partial(jax.jit, donate_argnums=(1, ))
+        def draft_prefill(draft_params, draft_kv, tokens, positions,
+                          token_seq, slot_mapping, block_tables, seq_lens):
+            meta = AttentionMetadata(token_seq=token_seq,
+                                     token_pos=positions,
+                                     slot_mapping=slot_mapping,
+                                     block_tables=block_tables,
+                                     seq_lens=seq_lens)
+            _, draft_kv = draft_cls.forward(draft_params, tokens, positions,
+                                            draft_kv, meta, draft_cfg)
+            return draft_kv
+
+        return draft_prefill
+
+    @staticmethod
+    def _spec_eligible(seq_group_metadata_list) -> bool:
+        """Spec decode supports greedy / pure-temperature sampling."""
+        for m in seq_group_metadata_list:
+            sp = m.sampling_params
+            if (sp.top_p < 1.0 or sp.top_k > 0 or sp.min_p > 0.0
+                    or sp.presence_penalty != 0.0
+                    or sp.frequency_penalty != 0.0
+                    or sp.repetition_penalty != 1.0 or sp.logprobs
+                    or sp.best_of > 1 or m.lora_request is not None):
+                return False
+        return True
+
+    def _execute_spec_decode(self, seq_group_metadata_list,
+                             batch: PreparedBatch) -> List[SamplerOutput]:
+        """One speculative decode step for a decode-only batch."""
+        k = self.spec_config.num_speculative_tokens
+        S = batch.seq_lens.shape[0]
+        bs = self.block_size
+        MB = self.max_blocks_per_seq
+
+        last_tokens = batch.tokens[:S].copy()
+        seq_lens = batch.seq_lens.copy()
+        base_pos = np.maximum(seq_lens - 1, 0)
+        # Slots for positions L-1 .. L+k-1 (lookahead-reserved).
+        pos = base_pos[:, None] + np.arange(k + 1)[None, :]
+        blk = np.minimum(pos // bs, MB - 1)
+        slots = (np.take_along_axis(batch.block_tables, blk, axis=1) * bs +
+                 pos % bs).astype(np.int32)
+        # Padded rows write to the trash slot.
+        slots[seq_lens == 0] = -1
+
+        self._rng, step_key = jax.random.split(self._rng)
+        (self.kv_cache, self.draft_kv_cache, tokens, counts,
+         logprobs) = self._spec_fn(
+             self.params, self.draft_params, self.kv_cache,
+             self.draft_kv_cache, jnp.asarray(last_tokens),
+             jnp.asarray(base_pos), jnp.asarray(batch.block_tables),
+             jnp.asarray(seq_lens), jnp.asarray(slots),
+             jnp.asarray(batch.temperature), jnp.asarray(batch.greedy),
+             step_key)
+        tokens = np.asarray(tokens)
+        counts = np.asarray(counts)
+        logprobs = np.asarray(logprobs)
+
+        group_samples: Dict[int, List[SequenceOutput]] = {
+            i: []
+            for i in range(len(seq_group_metadata_list))
+        }
+        for row, (g_idx, seq_id) in enumerate(batch.row_owners):
+            for j in range(int(counts[row])):
+                tok = int(tokens[row, j])
+                group_samples[g_idx].append(
+                    SequenceOutput(parent_seq_id=seq_id,
+                                   output_token=tok,
+                                   logprobs={
+                                       tok:
+                                       Logprob(float(logprobs[row, j]))
+                                   }))
+        outputs = [
+            SequenceGroupOutput(samples=group_samples[i],
+                                prompt_logprobs=None)
+            for i in range(len(seq_group_metadata_list))
+        ]
+        return [SamplerOutput(outputs=outputs)]
+
+    # ------------------------------------------------------------------
+    # LoRA (counterpart of ExecutorBase.add_lora / WorkerLoRAManager)
+    # ------------------------------------------------------------------
+
+    def add_lora(self, lora_request) -> int:
+        """Load the adapter (once) into the device bank; returns its slot."""
+        assert self.lora_bank is not None, "enable_lora is off"
+        int_id = lora_request.lora_int_id
+        if int_id in self.lora_bank.slot_of:
+            return self.lora_bank.slot_of[int_id]
+        from vllm_ltr_tpu.lora.models import load_lora_adapter
+        adapter = load_lora_adapter(lora_request.lora_local_path,
+                                    self.num_layers,
+                                    np.float32)
+        slot = self.lora_bank.add_adapter(int_id, adapter)
+        self._lora_params_cache = None  # bank changed
+        logger.info("Loaded LoRA %r (rank %d) into slot %d",
+                    lora_request.lora_name, adapter.rank, slot)
+        return slot
+
+    _lora_params_cache = None
+
+    def _params_with_lora(self, batch):
+        """Merge the LoRA banks into the params pytree (cached per bank
+        version); returns plain params when the batch has no adapters."""
+        if (self.lora_bank is None or self.lora_bank.banks is None
+                or batch.lora_slots is None):
+            return self.params
+        if self._lora_params_cache is None:
+            layers = dict(self.params["layers"])
+            for target, (A, B) in self.lora_bank.banks.items():
+                # Banks are [S, L, ...]; lax.scan wants layer-leading.
+                layers[f"lora_{target}_a"] = jnp.swapaxes(A, 0, 1)
+                layers[f"lora_{target}_b"] = jnp.swapaxes(B, 0, 1)
+            self._lora_params_cache = {
+                **self.params, "layers": layers,
+                "lora_scalings": self.lora_bank.scalings
+            }
+        return self._lora_params_cache
+
+    def list_loras(self):
+        return (set(self.lora_bank.slot_of)
+                if self.lora_bank is not None else set())
 
     # ------------------------------------------------------------------
 

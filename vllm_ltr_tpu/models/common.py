@@ -39,6 +39,8 @@ class AttentionMetadata(NamedTuple):
     block_tables: jax.Array
     # [S] context length per sequence AFTER this step's tokens.
     seq_lens: jax.Array
+    # [T] LoRA bank slot per token (0 = no adapter); None when LoRA is off.
+    lora_slots: Optional[jax.Array] = None
     # LTR: produce predictor scores this step (embedded predictor hook).
     need_score: bool = False
 

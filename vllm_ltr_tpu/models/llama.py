@@ -21,6 +21,15 @@ from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
 from vllm_ltr_tpu.ops.kv_cache import write_kv
 
 
+def _lora(lp, name, x, scalings, slots):
+    """Additive LoRA delta when the bank carries this target (static)."""
+    if f"lora_{name}_a" not in lp:
+        return 0.0
+    from vllm_ltr_tpu.lora.models import apply_lora
+    return apply_lora(x, lp[f"lora_{name}_a"], lp[f"lora_{name}_b"],
+                      scalings, slots)
+
+
 class LlamaForCausalLM:
 
     @staticmethod
@@ -172,6 +181,8 @@ class LlamaForCausalLM:
                                jnp.ones((L, ), jnp.float32))
 
         layer_ids = jnp.arange(cfg.num_hidden_layers)
+        lora_scalings = params.get("lora_scalings")
+        lora_slots = meta.lora_slots
 
         def layer_fn(carry, scan_in):
             h, cap = carry
@@ -181,9 +192,15 @@ class LlamaForCausalLM:
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
-            q = linear(x, lp["q_w"]).reshape(T, QH, D)
-            k = linear(x, lp["k_w"]).reshape(T, KH, D)
-            v = linear(x, lp["v_w"]).reshape(T, KH, D)
+            q = (linear(x, lp["q_w"]) +
+                 _lora(lp, "q", x, lora_scalings, lora_slots)).reshape(
+                     T, QH, D)
+            k = (linear(x, lp["k_w"]) +
+                 _lora(lp, "k", x, lora_scalings, lora_slots)).reshape(
+                     T, KH, D)
+            v = (linear(x, lp["v_w"]) +
+                 _lora(lp, "v", x, lora_scalings, lora_slots)).reshape(
+                     T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True, scaling_type,
                                           scaling_factor)
@@ -204,12 +221,19 @@ class LlamaForCausalLM:
                     meta.token_pos, meta.seq_lens, scale,
                     sliding_window=sliding_window)
             attn = attn * kv_scale.astype(attn.dtype)
-            h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
+            attn2 = attn.reshape(T, QH * D)
+            h = residual + linear(attn2, lp["o_w"]) + _lora(
+                lp, "o", attn2, lora_scalings, lora_slots)
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
-            x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
-            h = residual + linear(x, lp["down_w"])
+            x = silu_and_mul(
+                linear(x, lp["gate_w"]) +
+                _lora(lp, "gate", x, lora_scalings, lora_slots),
+                linear(x, lp["up_w"]) +
+                _lora(lp, "up", x, lora_scalings, lora_slots))
+            h = residual + linear(x, lp["down_w"]) + _lora(
+                lp, "down", x, lora_scalings, lora_slots)
             return (h, cap), (layer_cache, kv_scale)
 
         cap0 = jnp.zeros_like(h)
