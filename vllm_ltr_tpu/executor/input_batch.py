@@ -6,7 +6,9 @@ static shapes: every step produces one flattened token batch padded to a
 (token-bucket, seq-bucket) pair, so recompilation only happens per bucket —
 the TPU analogue of CUDA-graph capture per batch size (:974-1226).
 
-All assembly is vectorized numpy; one host->device transfer per step.
+Per-group assembly is Python; the per-token flattening (the host hot loop)
+runs in the native C++ packer (csrc_tpu/batch_prep.cpp via
+executor/native.py), with a numpy fallback.
 """
 from __future__ import annotations
 
@@ -15,6 +17,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from vllm_ltr_tpu.executor import native
 from vllm_ltr_tpu.sampling_params import SamplingParams, SamplingType
 from vllm_ltr_tpu.sequence import SequenceGroupMetadata
 from vllm_ltr_tpu.utils import pad_to_bucket
@@ -76,84 +79,74 @@ def prepare_batch(
     lora_slot_of=None,
 ) -> PreparedBatch:
     decode_only = all(not m.is_prompt for m in seq_group_metadata_list)
-    tokens: List[int] = []
-    positions: List[int] = []
-    token_seq: List[int] = []
-    slot_mapping: List[int] = []
-    seq_rows: List[Dict] = []
-    row_owners: List[Tuple[int, int]] = []
-    rows_to_sample: List[int] = []
-    any_penalty = False
-
-    lora_token_slots: List[int] = []
     any_lora = any(m.lora_request is not None
                    for m in seq_group_metadata_list)
+    MB = max_blocks_per_seq
+
+    # Per-row descriptors (one row per scheduled sequence).
+    new_token_parts: List[List[int]] = []
+    row_len: List[int] = []
+    row_pos0: List[int] = []
+    row_lora: List[int] = []
+    row_owners: List[Tuple[int, int]] = []
+    rows_to_sample: List[int] = []
+    seq_rows: List[Dict] = []
+    any_penalty = False
 
     row = 0
     for g_idx, meta in enumerate(seq_group_metadata_list):
         sp = meta.sampling_params
+        if (sp.presence_penalty != 0.0 or sp.frequency_penalty != 0.0
+                or sp.repetition_penalty != 1.0):
+            any_penalty = True
         lora_slot = 0
         if any_lora and meta.lora_request is not None:
             assert lora_slot_of is not None, "LoRA request without a bank"
             lora_slot = lora_slot_of(meta.lora_request.lora_int_id)
-        if (sp.presence_penalty != 0.0 or sp.frequency_penalty != 0.0
-                or sp.repetition_penalty != 1.0):
-            any_penalty = True
         if meta.is_prompt:
-            # One (possibly chunked) prompt sequence.
             (seq_id, ) = meta.seq_data.keys()
             data = meta.seq_data[seq_id]
             computed = data.get_num_computed_tokens()
             chunk = meta.token_chunk_size
-            all_tokens = data.get_token_ids()
-            new_tokens = all_tokens[computed:computed + chunk]
-            block_table = meta.block_tables[seq_id]
-            start = len(tokens)
-            tokens.extend(new_tokens)
-            positions.extend(range(computed, computed + chunk))
-            token_seq.extend([row] * chunk)
-            for pos in range(computed, computed + chunk):
-                b = block_table[pos // block_size]
-                slot_mapping.append(_PAD_SLOT if b < 0 else b * block_size +
-                                    pos % block_size)
+            new_token_parts.append(
+                data.get_token_ids()[computed:computed + chunk])
+            row_len.append(chunk)
+            row_pos0.append(computed)
+            row_lora.append(lora_slot)
+            row_owners.append((g_idx, seq_id))
             seq_rows.append({
-                "block_table": block_table,
+                "block_table": meta.block_tables[seq_id],
                 "seq_len": computed + chunk,
-                "sample_idx": start + chunk - 1,
                 "params": sp,
                 "data": data,
             })
-            row_owners.append((g_idx, seq_id))
-            lora_token_slots.extend([lora_slot] * chunk)
-            # Sample only when the prefill completes this step.
             if computed + chunk == data.get_len():
                 rows_to_sample.append(row)
             row += 1
         else:
             for seq_id, data in meta.seq_data.items():
-                block_table = meta.block_tables[seq_id]
                 pos = data.get_len() - 1
-                start = len(tokens)
-                tokens.append(data.get_last_token_id())
-                positions.append(pos)
-                token_seq.append(row)
-                b = block_table[pos // block_size]
-                slot_mapping.append(_PAD_SLOT if b < 0 else b * block_size +
-                                    pos % block_size)
+                new_token_parts.append([data.get_last_token_id()])
+                row_len.append(1)
+                row_pos0.append(pos)
+                row_lora.append(lora_slot)
+                row_owners.append((g_idx, seq_id))
                 seq_rows.append({
-                    "block_table": block_table,
+                    "block_table": meta.block_tables[seq_id],
                     "seq_len": pos + 1,
-                    "sample_idx": start,
                     "params": sp,
                     "data": data,
                 })
-                row_owners.append((g_idx, seq_id))
-                lora_token_slots.append(lora_slot)
                 rows_to_sample.append(row)
                 row += 1
 
-    num_real_tokens = len(tokens)
     num_real_seqs = len(seq_rows)
+    row_len_np = np.asarray(row_len, np.int32)
+    row_start_np = np.zeros(num_real_seqs, np.int32)
+    if num_real_seqs > 1:
+        row_start_np[1:] = np.cumsum(row_len_np)[:-1]
+    num_real_tokens = int(row_len_np.sum()) if num_real_seqs else 0
+
     S = pad_to_bucket(max(num_real_seqs, 1), seq_buckets)
     if decode_only:
         # Decode-only steps keep token row i == sequence row i so the
@@ -165,15 +158,27 @@ def prepare_batch(
         f"batch exceeds buckets: {num_real_tokens}>{T} or "
         f"{num_real_seqs}>{S}")
 
-    def pad1(arr, size, fill, dtype=np.int32):
-        out = np.full((size, ), fill, dtype=dtype)
-        out[:len(arr)] = arr
-        return out
+    # Dense per-row block tables for the packer + the step function.
+    block_tables = np.full((S, MB), -1, dtype=np.int32)
+    for i, sr in enumerate(seq_rows):
+        bt = [b for b in sr["block_table"] if b is not None and b >= 0]
+        block_tables[i, :len(bt)] = bt[:MB]
 
-    MB = max_blocks_per_seq
-    block_tables = np.zeros((S, MB), dtype=np.int32)
+    all_tokens = (np.concatenate([
+        np.asarray(p, np.int32) for p in new_token_parts
+    ]) if num_real_tokens else np.zeros(0, np.int32))
+    tokens, positions, token_seq, slot_mapping = native.pack_batch(
+        all_tokens, row_start_np, row_len_np,
+        np.asarray(row_pos0, np.int32), block_tables[:num_real_seqs],
+        block_size, T)
+    block_tables = np.maximum(block_tables, 0)
+
+    # Per-row sample index: last token of each row in the flat layout.
+    sample_idx = np.zeros((S, ), np.int32)
+    if num_real_seqs:
+        sample_idx[:num_real_seqs] = row_start_np + row_len_np - 1
+
     seq_lens = np.zeros((S, ), dtype=np.int32)
-    sample_idx = np.zeros((S, ), dtype=np.int32)
     temperature = np.full((S, ), 1.0, dtype=np.float32)
     top_p = np.ones((S, ), dtype=np.float32)
     top_k = np.full((S, ), vocab_size, dtype=np.int32)
@@ -182,15 +187,10 @@ def prepare_batch(
     presence = np.zeros((S, ), dtype=np.float32)
     frequency = np.zeros((S, ), dtype=np.float32)
     repetition = np.ones((S, ), dtype=np.float32)
-    token_counts = (np.zeros((S, vocab_size), dtype=np.uint8)
-                    if any_penalty else None)
 
     for i, sr in enumerate(seq_rows):
-        bt = [b for b in sr["block_table"] if b is not None and b >= 0]
-        block_tables[i, :len(bt)] = bt[:MB]
         seq_lens[i] = sr["seq_len"]
-        sample_idx[i] = sr["sample_idx"]
-        sp: SamplingParams = sr["params"]
+        sp = sr["params"]
         temperature[i] = sp.temperature
         top_p[i] = sp.top_p
         top_k[i] = sp.top_k if sp.top_k > 0 else vocab_size
@@ -200,15 +200,35 @@ def prepare_batch(
         presence[i] = sp.presence_penalty
         frequency[i] = sp.frequency_penalty
         repetition[i] = sp.repetition_penalty
-        if token_counts is not None:
-            ids = np.asarray(sr["data"].get_token_ids(), dtype=np.int64)
-            np.add.at(token_counts[i], ids, 1)
+
+    token_counts = None
+    if any_penalty:
+        full_ids = [
+            np.asarray(sr["data"].get_token_ids(), np.int32)
+            for sr in seq_rows
+        ]
+        lens = np.asarray([len(x) for x in full_ids], np.int32)
+        starts = np.zeros(len(full_ids), np.int32)
+        if len(full_ids) > 1:
+            starts[1:] = np.cumsum(lens)[:-1]
+        concat = (np.concatenate(full_ids)
+                  if full_ids else np.zeros(0, np.int32))
+        counts = native.count_tokens(concat, starts, lens, vocab_size)
+        token_counts = np.zeros((S, vocab_size), np.uint8)
+        token_counts[:num_real_seqs] = counts
+
+    lora_slots = None
+    if any_lora:
+        lora_slots = np.zeros(T, np.int32)
+        for i in range(num_real_seqs):
+            s, l = int(row_start_np[i]), int(row_len_np[i])
+            lora_slots[s:s + l] = row_lora[i]
 
     return PreparedBatch(
-        tokens=pad1(tokens, T, 0),
-        positions=pad1(positions, T, 0),
-        token_seq=pad1(token_seq, T, -1),
-        slot_mapping=pad1(slot_mapping, T, _PAD_SLOT),
+        tokens=tokens,
+        positions=positions,
+        token_seq=token_seq,
+        slot_mapping=slot_mapping,
         block_tables=block_tables,
         seq_lens=seq_lens,
         sample_idx=sample_idx,
@@ -225,6 +245,6 @@ def prepare_batch(
         row_owners=row_owners,
         rows_to_sample=rows_to_sample,
         decode_only=decode_only,
-        lora_slots=pad1(lora_token_slots, T, 0) if any_lora else None,
+        lora_slots=lora_slots,
         token_counts=token_counts,
     )
