@@ -31,20 +31,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
-    from transformers import LlamaConfig
     from vllm_ltr_tpu import LLM, SamplingParams
-    from vllm_ltr_tpu.transformers_utils.config import register_builtin_config
-
-    register_builtin_config(
-        "bench-llama-s", lambda: LlamaConfig(
-            vocab_size=8192,
-            hidden_size=512,
-            intermediate_size=1408,
-            num_hidden_layers=8,
-            num_attention_heads=8,
-            num_key_value_heads=8,
-            max_position_embeddings=1024,
-        ))
 
     llm = LLM(model="bench-llama-s",
               skip_tokenizer_init=True,

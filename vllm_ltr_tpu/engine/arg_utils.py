@@ -139,10 +139,10 @@ class EngineArgs:
                             lora_config=lora_config,
                             speculative_config=speculative_config)
 
-    @staticmethod
-    def add_cli_args(parser: argparse.ArgumentParser
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
-        for field in dataclasses.fields(EngineArgs):
+        for field in dataclasses.fields(cls):
             name = "--" + field.name.replace("_", "-")
             if field.type == "bool" or field.type is bool:
                 parser.add_argument(name,

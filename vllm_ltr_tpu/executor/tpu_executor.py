@@ -335,13 +335,21 @@ class TPUExecutor:
             jax.jit,
             donate_argnums=(1, ),
             static_argnames=("use_penalties", "decode_mode",
-                             "capture_layer"))
-        def step_fn(params, pred_params, kv_cache, tokens, positions,
-                    token_seq, slot_mapping, block_tables, seq_lens,
-                    sample_idx, temperature, top_p, top_k, min_p, greedy,
-                    presence, frequency, repetition, token_counts, rng,
-                    lora_slots, use_penalties: bool, decode_mode: bool,
-                    capture_layer=None):
+                             "capture_layer", "has_lora"))
+        def step_fn(params, pred_params, kv_cache, i32_t, i32_s, f32_s,
+                    block_tables, token_counts, rng,
+                    use_penalties: bool, decode_mode: bool,
+                    capture_layer=None, has_lora: bool = False):
+            # Packed host buffers (4 H2D transfers per step instead of ~17;
+            # the per-step dispatch latency is the serving bottleneck).
+            tokens, positions, token_seq, slot_mapping = (i32_t[0], i32_t[1],
+                                                          i32_t[2], i32_t[3])
+            lora_slots = i32_t[4] if has_lora else None
+            seq_lens, sample_idx, top_k = i32_s[0], i32_s[1], i32_s[2]
+            greedy = i32_s[3] > 0
+            (temperature, top_p, min_p, presence, frequency,
+             repetition) = (f32_s[0], f32_s[1], f32_s[2], f32_s[3], f32_s[4],
+                            f32_s[5])
             meta = AttentionMetadata(token_seq=token_seq,
                                      token_pos=positions,
                                      slot_mapping=slot_mapping,
@@ -376,8 +384,15 @@ class TPUExecutor:
                          st,
                          rng,
                          token_counts=token_counts if use_penalties else None)
-            return (kv_cache, res.tokens, res.logprobs, res.topk_ids,
-                    res.topk_logprobs, pred_scores)
+            # Pack outputs: 2 D2H transfers per step.
+            out_i32 = jnp.concatenate([res.tokens[:, None], res.topk_ids],
+                                      axis=1)
+            out_f32 = jnp.concatenate([
+                res.logprobs[:, None], pred_scores[:, None],
+                res.topk_logprobs
+            ],
+                                      axis=1)
+            return kv_cache, out_i32, out_f32
 
         return step_fn
 
@@ -424,6 +439,26 @@ class TPUExecutor:
             lora_slot_of=(self.lora_bank.slot_for
                           if self.lora_bank is not None else None))
 
+        # Pack host buffers once: [Kt, T] ints, [4, S] ints, [6, S] floats.
+        has_lora = batch.lora_slots is not None
+        i32_t_rows = [batch.tokens, batch.positions, batch.token_seq,
+                      batch.slot_mapping]
+        if has_lora:
+            i32_t_rows.append(batch.lora_slots)
+        i32_t = jnp.asarray(np.stack(i32_t_rows))
+        i32_s = jnp.asarray(
+            np.stack([
+                batch.seq_lens, batch.sample_idx, batch.top_k,
+                batch.greedy.astype(np.int32)
+            ]))
+        f32_s = jnp.asarray(
+            np.stack([
+                batch.temperature, batch.top_p, batch.min_p,
+                batch.presence_penalty, batch.frequency_penalty,
+                batch.repetition_penalty
+            ]))
+        block_tables = jnp.asarray(batch.block_tables)
+
         if self.spec_config is not None and self.draft_params is not None:
             if (batch.decode_only
                     and self._spec_eligible(seq_group_metadata_list)):
@@ -432,46 +467,28 @@ class TPUExecutor:
             # Keep the draft cache in sync: mirror this (prefill/mixed or
             # ineligible-decode) step through the draft model.
             self.draft_kv_cache = self._draft_prefill_fn(
-                self.draft_params, self.draft_kv_cache,
-                jnp.asarray(batch.tokens), jnp.asarray(batch.positions),
-                jnp.asarray(batch.token_seq),
-                jnp.asarray(batch.slot_mapping),
-                jnp.asarray(batch.block_tables),
-                jnp.asarray(batch.seq_lens))
+                self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
+                i32_t[2], i32_t[3], block_tables, i32_s[0])
         self._rng, step_key = jax.random.split(self._rng)
         use_penalties = batch.token_counts is not None
         token_counts = (jnp.asarray(batch.token_counts) if use_penalties else
                         jnp.zeros((1, 1), jnp.uint8))
         params = self._params_with_lora(batch)
-        need_score = any(m.need_score for m in seq_group_metadata_list)
         capture_layer = (self.pred_config.pred_layer_idx
                          if (self.pred_params is not None
-                             and not batch.decode_only
-                             and (need_score or True)) else None)
+                             and not batch.decode_only) else None)
 
-        lora_slots = (jnp.asarray(batch.lora_slots)
-                      if batch.lora_slots is not None else None)
-        (self.kv_cache, tokens, logprobs, topk_ids, topk_logprobs,
-         pred_scores) = self._step_fn(
-             params, self.pred_params, self.kv_cache,
-             jnp.asarray(batch.tokens),
-             jnp.asarray(batch.positions), jnp.asarray(batch.token_seq),
-             jnp.asarray(batch.slot_mapping),
-             jnp.asarray(batch.block_tables), jnp.asarray(batch.seq_lens),
-             jnp.asarray(batch.sample_idx), jnp.asarray(batch.temperature),
-             jnp.asarray(batch.top_p), jnp.asarray(batch.top_k),
-             jnp.asarray(batch.min_p), jnp.asarray(batch.greedy),
-             jnp.asarray(batch.presence_penalty),
-             jnp.asarray(batch.frequency_penalty),
-             jnp.asarray(batch.repetition_penalty), token_counts, step_key,
-             lora_slots, use_penalties, batch.decode_only, capture_layer)
+        self.kv_cache, out_i32, out_f32 = self._step_fn(
+            params, self.pred_params, self.kv_cache, i32_t, i32_s, f32_s,
+            block_tables, token_counts, step_key, use_penalties,
+            batch.decode_only, capture_layer, has_lora)
+        out_i32 = np.asarray(out_i32)
+        out_f32 = np.asarray(out_f32)
 
         return self._assemble_outputs(seq_group_metadata_list, batch,
-                                      np.asarray(tokens),
-                                      np.asarray(logprobs),
-                                      np.asarray(topk_ids),
-                                      np.asarray(topk_logprobs),
-                                      np.asarray(pred_scores)
+                                      out_i32[:, 0], out_f32[:, 0],
+                                      out_i32[:, 1:], out_f32[:, 2:],
+                                      out_f32[:, 1]
                                       if capture_layer is not None else None)
 
     def _assemble_outputs(self, seq_group_metadata_list, batch: PreparedBatch,

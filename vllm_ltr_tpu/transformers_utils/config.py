@@ -79,6 +79,15 @@ _BUILTIN_CONFIGS = {
         num_experts_per_tok=2,
         max_position_embeddings=512,
     ),
+    "bench-llama-s": lambda: LlamaConfig(
+        vocab_size=8192,
+        hidden_size=512,
+        intermediate_size=1408,
+        num_hidden_layers=8,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        max_position_embeddings=1024,
+    ),
     "test-llama-1b": lambda: LlamaConfig(
         vocab_size=32000,
         hidden_size=2048,
