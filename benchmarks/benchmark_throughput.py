@@ -116,6 +116,7 @@ def main(args):
         dtype=args.dtype,
         max_model_len=args.max_model_len,
         max_num_seqs=args.max_num_seqs,
+        max_num_batched_tokens=args.max_num_batched_tokens,
         num_gpu_blocks_override=args.num_gpu_blocks_override,
         swap_space=args.swap_space,
         schedule_type=args.schedule_type,
@@ -144,6 +145,7 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="auto")
     parser.add_argument("--max-model-len", type=int, default=None)
     parser.add_argument("--max-num-seqs", type=int, default=256)
+    parser.add_argument("--max-num-batched-tokens", type=int, default=None)
     parser.add_argument("--num-gpu-blocks-override", type=int, default=None)
     parser.add_argument("--swap-space", type=float, default=4.0)
     parser.add_argument("--gpu-memory-utilization", type=float, default=0.9)

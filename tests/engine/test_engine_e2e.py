@@ -175,3 +175,17 @@ def test_llm_mlfq_end_to_end(tiny_llama_dir):
     assert len(outputs) == len(prompts)
     for prompt, out in zip(prompts, outputs):
         assert out.outputs[0].token_ids == hf_greedy(hf, prompt, 5)
+
+
+def test_parallel_sampling_best_of(tiny_llm):
+    """n=best_of=3: three distinct streams forked at prefill completion."""
+    params = SamplingParams(n=3, best_of=3, temperature=0.8, top_p=0.95,
+                            max_tokens=5, ignore_eos=True)
+    out = tiny_llm.generate(prompt_token_ids=[[5, 6, 7, 8]],
+                            sampling_params=params,
+                            use_tqdm=False)[0]
+    assert len(out.outputs) == 3
+    firsts = {o.token_ids[0] for o in out.outputs}
+    assert len(firsts) == 3  # distinct first tokens per stream
+    for o in out.outputs:
+        assert len(o.token_ids) == 5

@@ -96,7 +96,9 @@ class LLMEngine:
         self.output_processor = OutputProcessor(
             self.detokenizer,
             StopChecker(self.model_config.max_model_len, eos_token_id),
-            free_seq_fn=self.scheduler.free_seq)
+            free_seq_fn=self.scheduler.free_seq,
+            fork_seq_fn=self.scheduler.fork_seq,
+            seq_counter=self.seq_counter)
 
         self.stat_logger = StatLogger(
             local_interval=_LOCAL_LOGGING_INTERVAL_SEC,
@@ -164,14 +166,10 @@ class LLMEngine:
         # checker; adding EOS to stop_token_ids here would defeat ignore_eos.
         sampling_params = sampling_params.clone()
 
-        seqs = [seq]
-        # best_of > 1 (parallel sampling): fork at prefill completion is the
-        # reference behavior; we allocate the extra sequences up front.
-        for _ in range(sampling_params.best_of - 1):
-            child = seq.fork(next(self.seq_counter))
-            seqs.append(child)
-
-        seq_group = SequenceGroup(request_id, seqs, sampling_params,
+        # best_of > 1 (parallel sampling): children fork at prefill
+        # completion (reference single-step output processor behavior);
+        # the scheduler reserves capacity via get_max_num_running_seqs.
+        seq_group = SequenceGroup(request_id, [seq], sampling_params,
                                   arrival_time, lora_request,
                                   multi_modal_data)
         self.scheduler.add_seq_group(seq_group)

@@ -81,10 +81,12 @@ class OutputProcessor:
     """Applies one step's sampler outputs to the scheduled groups."""
 
     def __init__(self, detokenizer: Detokenizer, stop_checker: StopChecker,
-                 free_seq_fn) -> None:
+                 free_seq_fn, fork_seq_fn=None, seq_counter=None) -> None:
         self.detokenizer = detokenizer
         self.stop_checker = stop_checker
         self.free_seq_fn = free_seq_fn
+        self.fork_seq_fn = fork_seq_fn
+        self.seq_counter = seq_counter
 
     def process_outputs(self, seq_group: SequenceGroup,
                         output: SequenceGroupOutput) -> None:
@@ -97,6 +99,29 @@ class OutputProcessor:
         samples_by_parent: dict = {}
         for s in output.samples:
             samples_by_parent.setdefault(s.parent_seq_id, []).append(s)
+
+        # Parallel sampling (n / best_of > 1): at prefill completion the
+        # prompt sequence forks into best_of streams, each continuing from
+        # one of this step's sampled candidates (reference
+        # output_processor/single_step fork behavior).
+        sp = seq_group.sampling_params
+        if (sp.best_of > 1 and not sp.use_beam_search
+                and seq_group.num_seqs() == 1):
+            (parent, ) = seq_group.get_seqs()
+            samples = samples_by_parent.get(parent.seq_id, [])
+            if len(samples) > 1 and parent.get_output_len() == 0:
+                assert self.fork_seq_fn is not None
+                for extra in samples[1:]:
+                    child = parent.fork(next(self.seq_counter))
+                    seq_group.add(child)
+                    self.fork_seq_fn(parent, child)
+                    samples_by_parent[child.seq_id] = [
+                        type(extra)(parent_seq_id=child.seq_id,
+                                    output_token=extra.output_token,
+                                    logprobs=extra.logprobs)
+                    ]
+                samples_by_parent[parent.seq_id] = samples[:1]
+
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
             samples = samples_by_parent.get(seq.seq_id)
             if not samples:

@@ -504,9 +504,10 @@ class TPUExecutor:
             if row not in sample_rows:
                 continue
             meta = seq_group_metadata_list[g_idx]
+            sp = meta.sampling_params
             token = int(tokens[row])
             lp = float(logprobs[row])
-            num_lp = meta.sampling_params.logprobs
+            num_lp = sp.logprobs
             logprob_dict = {token: Logprob(lp)}
             if num_lp:
                 for k in range(min(num_lp, topk_ids.shape[1])):
@@ -517,6 +518,29 @@ class TPUExecutor:
                 SequenceOutput(parent_seq_id=seq_id,
                                output_token=token,
                                logprobs=logprob_dict))
+            # Parallel sampling: a completing prefill of a best_of>1 group
+            # emits best_of candidate continuations (distinct top-k tokens;
+            # the output processor forks one stream per candidate).
+            if meta.is_prompt and sp.best_of > 1:
+                n_extra = min(sp.best_of, topk_ids.shape[1]) - 1
+                rank = 0
+                emitted = {token}
+                while n_extra > 0 and rank < topk_ids.shape[1]:
+                    tid = int(topk_ids[row, rank])
+                    rank += 1
+                    if tid in emitted:
+                        continue
+                    emitted.add(tid)
+                    group_samples[g_idx].append(
+                        SequenceOutput(parent_seq_id=seq_id,
+                                       output_token=tid,
+                                       logprobs={
+                                           tid:
+                                           Logprob(
+                                               float(topk_logprobs[
+                                                   row, rank - 1]))
+                                       }))
+                    n_extra -= 1
 
         # Embedded-predictor scores: attach to groups whose prefill
         # completed this step (the rows that sampled).

@@ -79,6 +79,15 @@ _BUILTIN_CONFIGS = {
         num_experts_per_tok=2,
         max_position_embeddings=512,
     ),
+    "pred-opt-bench": lambda: OPTConfig(
+        vocab_size=8192,
+        hidden_size=128,
+        num_hidden_layers=2,
+        ffn_dim=256,
+        num_attention_heads=4,
+        max_position_embeddings=512,
+        word_embed_proj_dim=128,
+    ),
     "bench-llama-s": lambda: LlamaConfig(
         vocab_size=8192,
         hidden_size=512,
