@@ -432,6 +432,36 @@ class TPUExecutor:
                 if m.lora_request is not None:
                     self.add_lora(m.lora_request)
 
+        # Mixed steps split into a prefill sub-batch (XLA mixed attention)
+        # and a decode sub-batch (Pallas streaming kernel) — the reference
+        # likewise routes prefill through flash attention and decode through
+        # the paged kernel within one step (model_runner BatchType.MIXED).
+        has_prefill = any(m.is_prompt for m in seq_group_metadata_list)
+        has_decode = any(not m.is_prompt for m in seq_group_metadata_list)
+        if has_prefill and has_decode:
+            prefill_idx = [
+                i for i, m in enumerate(seq_group_metadata_list)
+                if m.is_prompt
+            ]
+            decode_idx = [
+                i for i, m in enumerate(seq_group_metadata_list)
+                if not m.is_prompt
+            ]
+            out_p = self._execute_batch(
+                [seq_group_metadata_list[i] for i in prefill_idx])
+            out_d = self._execute_batch(
+                [seq_group_metadata_list[i] for i in decode_idx])
+            merged = [None] * len(seq_group_metadata_list)
+            for j, i in enumerate(prefill_idx):
+                merged[i] = out_p[0].outputs[j]
+            for j, i in enumerate(decode_idx):
+                merged[i] = out_d[0].outputs[j]
+            return [SamplerOutput(outputs=merged)]
+        return self._execute_batch(seq_group_metadata_list)
+
+    def _execute_batch(
+        self, seq_group_metadata_list: List[SequenceGroupMetadata]
+    ) -> List[SamplerOutput]:
         batch = prepare_batch(
             seq_group_metadata_list, self.block_size,
             self.max_blocks_per_seq, self.token_buckets, self.seq_buckets,
