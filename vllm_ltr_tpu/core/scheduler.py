@@ -753,10 +753,16 @@ class Scheduler:
         num_new_tokens_map: Dict[str, int] = {}
         num_new_seqs_map: Dict[str, int] = {}
 
+        # Identity sets make queue-membership checks O(1) (the reference
+        # scans deques per request, O(n^2) per step at high load).
+        running_ids = {id(g) for g in remaining_running}
+        swapped_ids = {id(g) for g in remaining_swapped}
+        waiting_ids = {id(g) for g in remaining_waiting}
+
         # -- 2. greedy packing from the top of the order --------------------
         for seq_group in ordered_requests:
             seq = seq_group.get_seqs()[0]
-            if seq_group in remaining_running:
+            if id(seq_group) in running_ids:
                 num_new_tokens = self._get_num_new_tokens(
                     seq_group, SequenceStatus.RUNNING, enable_chunking,
                     budget)
@@ -776,7 +782,7 @@ class Scheduler:
                 # Each running sequence may need one new block this step.
                 gpu_block_required += num_new_seqs
 
-            elif seq_group in remaining_swapped:
+            elif id(seq_group) in swapped_ids:
                 num_new_seqs = seq_group.get_max_num_running_seqs()
                 num_new_tokens = self._get_num_new_tokens(
                     seq_group, SequenceStatus.SWAPPED, enable_chunking,
@@ -798,7 +804,7 @@ class Scheduler:
                     self.block_manager._get_physical_blocks(seq_group)) +
                                        num_swapped_seqs)
 
-            elif seq_group in remaining_waiting:
+            elif id(seq_group) in waiting_ids:
                 num_new_tokens = self._get_num_new_tokens(
                     seq_group, SequenceStatus.WAITING, enable_chunking,
                     budget)
@@ -821,8 +827,10 @@ class Scheduler:
             else:
                 raise AssertionError("seq group not in any queue")
 
-        for seq_group in selected_seq_groups:
-            ordered_requests.remove(seq_group)
+        selected_ids = {id(g) for g in selected_seq_groups}
+        ordered_requests = [
+            g for g in ordered_requests if id(g) not in selected_ids
+        ]
 
         # -- 3/4. make room & proactive swap-in ------------------------------
         (execute_pinned_requests, preempted, swapped_out, blocks_to_swap_out,
@@ -835,7 +843,7 @@ class Scheduler:
         # -- 5. allocate / append slots --------------------------------------
         for seq_group in execute_pinned_requests:
             token_chunk = num_new_tokens_map[seq_group.request_id]
-            if seq_group in remaining_waiting:
+            if id(seq_group) in waiting_ids:
                 remaining_waiting.remove(seq_group)
                 assert self.block_manager.can_allocate(
                     seq_group) == AllocStatus.OK, "cannot allocate new req"
@@ -843,7 +851,7 @@ class Scheduler:
                 exe_waiting.append(
                     ScheduledSequenceGroup(seq_group=seq_group,
                                            token_chunk_size=token_chunk))
-            elif seq_group in remaining_running:
+            elif id(seq_group) in running_ids:
                 remaining_running.remove(seq_group)
                 assert self.block_manager.can_append_slots(seq_group)
                 self._append_slots(seq_group, blocks_to_copy)
@@ -855,7 +863,7 @@ class Scheduler:
                     exe_running_decode.append(
                         ScheduledSequenceGroup(seq_group=seq_group,
                                                token_chunk_size=1))
-            elif seq_group in remaining_swapped:
+            elif id(seq_group) in swapped_ids:
                 remaining_swapped.remove(seq_group)
                 assert self.block_manager.can_append_slots(seq_group)
                 self._append_slots(seq_group, blocks_to_copy)
