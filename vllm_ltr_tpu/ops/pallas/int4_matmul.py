@@ -77,7 +77,13 @@ def to_plane_major(q_vals: np.ndarray, scales: np.ndarray,
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                         group_size: int, n_k_tiles: int, n8p: int):
     """Grid (Kp//TK,). x [Mp, TK]; w [TK, N8p] int32;
-    s/z [TK//G, 8*N8p]; o/acc [Mp, 8*N8p]."""
+    s/z [TK//G, 8*N8p]; o/acc [Mp, 8*N8p].
+
+    Dequantization is factored out of the inner product so the hot loop is
+    a raw-nibble MXU matmul plus a per-group rank-1 correction:
+      sum_k x_k (q - z) s = s * (x . q) - (s z) * (sum_k x_k)
+    — O(M*N) VPU work per group instead of O(G*N) per-element dequant.
+    """
     k_idx = pl.program_id(0)
 
     @pl.when(k_idx == 0)
@@ -85,19 +91,24 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     words = w_ref[...]
-    n_groups = group_size * PLANES // group_size  # == PLANES rows per tile
+    n_groups = PLANES  # TK = 8 * group_size => 8 groups per tile
     for j in range(PLANES):
-        qj = jax.lax.shift_right_logical(words, 4 * j) & 0xF  # [TK, N8p]
+        # Keep the matmul in the activation dtype: bf16 in serving (full
+        # MXU rate), f32 in the f32 parity tests.
+        qj = (jax.lax.shift_right_logical(words, 4 * j)
+              & 0xF).astype(x_ref.dtype)  # [TK, N8p]
         for g in range(n_groups):
             r0 = g * group_size
-            qg = qj[r0:r0 + group_size, :].astype(jnp.float32)
+            qg = qj[r0:r0 + group_size, :]
             s = s_ref[g:g + 1, j * n8p:(j + 1) * n8p]  # [1, N8p]
-            z = z_ref[g:g + 1, j * n8p:(j + 1) * n8p]
-            w = ((qg - z) * s)  # [G, N8p] f32
-            xg = x_ref[:, r0:r0 + group_size].astype(jnp.float32)  # [Mp, G]
-            acc_ref[:, j * n8p:(j + 1) * n8p] += jax.lax.dot_general(
-                xg, w, (((1, ), (0, )), ((), ())),
-                preferred_element_type=jnp.float32)
+            sz = s * z_ref[g:g + 1, j * n8p:(j + 1) * n8p]
+            xg = x_ref[:, r0:r0 + group_size]  # [Mp, G]
+            raw = jax.lax.dot_general(
+                xg, qg, (((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32)  # [Mp, N8p]
+            x_sum = jnp.sum(xg.astype(jnp.float32), axis=1,
+                            keepdims=True)  # [Mp, 1]
+            acc_ref[:, j * n8p:(j + 1) * n8p] += raw * s - x_sum * sz
 
     @pl.when(k_idx == n_k_tiles - 1)
     def _():
