@@ -189,3 +189,29 @@ def test_parallel_sampling_best_of(tiny_llm):
     assert len(firsts) == 3  # distinct first tokens per stream
     for o in out.outputs:
         assert len(o.token_ids) == 5
+
+
+def test_beam_search(tiny_llm, tiny_llama_dir):
+    """Beam search: best_of beams, highest-cumulative-logprob first;
+    the top hypothesis must match HF transformers' beam output."""
+    _, hf, cfg = tiny_llama_dir
+    prompt = [5, 9, 13, 17]
+    params = SamplingParams(n=2, best_of=2, use_beam_search=True,
+                            temperature=0.0, max_tokens=6, ignore_eos=True)
+    out = tiny_llm.generate(prompt_token_ids=[prompt],
+                            sampling_params=params,
+                            use_tqdm=False)[0]
+    assert len(out.outputs) == 2
+    for o in out.outputs:
+        assert len(o.token_ids) == 6
+    # Ordered by beam score (cumulative logprob, length penalty 1).
+    assert (out.outputs[0].cumulative_logprob
+            >= out.outputs[1].cumulative_logprob)
+    assert out.outputs[0].token_ids != out.outputs[1].token_ids
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor([prompt]), max_new_tokens=6,
+                             num_beams=2, do_sample=False,
+                             early_stopping=False,
+                             num_return_sequences=1)
+    expected = hf_out[0].tolist()[len(prompt):]
+    assert out.outputs[0].token_ids == expected

@@ -100,11 +100,15 @@ class OutputProcessor:
         for s in output.samples:
             samples_by_parent.setdefault(s.parent_seq_id, []).append(s)
 
+        sp = seq_group.sampling_params
+        if sp.use_beam_search:
+            self._process_beam_search(seq_group, samples_by_parent)
+            return
+
         # Parallel sampling (n / best_of > 1): at prefill completion the
         # prompt sequence forks into best_of streams, each continuing from
         # one of this step's sampled candidates (reference
         # output_processor/single_step fork behavior).
-        sp = seq_group.sampling_params
         if (sp.best_of > 1 and not sp.use_beam_search
                 and seq_group.num_seqs() == 1):
             (parent, ) = seq_group.get_seqs()
@@ -147,3 +151,92 @@ class OutputProcessor:
                     break
             if seq.is_finished():
                 self.free_seq_fn(seq)
+
+
+    def _process_beam_search(self, seq_group: SequenceGroup,
+                             samples_by_parent: dict) -> None:
+        """Host-side beam step (reference single-step beam handling):
+        each running beam emitted its top-2B (token, logprob) candidates;
+        keep the best_of highest-cumulative-logprob continuations, retire
+        EOS candidates as finished hypotheses, fork/prune parents."""
+        sp = seq_group.sampling_params
+        beam_width = sp.best_of
+        eos = self.stop_checker.eos_token_id
+
+        parents = [
+            s for s in seq_group.get_seqs(status=SequenceStatus.RUNNING)
+            if s.seq_id in samples_by_parent
+        ]
+        if not parents:
+            return
+
+        # All candidate continuations: (cum_logprob, parent, sample).
+        candidates = []
+        for parent in parents:
+            for sample in samples_by_parent[parent.seq_id]:
+                lp = sample.logprobs[sample.output_token].logprob
+                candidates.append(
+                    (parent.get_cumulative_logprob() + lp, parent, sample))
+        candidates.sort(key=lambda c: c[0], reverse=True)
+
+        # EOS candidates among the top beam_width retire a hypothesis.
+        continuing = []
+        n_finished = seq_group.num_finished_seqs()
+        for cum, parent, sample in candidates:
+            if len(continuing) >= beam_width:
+                break
+            is_eos = (not sp.ignore_eos and eos is not None
+                      and sample.output_token == eos)
+            if is_eos and n_finished < beam_width:
+                hyp = parent.fork(next(self.seq_counter))
+                seq_group.add(hyp)
+                self.fork_seq_fn(parent, hyp)
+                hyp.append_token_id(sample.output_token, sample.logprobs)
+                hyp.status = SequenceStatus.FINISHED_STOPPED
+                self.free_seq_fn(hyp)
+                n_finished += 1
+                continue
+            continuing.append((parent, sample))
+
+        # Fork/prune: parents may continue 0, 1 or more times.
+        from collections import defaultdict
+        by_parent = defaultdict(list)
+        for parent, sample in continuing:
+            by_parent[id(parent)].append((parent, sample))
+        for parent in parents:
+            conts = by_parent.get(id(parent), [])
+            if not conts:
+                parent.status = SequenceStatus.FINISHED_ABORTED
+                self.free_seq_fn(parent)
+                seq_group.remove(parent.seq_id)
+                continue
+            # First continuation extends the parent in place.
+            first_parent, first_sample = conts[0]
+            for extra_parent, extra_sample in conts[1:]:
+                child = parent.fork(next(self.seq_counter))
+                seq_group.add(child)
+                self.fork_seq_fn(parent, child)
+                child.append_token_id(extra_sample.output_token,
+                                      extra_sample.logprobs)
+                self._maybe_finish_beam(child, sp)
+            parent.append_token_id(first_sample.output_token,
+                                   first_sample.logprobs)
+            self._maybe_finish_beam(parent, sp)
+
+        # Stop the whole group once beam_width hypotheses exist and no
+        # running beam can beat the worst finished score (early_stopping
+        # collapses this to "enough hypotheses").
+        if seq_group.num_finished_seqs() >= beam_width:
+            for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+                seq.status = SequenceStatus.FINISHED_ABORTED
+                self.free_seq_fn(seq)
+
+    def _maybe_finish_beam(self, seq: Sequence,
+                           sp: SamplingParams) -> None:
+        if (sp.max_tokens is not None
+                and seq.get_output_len() >= sp.max_tokens):
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            self.free_seq_fn(seq)
+        elif seq.get_len() >= self.stop_checker.max_model_len:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            self.free_seq_fn(seq)

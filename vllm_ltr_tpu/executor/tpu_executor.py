@@ -548,6 +548,24 @@ class TPUExecutor:
                 SequenceOutput(parent_seq_id=seq_id,
                                output_token=token,
                                logprobs=logprob_dict))
+            # Beam search: every row of a beam group emits its top-2B
+            # candidates (token + logprob); the output processor runs the
+            # host-side beam selection over them.
+            if sp.use_beam_search:
+                group_samples[g_idx].pop()  # replace the sampled entry
+                width = min(2 * sp.best_of, topk_ids.shape[1])
+                for k in range(width):
+                    tid = int(topk_ids[row, k])
+                    group_samples[g_idx].append(
+                        SequenceOutput(parent_seq_id=seq_id,
+                                       output_token=tid,
+                                       logprobs={
+                                           tid:
+                                           Logprob(
+                                               float(topk_logprobs[row, k]),
+                                               rank=k + 1)
+                                       }))
+                continue
             # Parallel sampling: a completing prefill of a best_of>1 group
             # emits best_of candidate continuations (distinct top-k tokens;
             # the output processor forks one stream per candidate).
