@@ -52,17 +52,22 @@ def detokenize_incrementally(
     if skip_special_tokens and new_token_id in tokenizer.all_special_ids:
         return [], "", prefix_offset, read_offset
 
+    def _ids_to_tokens(ids):
+        toks = tokenizer.convert_ids_to_tokens(
+            ids, skip_special_tokens=skip_special_tokens)
+        # Ids outside the tokenizer vocab (model vocab can be padded
+        # larger) decode to None; render them as empty strings.
+        return [t if t is not None else "" for t in toks]
+
     if prev_tokens is None:
-        new_tokens = tokenizer.convert_ids_to_tokens(
-            all_input_ids, skip_special_tokens=skip_special_tokens)
+        new_tokens = _ids_to_tokens(all_input_ids)
         output_tokens = new_tokens
         prefix_offset = max(
             len(output_tokens) - INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET,
             0)
         read_offset = max(len(output_tokens) - 1, 0)
     else:
-        new_tokens = tokenizer.convert_ids_to_tokens(
-            [new_token_id], skip_special_tokens=skip_special_tokens)
+        new_tokens = _ids_to_tokens([new_token_id])
         output_tokens = prev_tokens + new_tokens
 
     # Decode the window and emit only stabilized text.
