@@ -22,7 +22,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
-def load_trace(path: str, num_prompts: int, seed: int):
+def load_trace(path: str, num_prompts: int, seed: int,
+               est_tokens_field: Optional[str] = None):
     entries = []
     with open(path) as f:
         for line in f:
@@ -30,7 +31,8 @@ def load_trace(path: str, num_prompts: int, seed: int):
                 continue
             obj = json.loads(line)
             prompt = obj.get("prompt_token_ids", obj.get("prompt"))
-            entries.append((prompt, int(obj["output_len"])))
+            est = obj.get(est_tokens_field) if est_tokens_field else None
+            entries.append((prompt, int(obj["output_len"]), est))
     random.Random(seed).shuffle(entries)
     return entries[:num_prompts]
 
@@ -38,15 +40,17 @@ def load_trace(path: str, num_prompts: int, seed: int):
 def run_benchmark(llm, requests, use_est_tokens: bool):
     from vllm_ltr_tpu import SamplingParams
     prompts, sampling_params = [], []
-    for prompt, output_len in requests:
+    for prompt, output_len, est in requests:
         prompts.append(prompt)
+        if use_est_tokens:
+            est = output_len  # oracle
         sampling_params.append(
             SamplingParams(
                 n=1,
                 temperature=0.0,
                 ignore_eos=True,
                 max_tokens=output_len,
-                est_tokens=output_len if use_est_tokens else 16,
+                est_tokens=int(est) if est is not None else 16,
             ))
     start = time.perf_counter()
     if isinstance(prompts[0], str):
@@ -106,7 +110,8 @@ def report(requests, outputs, elapsed: float) -> dict:
 def main(args):
     from vllm_ltr_tpu import LLM
 
-    requests = load_trace(args.dataset, args.num_prompts, args.seed)
+    requests = load_trace(args.dataset, args.num_prompts, args.seed,
+                          args.est_tokens_field)
     prompt_is_tokens = not isinstance(requests[0][0], str)
 
     llm = LLM(
@@ -156,6 +161,9 @@ if __name__ == "__main__":
     parser.add_argument("--use-oracle-est-tokens", action="store_true",
                         help="feed true output lengths as est_tokens "
                         "(the PO/sjf oracle baselines)")
+    parser.add_argument("--est-tokens-field", type=str, default=None,
+                        help="read est_tokens from this trace field (e.g. "
+                        "po_est_tokens from append_dataset_po.py)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save-result", type=str, default=None)
     parser.add_argument("--platform", type=str, default=None)
