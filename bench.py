@@ -51,21 +51,22 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    def workload():
+    def workload(max_tokens=None):
         prompts = [
             list(map(int, rng.randint(1, 8000, size=args.prompt_len)))
             for _ in range(args.num_requests)
         ]
         params = SamplingParams(temperature=0.0,
-                                max_tokens=args.max_tokens,
+                                max_tokens=max_tokens or args.max_tokens,
                                 ignore_eos=True)
         return llm.generate(prompt_token_ids=prompts,
                             sampling_params=params,
                             use_tqdm=False)
 
-    # Warmup (compiles all step buckets).
+    # Warmup: a short run hits the same prefill/decode buckets (batch
+    # shapes don't depend on max_tokens) with far fewer dispatches.
     t0 = time.time()
-    workload()
+    workload(max_tokens=min(4, args.max_tokens))
     warmup_s = time.time() - t0
 
     # Measured runs: dispatch latency over the relay tunnel is jittery,
