@@ -1,48 +1,62 @@
 """Block manager unit tests (style follows reference tests/core/test_block_manager.py)."""
 import pytest
 
-from vllm_ltr_tpu.core.block import Device
-from vllm_ltr_tpu.core.block_manager import (AllocStatus, BlockSpaceManager,
-                                             UncachedBlockAllocator)
+from vllm_ltr_tpu.core.block_manager import (AllocStatus, BlockPool,
+                                             BlockSpaceManager)
 from vllm_ltr_tpu.sequence import Logprob, SequenceStatus
 
 from .utils import create_dummy_prompt
 
 
-def test_block_allocator_allocate():
-    block_size = 4
-    num_cpu_blocks = 4
-    cpu_allocator = UncachedBlockAllocator(Device.CPU, block_size,
-                                           num_cpu_blocks)
+def test_block_pool_acquire():
+    pool = BlockPool(4)
 
-    # Allocate all available cpu blocks.
-    num_free = num_cpu_blocks
-    assert cpu_allocator.get_num_free_blocks() == num_free
-    for _ in range(num_cpu_blocks):
-        block = cpu_allocator.allocate()
+    num_free = 4
+    assert pool.free_count() == num_free
+    taken = set()
+    for _ in range(4):
+        bid = pool.acquire()
         num_free -= 1
-        assert block not in cpu_allocator.free_blocks
-        assert cpu_allocator.get_num_free_blocks() == num_free
+        assert bid not in taken
+        taken.add(bid)
+        assert pool.free_count() == num_free
 
     with pytest.raises(ValueError):
-        cpu_allocator.allocate()
+        pool.acquire()
 
 
-def test_block_allocator_free():
-    block_size = 4
-    num_cpu_blocks = 4
-    cpu_allocator = UncachedBlockAllocator(Device.CPU, block_size,
-                                           num_cpu_blocks)
+def test_block_pool_release():
+    pool = BlockPool(4)
 
-    blocks = [cpu_allocator.allocate() for _ in range(num_cpu_blocks)]
-    for block in blocks:
-        cpu_allocator.free(block)
-        assert block in cpu_allocator.free_blocks
+    blocks = [pool.acquire() for _ in range(4)]
+    for bid in blocks:
+        pool.release(bid)
 
-    assert cpu_allocator.get_num_free_blocks() == num_cpu_blocks
+    assert pool.free_count() == 4
     # Double free raises.
     with pytest.raises(ValueError):
-        cpu_allocator.free(blocks[0])
+        pool.release(blocks[0])
+
+
+def test_block_pool_content_reuse():
+    """Cached pool: refcount-0 hashed blocks are revivable by hash until
+    their slot is reclaimed LRU-first."""
+    pool = BlockPool(2, caching=True)
+    a = pool.acquire_hashed(111, hashed_tokens=4)
+    b = pool.acquire_hashed(222, hashed_tokens=4)
+    assert pool.free_count() == 0
+    pool.touch(a, 1.0)
+    pool.touch(b, 2.0)
+    pool.release(a)
+    pool.release(b)
+    # Both resident + evictable: a hash lookup revives without copying.
+    assert pool.free_count() == 2
+    a2 = pool.acquire_hashed(111)
+    assert a2 == a
+    # A fresh (hashless) acquisition reclaims the LRU victim (b).
+    c = pool.acquire()
+    assert c == b
+    assert pool.find(222) is None
 
 
 def test_allocate():

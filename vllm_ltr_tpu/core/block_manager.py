@@ -1,204 +1,191 @@
-"""Paged KV-cache block manager.
+"""Paged KV-cache accounting: block pools + per-sequence tables.
 
-Behavioral counterpart of reference ``vllm/core/block_manager_v1.py``:
-ref-counted physical block allocation over two pools (device HBM + host swap
-mirror), watermark-based admission, copy-on-write forks, swap in/out
-mappings, optional content-hash prefix caching with LRU eviction, sliding
-window block reuse, and the LTR fork's fake allocation used by the AUX
-predictor engine (block_manager_v1.py:268-281,566-570).
+Behavioral counterpart of reference vllm/core/block_manager_v1.py (+ the
+LTR fork's fake allocation, block_manager_v1.py:268-281,566-570), built
+differently: blocks are plain integers.  All per-block state (refcounts,
+content hashes, computed flags, access times) lives in parallel structures
+inside a :class:`BlockPool`, one pool per memory tier (device HBM, host
+swap mirror).  There are no block objects, no separate evictor class —
+prefix-cache eviction is a lazy min-heap over (last_access,
+-hashed_tokens) inside the pool.
 
-Terminology: "gpu" = accelerator HBM pool, "cpu" = host swap pool (names kept
-from the reference API for easy parity checking).
+The executor consumes only integers: per-seq tables ``List[int]`` and the
+swap / copy mappings ``Dict[int, int]`` / ``Dict[int, List[int]]``.
 """
 from __future__ import annotations
 
 import enum
-from abc import ABC, abstractmethod
-from itertools import count
-from os.path import commonprefix
+import heapq
 from typing import Dict, List, Optional, Set
 
-from vllm_ltr_tpu.core.block import (BlockTable, Device, PhysicalTokenBlock)
-from vllm_ltr_tpu.core.evictor import EvictionPolicy, Evictor, make_evictor
 from vllm_ltr_tpu.logger import init_logger
 from vllm_ltr_tpu.sequence import Sequence, SequenceGroup, SequenceStatus
+from vllm_ltr_tpu.utils import cdiv
 
 logger = init_logger(__name__)
 
+# Sentinel block id handed out by fake allocation (AUX predictor path).
+FAKE_BLOCK = -1
+
+
+class Tier(str, enum.Enum):
+    """Where a sequence's KV pages currently live."""
+    DEVICE = "device"
+    HOST = "host"
+    FAKE = "fake"
+
 
 class AllocStatus(enum.Enum):
-    """Result of a can_allocate query.
+    """Admission verdict for a new prompt.
 
-    OK: the sequence group can be allocated now.
-    LATER: not now, but possible once other requests finish.
-    NEVER: can never fit (prompt longer than total cache); abort it.
+    OK: fits now.  LATER: will fit once memory frees up.  NEVER: larger
+    than the whole cache — abort the request.
     """
     OK = enum.auto()
     LATER = enum.auto()
     NEVER = enum.auto()
 
 
-class BlockAllocatorBase(ABC):
+class BlockPool:
+    """Fixed-size pool of integer block ids for one memory tier.
 
-    @abstractmethod
-    def allocate(self,
-                 block_hash: Optional[int] = None,
-                 num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
-        ...
+    Two modes:
+    * plain (``caching=False``): a free-stack with refcounts.
+    * content-addressed (``caching=True``): blocks may carry a content
+      hash; refcount-0 hashed blocks stay resident ("evictable") and can
+      be revived by hash until their slot is reclaimed LRU-first.
+    """
 
-    @abstractmethod
-    def free(self, block: PhysicalTokenBlock) -> None:
-        ...
-
-    @abstractmethod
-    def get_num_free_blocks(self) -> int:
-        ...
-
-    @abstractmethod
-    def get_num_total_blocks(self) -> int:
-        ...
-
-    @abstractmethod
-    def contains_block(self, block_hash: int) -> bool:
-        ...
-
-    @abstractmethod
-    def update_hash(self, block_hash: int, block: PhysicalTokenBlock):
-        ...
-
-
-class CachedBlockAllocator(BlockAllocatorBase):
-    """Allocator with content-hash reuse (prefix caching) + LRU eviction."""
-
-    def __init__(self,
-                 device: str,
-                 block_size: int,
-                 num_blocks: int,
-                 eviction_policy: EvictionPolicy = EvictionPolicy.LRU) -> None:
-        self.device = device
-        self.block_size = block_size
+    def __init__(self, num_blocks: int, caching: bool = False) -> None:
         self.num_blocks = num_blocks
+        self.caching = caching
+        self._ref = [0] * num_blocks
+        # Free stack: never-used or fully-reclaimed ids.
+        self._free: List[int] = list(range(num_blocks - 1, -1, -1))
+        # Content addressing (caching mode).
+        self._hash_of: Dict[int, int] = {}      # block id -> content hash
+        self._id_of: Dict[int, int] = {}        # content hash -> block id
+        self._hashed_tokens: Dict[int, int] = {}
+        self._evictable: Set[int] = set()
+        self._lru: List[tuple] = []             # lazy heap of candidates
+        # Prefix-caching bookkeeping consumed by the scheduler.
+        self.computed: Set[int] = set()
+        self.last_access: Dict[int, float] = {}
 
-        self.current_num_blocks = 0
-        self.cached_blocks: Dict[int, PhysicalTokenBlock] = {}
+    # -- capacity -----------------------------------------------------------
 
-        self.evictor: Evictor = make_evictor(eviction_policy)
-        self.default_hash_ctr = count()
+    def free_count(self) -> int:
+        return len(self._free) + len(self._evictable)
 
-    def allocate_block(self, block_hash: int,
-                       num_hashed_tokens: int) -> PhysicalTokenBlock:
-        if self.current_num_blocks == self.num_blocks:
-            block = self.evictor.evict()
-            block.block_hash = block_hash
-            block.num_hashed_tokens = num_hashed_tokens
-            return block
-        block = PhysicalTokenBlock(device=self.device,
-                                   block_number=self.current_num_blocks,
-                                   block_size=self.block_size,
-                                   block_hash=block_hash,
-                                   num_hashed_tokens=num_hashed_tokens)
-        self.current_num_blocks += 1
-        return block
+    # -- plain acquisition ---------------------------------------------------
 
-    def allocate(self,
-                 block_hash: Optional[int] = None,
-                 num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
-        if block_hash is None:
-            block_hash = next(self.default_hash_ctr)
-        if block_hash in self.evictor:
-            assert block_hash not in self.cached_blocks
-            block = self.evictor.remove(block_hash)
-            assert block.ref_count == 0
-            self.cached_blocks[block_hash] = block
-            block.ref_count += 1
-            assert block.block_hash == block_hash
-            return block
-        if block_hash not in self.cached_blocks:
-            self.cached_blocks[block_hash] = self.allocate_block(
-                block_hash, num_hashed_tokens)
-        block = self.cached_blocks[block_hash]
-        assert block.block_hash == block_hash
-        block.ref_count += 1
-        return block
+    def acquire(self) -> int:
+        """Take one block with refcount 1 (no content identity)."""
+        if self._free:
+            bid = self._free.pop()
+        elif self._evictable:
+            bid = self._reclaim_lru()
+        else:
+            raise ValueError("block pool exhausted")
+        self._ref[bid] = 1
+        return bid
 
-    def free(self, block: PhysicalTokenBlock) -> None:
-        assert block.ref_count > 0
-        block.ref_count -= 1
-        if block.ref_count == 0:
-            assert block.block_hash not in self.evictor
-            self.evictor.add(block)
-            # Remove the block from the cached_blocks.
-            del self.cached_blocks[block.block_hash]
+    def share(self, bid: int) -> None:
+        assert self._ref[bid] > 0, f"share of dead block {bid}"
+        self._ref[bid] += 1
 
-    def get_num_free_blocks(self) -> int:
-        return (self.num_blocks - self.current_num_blocks +
-                self.evictor.num_blocks)
+    def release(self, bid: int) -> None:
+        if self._ref[bid] <= 0:
+            raise ValueError(f"double free of block {bid}")
+        self._ref[bid] -= 1
+        if self._ref[bid] > 0:
+            return
+        if self.caching and bid in self._hash_of:
+            # Keep contents resident: revivable by hash until reclaimed.
+            self._evictable.add(bid)
+            heapq.heappush(self._lru,
+                           (self.last_access.get(bid, -1.0),
+                            -self._hashed_tokens.get(bid, 0), bid))
+        else:
+            self._forget(bid)
+            self._free.append(bid)
 
-    def get_num_total_blocks(self) -> int:
-        return self.num_blocks
+    def _forget(self, bid: int) -> None:
+        h = self._hash_of.pop(bid, None)
+        if h is not None and self._id_of.get(h) == bid:
+            del self._id_of[h]
+        self._hashed_tokens.pop(bid, None)
+        self.computed.discard(bid)
+        self.last_access.pop(bid, None)
 
-    def contains_block(self, block_hash: int) -> bool:
-        return block_hash in self.cached_blocks or block_hash in self.evictor
+    def _reclaim_lru(self) -> int:
+        """Pop the least-recently-used evictable block (ties: most hashed
+        tokens first), dropping its cached identity."""
+        while self._lru:
+            access, neg_tokens, bid = heapq.heappop(self._lru)
+            if (bid in self._evictable
+                    and access == self.last_access.get(bid, -1.0)
+                    and -neg_tokens == self._hashed_tokens.get(bid, 0)):
+                self._evictable.discard(bid)
+                self._forget(bid)
+                return bid
+        raise ValueError("no evictable block despite nonzero count")
 
-    def update_hash(self, block_hash: int, block: PhysicalTokenBlock):
-        # Update the hash of block and the cached_blocks dictionary.
-        assert not self.contains_block(block_hash)
-        old_hash = block.block_hash
-        block.block_hash = block_hash
-        del self.cached_blocks[old_hash]
-        self.cached_blocks[block_hash] = block
+    # -- content addressing --------------------------------------------------
 
+    def find(self, content_hash: int) -> Optional[int]:
+        """Block currently holding this content (live or evictable)."""
+        return self._id_of.get(content_hash)
 
-class UncachedBlockAllocator(BlockAllocatorBase):
-    """Plain free-list allocator (no prefix caching)."""
+    def acquire_hashed(self, content_hash: Optional[int],
+                       hashed_tokens: int = 0) -> int:
+        """Content-addressed acquisition: share/revive a block with this
+        hash if resident, else take a fresh one and bind the hash."""
+        if not self.caching or content_hash is None:
+            return self.acquire()
+        bid = self._id_of.get(content_hash)
+        if bid is not None:
+            if bid in self._evictable:           # revive
+                self._evictable.discard(bid)
+                self._ref[bid] = 1
+            else:
+                self._ref[bid] += 1
+            return bid
+        bid = self.acquire()
+        self.bind_hash(bid, content_hash, hashed_tokens)
+        return bid
 
-    def __init__(self, device: str, block_size: int, num_blocks: int) -> None:
-        self.device = device
-        self.block_size = block_size
-        self.num_blocks = num_blocks
+    def bind_hash(self, bid: int, content_hash: int,
+                  hashed_tokens: int) -> None:
+        """Give (or replace) a block's content identity."""
+        old = self._hash_of.get(bid)
+        if old is not None and self._id_of.get(old) == bid:
+            del self._id_of[old]
+        self._hash_of[bid] = content_hash
+        self._hashed_tokens[bid] = hashed_tokens
+        # First binder wins; duplicates stay anonymous for lookup purposes.
+        self._id_of.setdefault(content_hash, bid)
 
-        self.free_blocks: BlockTable = []
-        for i in range(num_blocks):
-            block = PhysicalTokenBlock(device=device,
-                                       block_number=i,
-                                       block_size=block_size,
-                                       block_hash=-1,
-                                       num_hashed_tokens=0)
-            self.free_blocks.append(block)
+    def hash_of(self, bid: int) -> Optional[int]:
+        return self._hash_of.get(bid)
 
-    def allocate(self,
-                 block_hash: Optional[int] = None,
-                 num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
-        if not self.free_blocks:
-            raise ValueError("Out of memory! No free blocks are available.")
-        block = self.free_blocks.pop()
-        block.ref_count = 1
-        return block
+    def hashed_tokens_of(self, bid: int) -> int:
+        return self._hashed_tokens.get(bid, 0)
 
-    def free(self, block: PhysicalTokenBlock) -> None:
-        if block.ref_count == 0:
-            raise ValueError(f"Double free! {block} is already freed.")
-        block.ref_count -= 1
-        if block.ref_count == 0:
-            self.free_blocks.append(block)
+    def refcount(self, bid: int) -> int:
+        return self._ref[bid]
 
-    def get_num_free_blocks(self) -> int:
-        return len(self.free_blocks)
-
-    def get_num_total_blocks(self) -> int:
-        return self.num_blocks
-
-    def contains_block(self, block_hash: int) -> bool:
-        raise NotImplementedError(
-            "Invalid codepath for uncached block allocator.")
-
-    def update_hash(self, block_hash: int, block: PhysicalTokenBlock):
-        raise NotImplementedError(
-            "Invalid codepath for uncached block allocator.")
+    def touch(self, bid: int, now: float) -> None:
+        self.last_access[bid] = now
 
 
 class BlockSpaceManager:
-    """Maps logical sequence blocks to physical KV-cache blocks."""
+    """Maps sequences to KV-cache blocks across the device/host tiers.
+
+    Per-seq state is a table of block ids plus the tier the whole table
+    lives in (a sequence's pages are always on one tier; swap moves the
+    whole table).
+    """
 
     def __init__(
         self,
@@ -209,382 +196,309 @@ class BlockSpaceManager:
         sliding_window: Optional[int] = None,
         enable_caching: bool = False,
     ) -> None:
-        self.block_size = block_size
-        self.num_total_gpu_blocks = num_gpu_blocks
-        self.num_total_cpu_blocks = num_cpu_blocks
-
         if enable_caching and sliding_window is not None:
             raise NotImplementedError(
-                "Sliding window is not allowed with prefix caching enabled!")
-
-        self.block_sliding_window = None
-        if sliding_window is not None:
-            assert sliding_window % block_size == 0, (sliding_window,
-                                                      block_size)
-            self.block_sliding_window = sliding_window // block_size
-
-        self.watermark = watermark
+                "prefix caching and sliding window are mutually exclusive")
         assert watermark >= 0.0
+
+        self.block_size = block_size
         self.enable_caching = enable_caching
         self.watermark_blocks = int(watermark * num_gpu_blocks)
+        self.num_total_gpu_blocks = num_gpu_blocks
 
-        if self.enable_caching:
-            logger.info("Automatic prefix caching is enabled.")
-            self.gpu_allocator: BlockAllocatorBase = CachedBlockAllocator(
-                Device.GPU, block_size, num_gpu_blocks)
-            self.cpu_allocator: BlockAllocatorBase = CachedBlockAllocator(
-                Device.CPU, block_size, num_cpu_blocks)
-        else:
-            self.gpu_allocator = UncachedBlockAllocator(
-                Device.GPU, block_size, num_gpu_blocks)
-            self.cpu_allocator = UncachedBlockAllocator(
-                Device.CPU, block_size, num_cpu_blocks)
-        # seq_id -> BlockTable.
-        self.block_tables: Dict[int, BlockTable] = {}
+        self.window_blocks: Optional[int] = None
+        if sliding_window is not None:
+            assert sliding_window % block_size == 0
+            self.window_blocks = sliding_window // block_size
 
-    # -- admission ----------------------------------------------------------
+        self.device_pool = BlockPool(num_gpu_blocks, caching=enable_caching)
+        self.host_pool = BlockPool(num_cpu_blocks, caching=enable_caching)
+        if enable_caching:
+            logger.info("prefix caching enabled (%d device blocks)",
+                        num_gpu_blocks)
 
-    def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
-        seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
-        num_required_blocks = len(seq.logical_token_blocks)
+        # seq_id -> table of block ids, and the tier that table lives in.
+        self.block_tables: Dict[int, List[int]] = {}
+        self._tier: Dict[int, Tier] = {}
 
-        if self.block_sliding_window is not None:
-            num_required_blocks = min(num_required_blocks,
-                                      self.block_sliding_window)
-        num_free_gpu_blocks = self.gpu_allocator.get_num_free_blocks()
+    # -- helpers --------------------------------------------------------------
 
-        # Use watermark to avoid frequent cache eviction.
-        if (self.num_total_gpu_blocks - num_required_blocks <
-                self.watermark_blocks):
+    def _pool(self, tier: Tier) -> BlockPool:
+        return self.device_pool if tier is Tier.DEVICE else self.host_pool
+
+    def _blocks_needed(self, seq: Sequence) -> int:
+        n = seq.num_blocks()
+        if self.window_blocks is not None:
+            n = min(n, self.window_blocks)
+        return n
+
+    def _group_block_ids(self, group: SequenceGroup) -> List[int]:
+        """Unique resident block ids across the group's unfinished seqs."""
+        ids: Set[int] = set()
+        for seq in group.get_seqs():
+            if not seq.is_finished():
+                ids.update(self.block_tables[seq.seq_id])
+        return list(ids)
+
+    # Reference-named shim used by external callers.
+    def _get_physical_blocks(self, group: SequenceGroup) -> List[int]:
+        return self._group_block_ids(group)
+
+    # -- admission -------------------------------------------------------------
+
+    def can_allocate(self, group: SequenceGroup) -> AllocStatus:
+        seq = group.get_seqs(status=SequenceStatus.WAITING)[0]
+        need = self._blocks_needed(seq)
+        if self.num_total_gpu_blocks - need < self.watermark_blocks:
             return AllocStatus.NEVER
-        if num_free_gpu_blocks - num_required_blocks >= self.watermark_blocks:
+        if self.device_pool.free_count() - need >= self.watermark_blocks:
             return AllocStatus.OK
         return AllocStatus.LATER
 
-    def allocate(self, seq_group: SequenceGroup) -> None:
-        # NOTE: Here we assume that all sequences in the group have the same
-        # prompt.
-        seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
+    def allocate(self, group: SequenceGroup) -> None:
+        waiting = group.get_seqs(status=SequenceStatus.WAITING)
+        lead = waiting[0]  # all streams share the prompt
+        fanout = group.num_seqs()
 
-        block_table: BlockTable = []
-        for logical_idx in range(len(seq.logical_token_blocks)):
-            if (self.block_sliding_window is not None
-                    and logical_idx >= self.block_sliding_window):
-                block = block_table[logical_idx % self.block_sliding_window]
-                # Set the reference counts of the token blocks.
-                block.ref_count = seq_group.num_seqs()
+        table: List[int] = []
+        for idx in range(lead.num_blocks()):
+            if (self.window_blocks is not None
+                    and idx >= self.window_blocks):
+                # Ring reuse: positions beyond the window alias earlier ids.
+                bid = table[idx % self.window_blocks]
+                self.device_pool._ref[bid] = fanout
             elif self.enable_caching:
-                block = self.gpu_allocator.allocate(
-                    seq.hash_of_block(logical_idx),
-                    seq.num_hashed_tokens_of_block(logical_idx))
+                bid = self.device_pool.acquire_hashed(
+                    lead.content_key(idx + 1), (idx + 1) * self.block_size)
             else:
-                block = self.gpu_allocator.allocate()
-                # Set the reference counts of the token blocks.
-                block.ref_count = seq_group.num_seqs()
-            block_table.append(block)
+                bid = self.device_pool.acquire()
+                self.device_pool._ref[bid] = fanout
+            table.append(bid)
 
-        # Assign the block table for each sequence.
-        for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
-            self.block_tables[seq.seq_id] = block_table.copy()
+        for seq in waiting:
+            self.block_tables[seq.seq_id] = list(table)
+            self._tier[seq.seq_id] = Tier.DEVICE
 
-    def fake_allocate(self, seq_group: SequenceGroup) -> None:
-        """LTR AUX path: never touch real blocks — assign a block table of
-        sentinels so the model runs attention with kv_cache writes disabled
-        (reference block_manager_v1.py:268-281)."""
-        for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
-            self.block_tables[seq.seq_id] = [
-                None for _ in range(len(seq.logical_token_blocks))
-            ]
+    def fake_allocate(self, group: SequenceGroup) -> None:
+        """AUX predictor path: a table of sentinels, no real blocks, so the
+        model runs with KV writes disabled (ref block_manager_v1.py:268)."""
+        for seq in group.get_seqs(status=SequenceStatus.WAITING):
+            self.block_tables[seq.seq_id] = [FAKE_BLOCK] * seq.num_blocks()
+            self._tier[seq.seq_id] = Tier.FAKE
 
     def get_fake_block_table_and_delete(self, seq: Sequence) -> List[int]:
-        """Return a [-1...] table and drop the entry
-        (reference block_manager_v1.py:566-570)."""
         table = self.block_tables.pop(seq.seq_id)
-        return [-1] * len(table)
+        self._tier.pop(seq.seq_id, None)
+        return [FAKE_BLOCK] * len(table)
 
-    # -- decode growth ------------------------------------------------------
+    # -- decode growth -----------------------------------------------------------
 
-    def can_append_slots(self,
-                         seq_group: SequenceGroup,
+    def can_append_slots(self, group: SequenceGroup,
                          num_lookahead_slots: int = 0) -> bool:
-        # Heuristic: each running sequence may need one new block for its
-        # next token plus blocks for lookahead (speculative) slots.
-        blocks_per_seq = 1 + num_lookahead_slots // self.block_size
-        num_free_gpu_blocks = self.gpu_allocator.get_num_free_blocks()
-        num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return num_seqs * blocks_per_seq <= num_free_gpu_blocks
+        per_seq = 1 + num_lookahead_slots // self.block_size
+        running = group.num_seqs(status=SequenceStatus.RUNNING)
+        return running * per_seq <= self.device_pool.free_count()
 
-    def _promote_last_block(self, seq: Sequence,
-                            last_block: PhysicalTokenBlock
-                            ) -> PhysicalTokenBlock:
-        assert self.enable_caching
-        # Compute a new hash for the block now that it is full.
-        new_hash = seq.hash_of_block(len(seq.logical_token_blocks) - 1)
-        # If the already-computed block matches, free this one and reuse.
-        if self.gpu_allocator.contains_block(new_hash):
-            self.gpu_allocator.free(last_block)
-            return self.gpu_allocator.allocate(new_hash)
-        self.gpu_allocator.update_hash(new_hash, last_block)
-        return last_block
-
-    def _is_last_block_full(self, seq: Sequence) -> bool:
-        token_ids_len = seq.data.get_len()
-        return token_ids_len > 0 and token_ids_len % seq.block_size == 0
-
-    def _maybe_promote_last_block(self, seq: Sequence,
-                                  last_block: PhysicalTokenBlock
-                                  ) -> PhysicalTokenBlock:
-        if self._is_last_block_full(seq):
-            return self._promote_last_block(seq, last_block)
-        return last_block
-
-    def _allocate_last_physical_block(self,
-                                      seq: Sequence) -> PhysicalTokenBlock:
-        if not self.enable_caching:
-            return self.gpu_allocator.allocate()
-        block_hash: Optional[int] = None
-        if self._is_last_block_full(seq):
-            block_hash = seq.hash_of_block(len(seq.logical_token_blocks) - 1)
-        num_hashed_tokens = seq.num_hashed_tokens_of_block(
-            len(seq.logical_token_blocks) - 1)
-        new_block = self.gpu_allocator.allocate(block_hash, num_hashed_tokens)
-        if block_hash is None:
-            assert new_block.ref_count == 1
-        return new_block
-
-    def append_slots(self,
-                     seq: Sequence,
+    def append_slots(self, seq: Sequence,
                      num_lookahead_slots: int = 0) -> Dict[int, List[int]]:
-        """Allocate physical slots for the next token (+ lookahead slots for
-        speculative decoding); returns CoW src->dsts."""
-        logical_blocks = seq.logical_token_blocks
-        block_table = self.block_tables[seq.seq_id]
-        # Blocks needed for the current tokens (the newest already appears
-        # in the logical blocks) plus speculative lookahead slots.
-        from vllm_ltr_tpu.utils import cdiv
-        needed_blocks = max(
-            len(logical_blocks),
-            cdiv(seq.get_len() + num_lookahead_slots, self.block_size))
-        # If we need to allocate new physical block(s)
-        if len(block_table) < needed_blocks:
-            while len(block_table) < needed_blocks:
-                if (self.block_sliding_window
-                        and len(block_table) >= self.block_sliding_window):
-                    # reuse a block (round robin over the sliding window)
-                    block_table.append(
-                        block_table[len(block_table) %
-                                    self.block_sliding_window])
-                else:
-                    new_block = self._allocate_last_physical_block(seq)
-                    block_table.append(new_block)
-            if len(logical_blocks) <= len(block_table):
-                return {}
+        """Ensure the table covers the sequence's next token(s); returns the
+        copy-on-write map {src_block: [dst_block, ...]} (empty if none)."""
+        table = self.block_tables[seq.seq_id]
+        logical = seq.num_blocks()
+        target = max(logical,
+                     cdiv(seq.get_len() + num_lookahead_slots,
+                          self.block_size))
 
-        # We want to append the token to the last physical block.
-        last_block = block_table[-1]
-        assert last_block.device == Device.GPU
-        if last_block.ref_count == 1:
-            # Not shared with other sequences. Appendable.
-            if self.enable_caching:
-                # If the last block is now complete, promote/cache it.
-                maybe_new_block = self._maybe_promote_last_block(
-                    seq, last_block)
-                block_table[-1] = maybe_new_block
+        if len(table) < target:
+            while len(table) < target:
+                if (self.window_blocks is not None
+                        and len(table) >= self.window_blocks):
+                    table.append(table[len(table) % self.window_blocks])
+                else:
+                    table.append(self._acquire_tail_block(seq))
+            # The next write lands in a freshly-acquired block; no CoW.
             return {}
-        # Shared with other sequences: copy on write.
-        new_block = self._allocate_last_physical_block(seq)
-        block_table[-1] = new_block
-        self.gpu_allocator.free(last_block)
-        return {last_block.block_number: [new_block.block_number]}
 
-    def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
-        # NOTE: fork does not allocate new physical blocks; the sequences
-        # share the same blocks until a write triggers CoW.
-        if parent_seq.seq_id not in self.block_tables:
-            # Parent sequence has either been freed or never allocated.
-            return
-        src_block_table = self.block_tables[parent_seq.seq_id]
-        self.block_tables[child_seq.seq_id] = src_block_table.copy()
-        # When using a sliding window, blocks will be eventually reused.
-        # In this case the block tables will contain repeated blocks.
-        # When forking, we must make sure that each block's `ref_count`
-        # is only incremented by one, so we deduplicate them.
-        for block in set(src_block_table):
-            block.ref_count += 1
+        tail = table[-1]
+        if self.device_pool.refcount(tail) == 1:
+            if self.enable_caching and self._tail_is_full(seq):
+                table[-1] = self._publish_tail(seq, tail)
+            return {}
+        # Shared tail: copy-on-write.
+        fresh = self._acquire_tail_block(seq)
+        table[-1] = fresh
+        self.device_pool.release(tail)
+        return {tail: [fresh]}
 
-    # -- swap ---------------------------------------------------------------
+    def _tail_is_full(self, seq: Sequence) -> bool:
+        n = seq.get_len()
+        return n > 0 and n % self.block_size == 0
 
-    def _get_physical_blocks(
-            self, seq_group: SequenceGroup) -> List[PhysicalTokenBlock]:
-        # NOTE: we assume that physical blocks are only shared within a group.
-        blocks: Set[PhysicalTokenBlock] = set()
-        for seq in seq_group.get_seqs():
-            if seq.is_finished():
-                continue
-            blocks.update(self.block_tables[seq.seq_id])
-        return list(blocks)
+    def _acquire_tail_block(self, seq: Sequence) -> int:
+        """New device block for the sequence's tail; content-addressed when
+        the tail is already full (caching mode)."""
+        if not self.enable_caching:
+            return self.device_pool.acquire()
+        nb = seq.num_blocks()
+        if self._tail_is_full(seq):
+            return self.device_pool.acquire_hashed(seq.content_key(nb),
+                                                   nb * self.block_size)
+        bid = self.device_pool.acquire()
+        return bid
 
-    def can_swap_in(self,
-                    seq_group: SequenceGroup,
+    def _publish_tail(self, seq: Sequence, tail: int) -> int:
+        """The tail block just filled up: give it a content identity so
+        later prompts can share it.  If an identical block already exists,
+        adopt that one instead."""
+        nb = seq.num_blocks()
+        key = seq.content_key(nb)
+        existing = self.device_pool.find(key)
+        if existing is not None and existing != tail:
+            self.device_pool.release(tail)
+            return self.device_pool.acquire_hashed(key)
+        self.device_pool.bind_hash(tail, key, nb * self.block_size)
+        return tail
+
+    def fork(self, parent: Sequence, child: Sequence) -> None:
+        if parent.seq_id not in self.block_tables:
+            return  # never allocated (or already freed)
+        table = self.block_tables[parent.seq_id]
+        self.block_tables[child.seq_id] = list(table)
+        self._tier[child.seq_id] = self._tier[parent.seq_id]
+        pool = self._pool(self._tier[parent.seq_id])
+        # Sliding-window tables repeat ids; each unique block gains one ref.
+        for bid in set(table):
+            pool.share(bid)
+
+    # -- swap -----------------------------------------------------------------------
+
+    def can_swap_in(self, group: SequenceGroup,
                     num_lookahead_slots: int = 0) -> bool:
-        blocks = self._get_physical_blocks(seq_group)
-        num_swapped_seqs = seq_group.num_seqs(status=SequenceStatus.SWAPPED)
-        num_free_blocks = self.gpu_allocator.get_num_free_blocks()
-        # NOTE: Conservatively assume every sequence grows by one block
-        # immediately after the swap-in.
-        num_required_blocks = len(blocks) + num_swapped_seqs
-        return num_free_blocks - num_required_blocks >= self.watermark_blocks
+        resident = len(self._group_block_ids(group))
+        growth = group.num_seqs(status=SequenceStatus.SWAPPED)
+        return (self.device_pool.free_count() - resident - growth
+                >= self.watermark_blocks)
 
-    def swap_in(self, seq_group: SequenceGroup) -> Dict[int, int]:
-        """Move the group's blocks host -> device; returns the host-block ->
-        device-block copy mapping."""
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
-            new_block_table: BlockTable = []
-            block_table = self.block_tables[seq.seq_id]
+    def can_swap_out(self, group: SequenceGroup) -> bool:
+        return (len(self._group_block_ids(group))
+                <= self.host_pool.free_count())
 
-            for cpu_block in block_table:
-                if cpu_block in mapping:
-                    gpu_block = mapping[cpu_block]
-                    gpu_block.ref_count += 1
+    def _migrate(self, group: SequenceGroup, status: SequenceStatus,
+                 src: BlockPool, dst: BlockPool,
+                 dst_tier: Tier) -> Dict[int, int]:
+        """Move every table of the group's ``status`` seqs from ``src`` to
+        ``dst``; returns {src_block: dst_block} for the data copy."""
+        moved: Dict[int, int] = {}
+        for seq in group.get_seqs(status=status):
+            old_table = self.block_tables[seq.seq_id]
+            new_table: List[int] = []
+            for bid in old_table:
+                if bid in moved:
+                    nid = moved[bid]
+                    dst.share(nid)
                 else:
-                    gpu_block = self.gpu_allocator.allocate(
-                        cpu_block.block_hash, cpu_block.num_hashed_tokens)
-                    mapping[cpu_block] = gpu_block
-                new_block_table.append(gpu_block)
-                # Free the host block swapped into the device.
-                self.cpu_allocator.free(cpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
+                    nid = dst.acquire_hashed(src.hash_of(bid),
+                                             src.hashed_tokens_of(bid))
+                    moved[bid] = nid
+                new_table.append(nid)
+                src.release(bid)
+            self.block_tables[seq.seq_id] = new_table
+            self._tier[seq.seq_id] = dst_tier
+        return moved
 
-        return {
-            cpu_block.block_number: gpu_block.block_number
-            for cpu_block, gpu_block in mapping.items()
-        }
+    def swap_in(self, group: SequenceGroup) -> Dict[int, int]:
+        return self._migrate(group, SequenceStatus.SWAPPED,
+                             self.host_pool, self.device_pool, Tier.DEVICE)
 
-    def can_swap_out(self, seq_group: SequenceGroup) -> bool:
-        blocks = self._get_physical_blocks(seq_group)
-        return len(blocks) <= self.cpu_allocator.get_num_free_blocks()
+    def swap_out(self, group: SequenceGroup) -> Dict[int, int]:
+        return self._migrate(group, SequenceStatus.RUNNING,
+                             self.device_pool, self.host_pool, Tier.HOST)
 
-    def swap_out(self, seq_group: SequenceGroup) -> Dict[int, int]:
-        """Move the group's blocks device -> host; returns the device-block ->
-        host-block copy mapping."""
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            new_block_table: BlockTable = []
-            block_table = self.block_tables[seq.seq_id]
-
-            for gpu_block in block_table:
-                if gpu_block in mapping:
-                    cpu_block = mapping[gpu_block]
-                    cpu_block.ref_count += 1
-                else:
-                    cpu_block = self.cpu_allocator.allocate(
-                        gpu_block.block_hash, gpu_block.num_hashed_tokens)
-                    mapping[gpu_block] = cpu_block
-                new_block_table.append(cpu_block)
-                # Free the device block swapped out to host.
-                self.gpu_allocator.free(gpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
-
-        return {
-            gpu_block.block_number: cpu_block.block_number
-            for gpu_block, cpu_block in mapping.items()
-        }
-
-    # -- free ---------------------------------------------------------------
-
-    def _free_block_table(self, block_table: BlockTable) -> None:
-        # When using a sliding window, each seq will only use up
-        # to `self.block_sliding_window` blocks. When freeing
-        # the block table, we must make sure to not free blocks more
-        # than once. If no sliding window is used, there is no block
-        # reuse in the block table, so we must free all blocks.
-        blocks_to_free = (block_table[-self.block_sliding_window:]
-                          if self.block_sliding_window is not None else
-                          block_table)
-        for block in set(blocks_to_free):
-            if block is None:
-                continue
-            if block.device == Device.GPU:
-                self.gpu_allocator.free(block)
-            else:
-                self.cpu_allocator.free(block)
+    # -- release ----------------------------------------------------------------------
 
     def free(self, seq: Sequence) -> None:
-        if seq.seq_id not in self.block_tables:
-            # Already freed or haven't been scheduled yet.
+        table = self.block_tables.pop(seq.seq_id, None)
+        if table is None:
             return
-        block_table = self.block_tables[seq.seq_id]
-        self._free_block_table(block_table)
-        del self.block_tables[seq.seq_id]
+        tier = self._tier.pop(seq.seq_id)
+        if tier is Tier.FAKE:
+            return
+        pool = self._pool(tier)
+        # Ring-reused (sliding window) tables repeat ids: release once each.
+        live = (table[-self.window_blocks:]
+                if self.window_blocks is not None else table)
+        for bid in set(live):
+            pool.release(bid)
 
     def reset(self) -> None:
-        for block_table in self.block_tables.values():
-            self._free_block_table(block_table)
-        self.block_tables.clear()
+        for seq_id in list(self.block_tables):
+            table = self.block_tables.pop(seq_id)
+            tier = self._tier.pop(seq_id)
+            if tier is Tier.FAKE:
+                continue
+            pool = self._pool(tier)
+            live = (table[-self.window_blocks:]
+                    if self.window_blocks is not None else table)
+            for bid in set(live):
+                pool.release(bid)
 
-    # -- queries ------------------------------------------------------------
+    # -- queries ------------------------------------------------------------------------
 
     def get_block_table(self, seq: Sequence) -> List[int]:
-        block_table = self.block_tables[seq.seq_id]
-        return [block.block_number for block in block_table]
+        return list(self.block_tables[seq.seq_id])
 
     def get_num_free_gpu_blocks(self) -> int:
-        return self.gpu_allocator.get_num_free_blocks()
+        return self.device_pool.free_count()
 
     def get_num_free_cpu_blocks(self) -> int:
-        return self.cpu_allocator.get_num_free_blocks()
+        return self.host_pool.free_count()
 
-    # -- prefix caching bookkeeping -----------------------------------------
+    # -- prefix-caching bookkeeping ----------------------------------------------------
 
-    def access_all_blocks_in_seq(self, seq: Sequence,
-                                 access_time: float) -> None:
-        if self.enable_caching:
-            block_table = self.block_tables[seq.seq_id]
-            for block in block_table:
-                block.last_accessed = access_time
-
-    def compute_full_blocks_in_seq(self, seq: Sequence):
-        if seq.seq_id not in self.block_tables:
+    def access_all_blocks_in_seq(self, seq: Sequence, now: float) -> None:
+        if not self.enable_caching:
             return
-        max_full_block = seq.get_len() // self.block_size - 1
-        block_table = self.block_tables[seq.seq_id]
-        if max_full_block == -1:
-            return
-        for i in reversed(range(max_full_block)):
-            if block_table[i].computed:
-                break
-            block_table[i].computed = True
+        for bid in self.block_tables[seq.seq_id]:
+            self.device_pool.touch(bid, now)
 
-    def get_all_computed_blocks(self, seq: Sequence) -> List[int]:
-        if seq.seq_id not in self.block_tables:
+    def mark_blocks_as_computed(self, group: SequenceGroup) -> None:
+        if not self.enable_caching:
+            return
+        for seq in group.get_seqs():
+            table = self.block_tables.get(seq.seq_id)
+            if not table:
+                continue
+            # All *strictly interior* full blocks become computed; walk from
+            # the back and stop at the first already-computed block.
+            last_full = seq.get_len() // self.block_size - 1
+            for i in reversed(range(max(last_full, 0))):
+                if table[i] in self.device_pool.computed:
+                    break
+                self.device_pool.computed.add(table[i])
+
+    def _computed_prefix(self, seq: Sequence) -> List[int]:
+        table = self.block_tables.get(seq.seq_id)
+        if not table:
             return []
-        block_table = self.block_tables[seq.seq_id]
-        # NOTE We exclude the last block to avoid the case where the entire
-        # prompt is cached. This would cause erroneous behavior in model
-        # runner.
-        return [
-            b.block_number
-            for b in takewhile_computed(block_table[:-1])
-        ]
+        out: List[int] = []
+        # Skip the final entry so a fully-cached prompt still computes its
+        # last block (the executor needs at least one fresh token).
+        for bid in table[:-1]:
+            if bid not in self.device_pool.computed:
+                break
+            out.append(bid)
+        return out
 
     def get_common_computed_block_ids(
             self, seqs: List[Sequence]) -> List[int]:
-        """Return the block ids of the common computed prefix across seqs
-        (used to skip recomputation with prefix caching)."""
         if not self.enable_caching:
             return []
-        ids_list = [self.get_all_computed_blocks(seq) for seq in seqs]
-        return commonprefix([ids for ids in ids_list if ids != []])
-
-    def mark_blocks_as_computed(self, seq_group: SequenceGroup) -> None:
-        if self.enable_caching:
-            for seq in seq_group.seqs_dict.values():
-                self.compute_full_blocks_in_seq(seq)
-
-
-def takewhile_computed(block_table: BlockTable):
-    for b in block_table:
-        if not b.computed:
-            break
-        yield b
+        prefixes = [p for p in map(self._computed_prefix, seqs) if p]
+        if not prefixes:
+            return []
+        common: List[int] = []
+        for column in zip(*prefixes):
+            if any(c != column[0] for c in column):
+                break
+            common.append(column[0])
+        return common

@@ -1,16 +1,25 @@
-"""Sampling parameters for text generation.
+"""Per-request generation controls.
 
-Behavioral counterpart of reference ``vllm/sampling_params.py`` (v0.4.1 +
-LTR fork's ``est_tokens`` field, reference sampling_params.py:124,159).
+Covers the OpenAI-style sampling surface plus beam search plus the LTR
+fork's ``est_tokens`` oracle hint (estimated output length consumed by the
+sjf/srtf/PO scheduler policies; reference vllm/sampling_params.py:124,159).
+
+Design: a plain dataclass whose invariants are expressed as a declarative
+rule table (`_RANGE_RULES`) applied in ``__post_init__``, with the handful
+of cross-field constraints in small predicate helpers.  Mode-dependent
+normalisation (greedy / beam) happens once, up front.
 """
 from __future__ import annotations
 
 import copy
+from dataclasses import dataclass, fields
 from enum import IntEnum
-from functools import cached_property
-from typing import Any, Callable, Dict, List, Optional, Union
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
-_SAMPLING_EPS = 1e-5
+EPS = 1e-5
+
+LogitsProcessor = Callable[[List[int], Any], Any]
+"""(previously generated token ids, logits row) -> adjusted logits row."""
 
 
 class SamplingType(IntEnum):
@@ -20,203 +29,167 @@ class SamplingType(IntEnum):
     BEAM = 3
 
 
-LogitsProcessor = Callable[[List[int], Any], Any]
-"""LogitsProcessor: (generated token ids, logits) -> modified logits."""
+# field name -> (low, high, low_inclusive, high_inclusive); None = unbounded.
+_RANGE_RULES: Dict[str, Tuple[Optional[float], Optional[float], bool, bool]] = {
+    "presence_penalty": (-2.0, 2.0, True, True),
+    "frequency_penalty": (-2.0, 2.0, True, True),
+    "repetition_penalty": (0.0, 2.0, False, True),
+    "temperature": (0.0, None, True, True),
+    "top_p": (0.0, 1.0, False, True),
+    "min_p": (0.0, 1.0, True, True),
+    "n": (1, None, True, True),
+    "min_tokens": (0, None, True, True),
+}
 
 
+def _check_range(name: str, value: float) -> None:
+    lo, hi, lo_inc, hi_inc = _RANGE_RULES[name]
+    ok = True
+    if lo is not None:
+        ok = ok and (value >= lo if lo_inc else value > lo)
+    if hi is not None:
+        ok = ok and (value <= hi if hi_inc else value < hi)
+    if not ok:
+        lo_b = "[" if lo_inc else "("
+        hi_b = "]" if hi_inc else ")"
+        raise ValueError(
+            f"{name} must lie in {lo_b}{lo}, {hi}{hi_b}, got {value}.")
+
+
+@dataclass(eq=False)  # identity semantics: params objects are per-request
 class SamplingParams:
-    """Sampling parameters for text generation.
+    """Generation controls for one request.
 
-    Follows the OpenAI API sampling surface, plus beam search, plus the LTR
-    fork's `est_tokens` oracle hint (estimated output length used by the
-    sjf/srtf/PO scheduler policies).
+    ``est_tokens`` is the LTR fork's oracle output-length estimate (default
+    16, matching the reference default).
     """
+    n: int = 1
+    best_of: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    min_p: float = 0.0
+    seed: Optional[int] = None
+    use_beam_search: bool = False
+    length_penalty: float = 1.0
+    early_stopping: Union[bool, str] = False
+    stop: Union[None, str, List[str]] = None
+    stop_token_ids: Optional[List[int]] = None
+    include_stop_str_in_output: bool = False
+    ignore_eos: bool = False
+    max_tokens: Optional[int] = 16
+    min_tokens: int = 0
+    logprobs: Optional[int] = None
+    prompt_logprobs: Optional[int] = None
+    detokenize: bool = True
+    skip_special_tokens: bool = True
+    spaces_between_special_tokens: bool = True
+    logits_processors: Optional[List[LogitsProcessor]] = None
+    est_tokens: int = 16
 
-    def __init__(
-        self,
-        n: int = 1,
-        best_of: Optional[int] = None,
-        presence_penalty: float = 0.0,
-        frequency_penalty: float = 0.0,
-        repetition_penalty: float = 1.0,
-        temperature: float = 1.0,
-        top_p: float = 1.0,
-        top_k: int = -1,
-        min_p: float = 0.0,
-        seed: Optional[int] = None,
-        use_beam_search: bool = False,
-        length_penalty: float = 1.0,
-        early_stopping: Union[bool, str] = False,
-        stop: Optional[Union[str, List[str]]] = None,
-        stop_token_ids: Optional[List[int]] = None,
-        include_stop_str_in_output: bool = False,
-        ignore_eos: bool = False,
-        max_tokens: Optional[int] = 16,
-        min_tokens: int = 0,
-        logprobs: Optional[int] = None,
-        prompt_logprobs: Optional[int] = None,
-        detokenize: bool = True,
-        skip_special_tokens: bool = True,
-        spaces_between_special_tokens: bool = True,
-        logits_processors: Optional[List[LogitsProcessor]] = None,
-        est_tokens: int = 16,
-    ) -> None:
-        self.n = n
-        self.best_of = best_of if best_of is not None else n
-        self.presence_penalty = presence_penalty
-        self.frequency_penalty = frequency_penalty
-        self.repetition_penalty = repetition_penalty
-        self.temperature = temperature
-        self.top_p = top_p
-        self.top_k = top_k
-        self.min_p = min_p
-        self.seed = seed
-        self.use_beam_search = use_beam_search
-        self.length_penalty = length_penalty
-        self.early_stopping = early_stopping
-        if stop is None:
+    def __post_init__(self) -> None:
+        if self.best_of is None:
+            self.best_of = self.n
+        # Normalise `stop` to a list of strings.
+        if self.stop is None:
             self.stop = []
-        elif isinstance(stop, str):
-            self.stop = [stop]
+        elif isinstance(self.stop, str):
+            self.stop = [self.stop]
         else:
-            self.stop = list(stop)
-        self.stop_token_ids = list(stop_token_ids or [])
-        self.ignore_eos = ignore_eos
-        self.max_tokens = max_tokens
-        self.min_tokens = min_tokens
-        self.logprobs = logprobs
-        self.prompt_logprobs = prompt_logprobs
-        self.detokenize = detokenize
-        self.skip_special_tokens = skip_special_tokens
-        self.spaces_between_special_tokens = spaces_between_special_tokens
-        self.logits_processors = logits_processors
-        self.include_stop_str_in_output = include_stop_str_in_output
-        # LTR: oracle estimate of the output length; default 16 matches the
-        # reference (sampling_params.py:124).
-        self.est_tokens = est_tokens
+            self.stop = list(self.stop)
+        self.stop_token_ids = list(self.stop_token_ids or [])
 
-        self._verify_args()
+        for name in _RANGE_RULES:
+            _check_range(name, getattr(self, name))
+        self._check_counts()
+
         if self.use_beam_search:
-            self._verify_beam_search()
+            self._check_beam_mode()
         else:
-            self._verify_non_beam_search()
-            if self.temperature < _SAMPLING_EPS:
-                # Zero temperature means greedy.
-                self.top_p = 1.0
-                self.top_k = -1
-                self.min_p = 0.0
-                self._verify_greedy_sampling()
+            if self.early_stopping is not False:
+                raise ValueError(
+                    "early_stopping only applies to beam search.")
+            if abs(self.length_penalty - 1.0) > EPS:
+                raise ValueError(
+                    "length_penalty only applies to beam search.")
+            if self.temperature < EPS:
+                # Greedy mode: neutralise the stochastic knobs.
+                self.top_p, self.top_k, self.min_p = 1.0, -1, 0.0
+                if self.best_of > 1:
+                    raise ValueError(
+                        "greedy sampling (temperature 0) requires best_of=1, "
+                        f"got {self.best_of}.")
 
-    def _verify_args(self) -> None:
-        if self.n < 1:
-            raise ValueError(f"n must be at least 1, got {self.n}.")
+    def _check_counts(self) -> None:
         if self.best_of < self.n:
-            raise ValueError("best_of must be >= n, got "
-                             f"n={self.n}, best_of={self.best_of}.")
-        if not -2.0 <= self.presence_penalty <= 2.0:
-            raise ValueError("presence_penalty must be in [-2, 2], got "
-                             f"{self.presence_penalty}.")
-        if not -2.0 <= self.frequency_penalty <= 2.0:
-            raise ValueError("frequency_penalty must be in [-2, 2], got "
-                             f"{self.frequency_penalty}.")
-        if not 0.0 < self.repetition_penalty <= 2.0:
-            raise ValueError("repetition_penalty must be in (0, 2], got "
-                             f"{self.repetition_penalty}.")
-        if self.temperature < 0.0:
             raise ValueError(
-                f"temperature must be non-negative, got {self.temperature}.")
-        if not 0.0 < self.top_p <= 1.0:
-            raise ValueError(f"top_p must be in (0, 1], got {self.top_p}.")
-        if self.top_k < -1 or self.top_k == 0:
-            raise ValueError(f"top_k must be -1 (disable) or at least 1, "
-                             f"got {self.top_k}.")
-        if not 0.0 <= self.min_p <= 1.0:
-            raise ValueError(f"min_p must be in [0, 1], got {self.min_p}.")
-        if self.max_tokens is not None and self.max_tokens < 1:
+                f"best_of ({self.best_of}) must be >= n ({self.n}).")
+        if self.top_k == 0 or self.top_k < -1:
             raise ValueError(
-                f"max_tokens must be at least 1, got {self.max_tokens}.")
-        if self.min_tokens < 0:
-            raise ValueError(f"min_tokens must be >= 0, got {self.min_tokens}")
-        if self.max_tokens is not None and self.min_tokens > self.max_tokens:
-            raise ValueError(
-                f"min_tokens must be <= max_tokens={self.max_tokens}, "
-                f"got {self.min_tokens}")
-        if self.logprobs is not None and self.logprobs < 0:
-            raise ValueError(
-                f"logprobs must be non-negative, got {self.logprobs}.")
-        if self.prompt_logprobs is not None and self.prompt_logprobs < 0:
-            raise ValueError("prompt_logprobs must be non-negative, got "
-                             f"{self.prompt_logprobs}.")
+                f"top_k must be -1 (off) or positive, got {self.top_k}.")
+        if self.max_tokens is not None:
+            if self.max_tokens < 1:
+                raise ValueError(
+                    f"max_tokens must be >= 1, got {self.max_tokens}.")
+            if self.min_tokens > self.max_tokens:
+                raise ValueError(
+                    f"min_tokens ({self.min_tokens}) exceeds max_tokens "
+                    f"({self.max_tokens}).")
+        for name in ("logprobs", "prompt_logprobs"):
+            value = getattr(self, name)
+            if value is not None and value < 0:
+                raise ValueError(f"{name} must be >= 0, got {value}.")
 
-    def _verify_beam_search(self) -> None:
+    def _check_beam_mode(self) -> None:
+        problems = []
         if self.best_of == 1:
-            raise ValueError("best_of must be greater than 1 when using beam "
-                             f"search. Got {self.best_of}.")
-        if self.temperature > _SAMPLING_EPS:
-            raise ValueError("temperature must be 0 when using beam search.")
-        if self.top_p < 1.0 - _SAMPLING_EPS:
-            raise ValueError("top_p must be 1 when using beam search.")
+            problems.append("best_of must be > 1")
+        if self.temperature > EPS:
+            problems.append("temperature must be 0")
+        if self.top_p < 1.0 - EPS:
+            problems.append("top_p must be 1")
         if self.top_k != -1:
-            raise ValueError("top_k must be -1 when using beam search.")
-        if self.early_stopping not in [True, False, "never"]:
-            raise ValueError(
-                f"early_stopping must be True, False, or 'never', "
-                f"got {self.early_stopping}.")
+            problems.append("top_k must be -1")
+        if self.early_stopping not in (True, False, "never"):
+            problems.append("early_stopping must be True, False or 'never'")
+        if problems:
+            raise ValueError("beam search: " + "; ".join(problems))
 
-    def _verify_non_beam_search(self) -> None:
-        if self.early_stopping is not False:
-            raise ValueError("early_stopping is not effective and must be "
-                             "False when not using beam search.")
-        if (self.length_penalty < 1.0 - _SAMPLING_EPS
-                or self.length_penalty > 1.0 + _SAMPLING_EPS):
-            raise ValueError(
-                "length_penalty is not effective and must be the "
-                "default value of 1.0 when not using beam search.")
-
-    def _verify_greedy_sampling(self) -> None:
-        if self.best_of > 1:
-            raise ValueError("best_of must be 1 when using greedy sampling, "
-                             f"got {self.best_of}.")
-
-    def update_from_generation_config(
-            self, generation_config: Dict[str, Any]) -> None:
-        """Update if there are non-default values from generation_config."""
-        if (eos_ids := generation_config.get("eos_token_id")) is not None:
-            if isinstance(eos_ids, int):
-                eos_ids = [eos_ids]
-            original_stop_token_ids = set(self.stop_token_ids)
-            original_stop_token_ids.update(eos_ids)
-            self.stop_token_ids = list(original_stop_token_ids)
-
-    @cached_property
+    @property
     def sampling_type(self) -> SamplingType:
         if self.use_beam_search:
             return SamplingType.BEAM
-        if self.temperature < _SAMPLING_EPS:
+        if self.temperature < EPS:
             return SamplingType.GREEDY
-        if self.seed is not None:
-            return SamplingType.RANDOM_SEED
-        return SamplingType.RANDOM
+        return (SamplingType.RANDOM_SEED
+                if self.seed is not None else SamplingType.RANDOM)
+
+    def update_from_generation_config(
+            self, generation_config: Dict[str, Any]) -> None:
+        """Fold the model's generation_config EOS ids into stop_token_ids."""
+        eos_ids = generation_config.get("eos_token_id")
+        if eos_ids is None:
+            return
+        if isinstance(eos_ids, int):
+            eos_ids = [eos_ids]
+        merged = set(self.stop_token_ids)
+        merged.update(eos_ids)
+        self.stop_token_ids = list(merged)
 
     def clone(self) -> "SamplingParams":
-        """Deep copy excluding LogitsProcessor objects."""
-        logit_processor_refs = None if self.logits_processors is None else {
-            id(lp): lp
-            for lp in self.logits_processors
-        }
-        return copy.deepcopy(self, memo=logit_processor_refs)
+        """Deep copy; LogitsProcessor callables are shared, not copied."""
+        shared = None
+        if self.logits_processors:
+            shared = {id(p): p for p in self.logits_processors}
+        return copy.deepcopy(self, memo=shared)
 
     def __repr__(self) -> str:
-        return (
-            f"SamplingParams(n={self.n}, "
-            f"best_of={self.best_of}, "
-            f"presence_penalty={self.presence_penalty}, "
-            f"frequency_penalty={self.frequency_penalty}, "
-            f"repetition_penalty={self.repetition_penalty}, "
-            f"temperature={self.temperature}, "
-            f"top_p={self.top_p}, top_k={self.top_k}, min_p={self.min_p}, "
-            f"seed={self.seed}, "
-            f"use_beam_search={self.use_beam_search}, "
-            f"stop={self.stop}, stop_token_ids={self.stop_token_ids}, "
-            f"ignore_eos={self.ignore_eos}, max_tokens={self.max_tokens}, "
-            f"min_tokens={self.min_tokens}, est_tokens={self.est_tokens})")
+        shown = []
+        for f in fields(self):
+            if f.name == "logits_processors":
+                continue
+            shown.append(f"{f.name}={getattr(self, f.name)!r}")
+        return "SamplingParams(" + ", ".join(shown) + ")"
