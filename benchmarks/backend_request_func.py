@@ -1,119 +1,111 @@
-"""Async request functions for the serving benchmark client.
+"""Streaming HTTP client used by the serving benchmark.
 
-Behavioral counterpart of reference ``benchmarks/backend_request_func.py``:
-stream completions from an OpenAI-compatible server, recording TTFT and
-inter-token latencies per request.
+Behavioral counterpart of reference benchmarks/backend_request_func.py:
+issue one streaming completion against an OpenAI-compatible server and
+record TTFT plus every inter-token gap.
 """
 from __future__ import annotations
 
-import json
-import sys
-import time
-import traceback
+import json, time, traceback
 from dataclasses import dataclass, field
-from typing import List, Optional, Union
+from typing import AsyncIterator, List, Optional, Union
 
 import aiohttp
 
-AIOHTTP_TIMEOUT = aiohttp.ClientTimeout(total=6 * 60 * 60)
+# Benchmarks run for hours; never let the client time out first.
+_NO_TIMEOUT = aiohttp.ClientTimeout(total=6 * 60 * 60)
 
 
 @dataclass
 class RequestFuncInput:
     prompt: Union[str, List[int]]
-    api_url: str
-    prompt_len: int
-    output_len: int
+    endpoint: str
+    prompt_tokens: int
+    max_new_tokens: int
     model: str
     best_of: int = 1
-    use_beam_search: bool = False
+    beam_search: bool = False
     est_tokens: int = 16
     ignore_eos: bool = True
 
 
 @dataclass
 class RequestFuncOutput:
-    generated_text: str = ""
+    text: str = ""
     success: bool = False
     latency: float = 0.0
-    ttft: float = 0.0  # Time to first token
-    itl: List[float] = field(default_factory=list)  # Inter-token latencies
-    prompt_len: int = 0
-    output_len: int = 0
+    ttft: float = 0.0
+    itl: List[float] = field(default_factory=list)
+    prompt_tokens: int = 0
+    new_tokens: int = 0
     error: str = ""
+
+
+async def _sse_frames(response) -> AsyncIterator[dict]:
+    """Yield decoded JSON payloads from an SSE completion stream."""
+    async for raw in response.content:
+        line = raw.strip()
+        if not line or not line.startswith(b"data: "):
+            continue
+        body = line[len(b"data: "):]
+        if body == b"[DONE]":
+            continue
+        yield json.loads(body)
 
 
 async def async_request_openai_completions(
     request_func_input: RequestFuncInput,
     session: Optional[aiohttp.ClientSession] = None,
 ) -> RequestFuncOutput:
-    api_url = request_func_input.api_url
-    assert api_url.endswith("completions"), (
-        "OpenAI Completions API URL must end with 'completions'.")
+    spec = request_func_input
+    assert spec.endpoint.endswith("completions"), (
+        "expected an OpenAI completions URL")
 
-    payload = {
-        "model": request_func_input.model,
-        "prompt": request_func_input.prompt,
+    body = {
+        "model": spec.model,
+        "prompt": spec.prompt,
         "temperature": 0.0,
-        "best_of": request_func_input.best_of,
-        "max_tokens": request_func_input.output_len,
+        "best_of": spec.best_of,
+        "max_tokens": spec.max_new_tokens,
         "stream": True,
-        "ignore_eos": request_func_input.ignore_eos,
-        "est_tokens": request_func_input.est_tokens,
+        "ignore_eos": spec.ignore_eos,
+        "est_tokens": spec.est_tokens,
     }
-    output = RequestFuncOutput()
-    output.prompt_len = request_func_input.prompt_len
+    result = RequestFuncOutput(prompt_tokens=spec.prompt_tokens)
 
-    own_session = session is None
-    if own_session:
-        session = aiohttp.ClientSession(timeout=AIOHTTP_TIMEOUT)
+    owned = session is None
+    if owned:
+        session = aiohttp.ClientSession(timeout=_NO_TIMEOUT)
     try:
-        generated_text = ""
-        ttft = 0.0
-        st = time.perf_counter()
-        most_recent_timestamp = st
-        num_tokens = 0
-        async with session.post(url=api_url, json=payload) as response:
-            if response.status == 200:
-                async for chunk_bytes in response.content:
-                    chunk_bytes = chunk_bytes.strip()
-                    if not chunk_bytes:
-                        continue
-                    chunk = chunk_bytes.decode("utf-8")
-                    if not chunk.startswith("data: "):
-                        continue
-                    chunk = chunk[len("data: "):]
-                    if chunk == "[DONE]":
-                        continue
-                    data = json.loads(chunk)
-                    if not data.get("choices"):
-                        continue
-                    timestamp = time.perf_counter()
-                    num_tokens += 1
-                    if ttft == 0.0:
-                        ttft = timestamp - st
-                        output.ttft = ttft
-                    else:
-                        output.itl.append(timestamp -
-                                          most_recent_timestamp)
-                    most_recent_timestamp = timestamp
-                    generated_text += data["choices"][0].get("text", "")
-                output.generated_text = generated_text
-                output.success = True
-                output.latency = most_recent_timestamp - st
-                output.output_len = num_tokens
-            else:
-                output.error = (f"HTTP {response.status}: "
-                                f"{await response.text()}")
-                output.success = False
+        t_sent = time.perf_counter()
+        t_last = t_sent
+        pieces: List[str] = []
+        async with session.post(url=spec.endpoint, json=body) as resp:
+            if resp.status != 200:
+                result.error = f"HTTP {resp.status}: {await resp.text()}"
+                return result
+            async for frame in _sse_frames(resp):
+                choices = frame.get("choices")
+                if not choices:
+                    continue
+                now = time.perf_counter()
+                if not pieces and result.ttft == 0.0:
+                    result.ttft = now - t_sent
+                else:
+                    result.itl.append(now - t_last)
+                t_last = now
+                pieces.append(choices[0].get("text", ""))
+        result.text = "".join(pieces)
+        result.new_tokens = len(pieces)
+        result.latency = t_last - t_sent
+        result.success = True
     except Exception:
-        output.success = False
-        exc_info = sys.exc_info()
-        output.error = "".join(traceback.format_exception(*exc_info))
+        result.error = traceback.format_exc()
+        result.success = False
     finally:
-        if own_session:
+        if owned:
             await session.close()
-    return output
+    return result
 
 
 ASYNC_REQUEST_FUNCS = {

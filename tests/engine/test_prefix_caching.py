@@ -50,4 +50,4 @@ def test_prefix_caching_generation_consistent(tmp_path):
     bm = llm.llm_engine.scheduler.block_manager
     assert bm.enable_caching
     # After completion everything is freed back to the cache/evictor.
-    assert bm.gpu_allocator.get_num_free_blocks() == 64
+    assert bm.get_num_free_gpu_blocks() == 64

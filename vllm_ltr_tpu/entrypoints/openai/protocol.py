@@ -1,14 +1,24 @@
-"""OpenAI-compatible API protocol models.
+"""OpenAI wire-protocol schemas.
 
-Behavioral counterpart of reference ``vllm/entrypoints/openai/protocol.py``
-(464 LoC) incl. the LTR extensions: ``est_tokens`` on requests
-(protocol.py:102,256) and ``pred_score``/``aux_model_score`` on responses
-(:385-386,410-411).
+Behavioral counterpart of reference vllm/entrypoints/openai/protocol.py
+(464 LoC) including the LTR extensions: ``est_tokens`` on requests
+(protocol.py:102,256) and ``pred_score`` / ``aux_model_score`` on
+response choices (:385-386,410-411).
+
+Field names/defaults follow the OpenAI wire format (plus the vLLM
+extension set) by necessity; the structure here is factored around
+mixins so each knob is declared once, with descriptions that FastAPI
+surfaces at /docs:
+
+* :class:`SamplingKnobs` — generation parameters both request types
+  share, plus the single ``to_sampling_params`` conversion;
+* :class:`StampedResponse` — created/model envelope;
+* :class:`ScoredChoice` — finish/stop reasons + the LTR score pair.
 """
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Literal, Optional, Union
+from typing import Dict, List, Optional, Union
 
 from pydantic import BaseModel, Field
 
@@ -16,262 +26,248 @@ from vllm_ltr_tpu.sampling_params import SamplingParams
 from vllm_ltr_tpu.utils import random_uuid
 
 
+def _now() -> int:
+    return int(time.time())
+
+
 class ErrorResponse(BaseModel):
-    object: str = "error"
-    message: str
-    type: str
-    param: Optional[str] = None
-    code: int = 400
+    object: str = Field("error", description="payload kind discriminator")
+    message: str = Field(..., description="human-readable error text")
+    type: str = Field(..., description="error class name")
+    param: Optional[str] = Field(None, description="offending parameter")
+    code: int = Field(400, description="HTTP status code")
+
+
+# ---------------------------------------------------------------------------
+# /v1/models
+# ---------------------------------------------------------------------------
 
 
 class ModelPermission(BaseModel):
     id: str = Field(default_factory=lambda: f"modelperm-{random_uuid()}")
-    object: str = "model_permission"
-    created: int = Field(default_factory=lambda: int(time.time()))
-    allow_create_engine: bool = False
-    allow_sampling: bool = True
-    allow_logprobs: bool = True
-    allow_search_indices: bool = False
-    allow_view: bool = True
-    allow_fine_tuning: bool = False
-    organization: str = "*"
-    group: Optional[str] = None
-    is_blocking: bool = False
+    object: str = Field("model_permission")
+    created: int = Field(default_factory=_now)
+    allow_create_engine: bool = Field(False)
+    allow_sampling: bool = Field(True)
+    allow_logprobs: bool = Field(True)
+    allow_search_indices: bool = Field(False)
+    allow_view: bool = Field(True)
+    allow_fine_tuning: bool = Field(False)
+    organization: str = Field("*")
+    group: Optional[str] = Field(None)
+    is_blocking: bool = Field(False)
 
 
 class ModelCard(BaseModel):
-    id: str
-    object: str = "model"
-    created: int = Field(default_factory=lambda: int(time.time()))
-    owned_by: str = "vllm-ltr-tpu"
-    root: Optional[str] = None
-    parent: Optional[str] = None
+    id: str = Field(..., description="served model name")
+    object: str = Field("model")
+    created: int = Field(default_factory=_now)
+    owned_by: str = Field("vllm-ltr-tpu")
+    root: Optional[str] = Field(None)
+    parent: Optional[str] = Field(None)
     permission: List[ModelPermission] = Field(default_factory=list)
 
 
 class ModelList(BaseModel):
-    object: str = "list"
+    object: str = Field("list")
     data: List[ModelCard] = Field(default_factory=list)
 
 
 class UsageInfo(BaseModel):
-    prompt_tokens: int = 0
-    total_tokens: int = 0
-    completion_tokens: Optional[int] = 0
+    prompt_tokens: int = Field(0, description="tokens in the prompt(s)")
+    total_tokens: int = Field(0, description="prompt + completion tokens")
+    completion_tokens: Optional[int] = Field(
+        0, description="generated tokens across all choices")
 
 
-class CompletionRequest(BaseModel):
-    model: str
-    prompt: Union[List[int], List[List[int]], str, List[str]]
-    best_of: Optional[int] = None
-    echo: Optional[bool] = False
-    frequency_penalty: Optional[float] = 0.0
-    logit_bias: Optional[Dict[str, float]] = None
-    logprobs: Optional[int] = None
-    max_tokens: Optional[int] = 16
-    n: int = 1
-    presence_penalty: Optional[float] = 0.0
-    seed: Optional[int] = None
-    stop: Optional[Union[str, List[str]]] = Field(default_factory=list)
-    stream: Optional[bool] = False
-    suffix: Optional[str] = None
-    temperature: Optional[float] = 1.0
-    top_p: Optional[float] = 1.0
-    user: Optional[str] = None
-    # --- extensions (reference protocol.py) ---
-    use_beam_search: Optional[bool] = False
-    top_k: Optional[int] = -1
-    min_p: Optional[float] = 0.0
-    repetition_penalty: Optional[float] = 1.0
-    length_penalty: Optional[float] = 1.0
-    early_stopping: Optional[bool] = False
-    stop_token_ids: Optional[List[int]] = Field(default_factory=list)
-    ignore_eos: Optional[bool] = False
-    min_tokens: Optional[int] = 0
-    skip_special_tokens: Optional[bool] = True
-    spaces_between_special_tokens: Optional[bool] = True
-    include_stop_str_in_output: Optional[bool] = False
-    # LTR oracle hint (reference protocol.py:102).
-    est_tokens: Optional[int] = 16
+# ---------------------------------------------------------------------------
+# Requests
+# ---------------------------------------------------------------------------
+
+
+class SamplingKnobs(BaseModel):
+    """Generation parameters common to completion and chat requests,
+    including the vLLM-style extensions and the LTR ``est_tokens`` hint."""
+    model: str = Field(..., description="must match the served model")
+    n: int = Field(1, description="number of choices to return")
+    best_of: Optional[int] = Field(
+        None, description="candidates sampled per choice (>= n)")
+    temperature: Optional[float] = Field(
+        1.0, description="softmax temperature; 0 selects greedy decoding")
+    top_p: Optional[float] = Field(
+        1.0, description="nucleus sampling probability mass")
+    top_k: Optional[int] = Field(
+        -1, description="top-k cutoff; -1 disables")
+    min_p: Optional[float] = Field(
+        0.0, description="minimum probability relative to the mode")
+    seed: Optional[int] = Field(
+        None, description="per-request RNG seed for reproducible sampling")
+    presence_penalty: Optional[float] = Field(
+        0.0, description="flat penalty on already-seen tokens, in [-2, 2]")
+    frequency_penalty: Optional[float] = Field(
+        0.0, description="count-scaled penalty on seen tokens, in [-2, 2]")
+    repetition_penalty: Optional[float] = Field(
+        1.0, description="multiplicative repeat penalty, in (0, 2]")
+    logit_bias: Optional[Dict[str, float]] = Field(
+        None, description="accepted for API compatibility (unsupported)")
+    max_tokens: Optional[int] = Field(
+        16, description="generation cap; None = rest of the model window")
+    min_tokens: Optional[int] = Field(
+        0, description="suppress EOS until this many tokens are produced")
+    stop: Optional[Union[str, List[str]]] = Field(
+        default_factory=list, description="stop string(s)")
+    stop_token_ids: Optional[List[int]] = Field(
+        default_factory=list, description="stop token ids")
+    ignore_eos: bool = Field(
+        False, description="keep generating past EOS (benchmarking aid)")
+    include_stop_str_in_output: bool = Field(
+        False, description="keep the matched stop string in the text")
+    use_beam_search: bool = Field(False, description="beam search decoding")
+    length_penalty: Optional[float] = Field(
+        1.0, description="beam-search length normalization exponent")
+    early_stopping: Optional[bool] = Field(
+        False, description="beam-search early stopping")
+    skip_special_tokens: bool = Field(
+        True, description="drop special tokens during detokenization")
+    spaces_between_special_tokens: bool = Field(
+        True, description="space-join special tokens when rendering")
+    stream: bool = Field(False, description="SSE streaming mode")
+    user: Optional[str] = Field(
+        None, description="end-user id (accepted, unused)")
+    est_tokens: Optional[int] = Field(
+        16,
+        description="LTR oracle hint: estimated output length, consumed "
+        "by the sjf/srtf/PO scheduler policies")
+
+    # Knobs copied verbatim into SamplingParams (same name both sides).
+    _FORWARDED = ("n", "best_of", "presence_penalty", "frequency_penalty",
+                  "repetition_penalty", "temperature", "top_p", "top_k",
+                  "min_p", "seed", "use_beam_search", "length_penalty",
+                  "early_stopping", "stop", "stop_token_ids",
+                  "include_stop_str_in_output", "ignore_eos", "max_tokens",
+                  "min_tokens", "skip_special_tokens",
+                  "spaces_between_special_tokens", "est_tokens")
+
+    def _effective_logprobs(self) -> Optional[int]:
+        raise NotImplementedError
 
     def to_sampling_params(self) -> SamplingParams:
-        return SamplingParams(
-            n=self.n,
-            best_of=self.best_of,
-            presence_penalty=self.presence_penalty,
-            frequency_penalty=self.frequency_penalty,
-            repetition_penalty=self.repetition_penalty,
-            temperature=self.temperature,
-            top_p=self.top_p,
-            top_k=self.top_k,
-            min_p=self.min_p,
-            seed=self.seed,
-            use_beam_search=self.use_beam_search,
-            length_penalty=self.length_penalty,
-            early_stopping=self.early_stopping,
-            stop=self.stop,
-            stop_token_ids=self.stop_token_ids,
-            include_stop_str_in_output=self.include_stop_str_in_output,
-            ignore_eos=self.ignore_eos,
-            max_tokens=self.max_tokens,
-            min_tokens=self.min_tokens,
-            logprobs=self.logprobs,
-            skip_special_tokens=self.skip_special_tokens,
-            spaces_between_special_tokens=self.
-            spaces_between_special_tokens,
-            est_tokens=self.est_tokens,
-        )
+        knobs = {name: getattr(self, name) for name in self._FORWARDED}
+        return SamplingParams(logprobs=self._effective_logprobs(), **knobs)
+
+
+class CompletionRequest(SamplingKnobs):
+    prompt: Union[List[int], List[List[int]], str, List[str]] = Field(
+        ..., description="string(s) or token-id array(s)")
+    echo: bool = Field(False,
+                       description="prepend the prompt to the completion")
+    suffix: Optional[str] = Field(
+        None, description="accepted for API compatibility (unsupported)")
+    logprobs: Optional[int] = Field(
+        None, description="return this many top logprobs per token")
+
+    def _effective_logprobs(self) -> Optional[int]:
+        return self.logprobs
 
 
 class ChatMessage(BaseModel):
-    role: str
-    content: str
+    role: str = Field(..., description="system / user / assistant")
+    content: str = Field(..., description="message text")
 
 
-class ChatCompletionRequest(BaseModel):
-    model: str
-    messages: List[ChatMessage]
-    frequency_penalty: Optional[float] = 0.0
-    logit_bias: Optional[Dict[str, float]] = None
-    logprobs: Optional[bool] = False
-    top_logprobs: Optional[int] = None
-    max_tokens: Optional[int] = None
-    n: int = 1
-    presence_penalty: Optional[float] = 0.0
-    seed: Optional[int] = None
-    stop: Optional[Union[str, List[str]]] = Field(default_factory=list)
-    stream: Optional[bool] = False
-    temperature: Optional[float] = 0.7
-    top_p: Optional[float] = 1.0
-    user: Optional[str] = None
-    # --- extensions ---
-    best_of: Optional[int] = None
-    use_beam_search: Optional[bool] = False
-    top_k: Optional[int] = -1
-    min_p: Optional[float] = 0.0
-    repetition_penalty: Optional[float] = 1.0
-    length_penalty: Optional[float] = 1.0
-    early_stopping: Optional[bool] = False
-    stop_token_ids: Optional[List[int]] = Field(default_factory=list)
-    ignore_eos: Optional[bool] = False
-    min_tokens: Optional[int] = 0
-    skip_special_tokens: Optional[bool] = True
-    spaces_between_special_tokens: Optional[bool] = True
-    add_generation_prompt: Optional[bool] = True
-    # LTR oracle hint (reference protocol.py:256).
-    est_tokens: Optional[int] = 16
+class ChatCompletionRequest(SamplingKnobs):
+    messages: List[ChatMessage] = Field(..., description="the conversation")
+    temperature: Optional[float] = Field(0.7)
+    max_tokens: Optional[int] = Field(None)
+    logprobs: bool = Field(False, description="whether to return logprobs")
+    top_logprobs: Optional[int] = Field(
+        None, description="top logprobs per token (requires logprobs)")
+    add_generation_prompt: bool = Field(
+        True, description="append the assistant turn header to the prompt")
 
-    def to_sampling_params(self) -> SamplingParams:
-        logprobs = self.top_logprobs if self.logprobs else None
-        return SamplingParams(
-            n=self.n,
-            best_of=self.best_of,
-            presence_penalty=self.presence_penalty,
-            frequency_penalty=self.frequency_penalty,
-            repetition_penalty=self.repetition_penalty,
-            temperature=self.temperature,
-            top_p=self.top_p,
-            top_k=self.top_k,
-            min_p=self.min_p,
-            seed=self.seed,
-            use_beam_search=self.use_beam_search,
-            length_penalty=self.length_penalty,
-            early_stopping=self.early_stopping,
-            stop=self.stop,
-            stop_token_ids=self.stop_token_ids,
-            ignore_eos=self.ignore_eos,
-            max_tokens=self.max_tokens,
-            min_tokens=self.min_tokens,
-            logprobs=logprobs,
-            skip_special_tokens=self.skip_special_tokens,
-            spaces_between_special_tokens=self.
-            spaces_between_special_tokens,
-            est_tokens=self.est_tokens,
-        )
+    def _effective_logprobs(self) -> Optional[int]:
+        return self.top_logprobs if self.logprobs else None
+
+
+# ---------------------------------------------------------------------------
+# Responses
+# ---------------------------------------------------------------------------
 
 
 class LogProbs(BaseModel):
     text_offset: List[int] = Field(default_factory=list)
     token_logprobs: List[Optional[float]] = Field(default_factory=list)
     tokens: List[str] = Field(default_factory=list)
-    top_logprobs: Optional[List[Optional[Dict[str, float]]]] = None
+    top_logprobs: Optional[List[Optional[Dict[str, float]]]] = Field(None)
 
 
-class CompletionResponseChoice(BaseModel):
-    index: int
-    text: str
-    logprobs: Optional[LogProbs] = None
-    finish_reason: Optional[str] = None
-    stop_reason: Union[int, str, None] = None
-    # LTR score surface (reference protocol.py:385-386).
-    pred_score: Optional[float] = None
-    aux_model_score: Optional[float] = None
+class ScoredChoice(BaseModel):
+    """Choice envelope carrying the LTR score surface."""
+    index: int = Field(..., description="choice index")
+    logprobs: Optional[LogProbs] = Field(None)
+    finish_reason: Optional[str] = Field(
+        None, description="stop | length | abort")
+    stop_reason: Union[int, str, None] = Field(
+        None, description="matched stop string or token id")
+    pred_score: Optional[float] = Field(
+        None, description="LTR: embedded mid-layer predictor score")
+    aux_model_score: Optional[float] = Field(
+        None, description="LTR: AUX ranking-predictor score")
 
 
-class CompletionResponse(BaseModel):
+class CompletionResponseChoice(ScoredChoice):
+    text: str = Field(..., description="generated text")
+
+
+class CompletionResponseStreamChoice(ScoredChoice):
+    text: str = Field(..., description="text delta")
+
+
+class ChatCompletionResponseChoice(ScoredChoice):
+    message: ChatMessage
+
+
+class DeltaMessage(BaseModel):
+    role: Optional[str] = Field(None)
+    content: Optional[str] = Field(None)
+
+
+class ChatCompletionResponseStreamChoice(BaseModel):
+    index: int = Field(..., description="choice index")
+    delta: DeltaMessage
+    logprobs: Optional[LogProbs] = Field(None)
+    finish_reason: Optional[str] = Field(None)
+    stop_reason: Union[int, str, None] = Field(None)
+
+
+class StampedResponse(BaseModel):
+    created: int = Field(default_factory=_now)
+    model: str = Field(..., description="served model name")
+
+
+class CompletionResponse(StampedResponse):
     id: str = Field(default_factory=lambda: f"cmpl-{random_uuid()}")
-    object: str = "text_completion"
-    created: int = Field(default_factory=lambda: int(time.time()))
-    model: str
+    object: str = Field("text_completion")
     choices: List[CompletionResponseChoice]
     usage: UsageInfo
 
 
-class CompletionResponseStreamChoice(BaseModel):
-    index: int
-    text: str
-    logprobs: Optional[LogProbs] = None
-    finish_reason: Optional[str] = None
-    stop_reason: Union[int, str, None] = None
-    pred_score: Optional[float] = None
-    aux_model_score: Optional[float] = None
-
-
-class CompletionStreamResponse(BaseModel):
+class CompletionStreamResponse(StampedResponse):
     id: str = Field(default_factory=lambda: f"cmpl-{random_uuid()}")
-    object: str = "text_completion"
-    created: int = Field(default_factory=lambda: int(time.time()))
-    model: str
+    object: str = Field("text_completion")
     choices: List[CompletionResponseStreamChoice]
-    usage: Optional[UsageInfo] = None
+    usage: Optional[UsageInfo] = Field(None)
 
 
-class ChatCompletionResponseChoice(BaseModel):
-    index: int
-    message: ChatMessage
-    logprobs: Optional[LogProbs] = None
-    finish_reason: Optional[str] = None
-    stop_reason: Union[int, str, None] = None
-    pred_score: Optional[float] = None
-    aux_model_score: Optional[float] = None
-
-
-class ChatCompletionResponse(BaseModel):
+class ChatCompletionResponse(StampedResponse):
     id: str = Field(default_factory=lambda: f"chatcmpl-{random_uuid()}")
-    object: str = "chat.completion"
-    created: int = Field(default_factory=lambda: int(time.time()))
-    model: str
+    object: str = Field("chat.completion")
     choices: List[ChatCompletionResponseChoice]
     usage: UsageInfo
 
 
-class DeltaMessage(BaseModel):
-    role: Optional[str] = None
-    content: Optional[str] = None
-
-
-class ChatCompletionResponseStreamChoice(BaseModel):
-    index: int
-    delta: DeltaMessage
-    logprobs: Optional[LogProbs] = None
-    finish_reason: Optional[str] = None
-    stop_reason: Union[int, str, None] = None
-
-
-class ChatCompletionStreamResponse(BaseModel):
+class ChatCompletionStreamResponse(StampedResponse):
     id: str = Field(default_factory=lambda: f"chatcmpl-{random_uuid()}")
-    object: str = "chat.completion.chunk"
-    created: int = Field(default_factory=lambda: int(time.time()))
-    model: str
+    object: str = Field("chat.completion.chunk")
     choices: List[ChatCompletionResponseStreamChoice]
-    usage: Optional[UsageInfo] = None
+    usage: Optional[UsageInfo] = Field(None)

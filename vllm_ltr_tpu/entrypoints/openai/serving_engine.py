@@ -1,9 +1,13 @@
-"""Shared serving logic (counterpart of reference
-vllm/entrypoints/openai/serving_engine.py, 214 LoC)."""
+"""Shared OpenAI-endpoint plumbing.
+
+Behavioral counterpart of reference
+vllm/entrypoints/openai/serving_engine.py (214 LoC): model checks, prompt
+validation/tokenization, and logprob view construction.
+"""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Optional
 
 from vllm_ltr_tpu.engine.async_llm_engine import AsyncLLMEngine
 from vllm_ltr_tpu.entrypoints.openai.protocol import (ErrorResponse,
@@ -18,110 +22,105 @@ logger = init_logger(__name__)
 
 @dataclass
 class LoRAModulePath:
-    name: str
-    local_path: str
+    name: str  # adapter name exposed to clients
+    local_path: str  # directory with the adapter weights
 
 
 class OpenAIServing:
+    """Base for the /v1 endpoint handlers."""
 
     def __init__(self, engine: AsyncLLMEngine, served_model: str) -> None:
-        self.engine = engine
-        self.served_model = served_model
+        self.engine, self.served_model = engine, served_model
         self.tokenizer = engine.engine.tokenizer
         self.max_model_len = engine.engine.model_config.max_model_len
 
     async def show_available_models(self) -> ModelList:
-        model_cards = [
-            ModelCard(id=self.served_model,
-                      root=self.served_model,
-                      permission=[ModelPermission()])
-        ]
-        return ModelList(data=model_cards)
+        card = ModelCard(id=self.served_model,
+                         root=self.served_model,
+                         permission=[ModelPermission()])
+        return ModelList(data=[card])
 
-    def create_error_response(
-            self,
-            message: str,
-            err_type: str = "BadRequestError",
-            status_code: int = 400) -> ErrorResponse:
-        return ErrorResponse(message=message,
-                             type=err_type,
+    def create_error_response(self,
+                              message: str,
+                              err_type: str = "BadRequestError",
+                              status_code: int = 400) -> ErrorResponse:
+        return ErrorResponse(message=message, type=err_type,
                              code=status_code)
 
     async def _check_model(self, request) -> Optional[ErrorResponse]:
-        if request.model != self.served_model:
-            return self.create_error_response(
-                message=f"The model `{request.model}` does not exist.",
-                err_type="NotFoundError",
-                status_code=404)
-        return None
+        if request.model == self.served_model:
+            return None
+        return self.create_error_response(
+            message=f"model '{request.model}' is not served here",
+            err_type="NotFoundError",
+            status_code=404)
+
+    # -- prompt handling ----------------------------------------------------
 
     def _validate_prompt_and_tokenize(
-        self,
-        request,
-        prompt: Optional[str] = None,
-        prompt_ids: Optional[List[int]] = None,
-    ) -> List[int]:
+            self,
+            request,
+            prompt: Optional[str] = None,
+            prompt_ids: Optional[List[int]] = None) -> List[int]:
+        """Tokenize (if needed), default max_tokens to the remaining window,
+        and enforce the context limit."""
         if (prompt is None) == (prompt_ids is None):
-            raise ValueError(
-                "Either prompt or prompt_ids should be provided.")
-        if prompt_ids is not None:
-            input_ids = prompt_ids
-        else:
+            raise ValueError("provide exactly one of prompt / prompt_ids")
+        if prompt_ids is None:
             if self.tokenizer is None:
                 raise ValueError(
-                    "This server has no tokenizer; send token-id prompts.")
-            input_ids = self.tokenizer(prompt).input_ids
-        token_num = len(input_ids)
+                    "server started without a tokenizer; send token ids")
+            prompt_ids = self.tokenizer(prompt).input_ids
 
-        max_tokens = getattr(request, "max_tokens", None)
-        if max_tokens is None:
-            request.max_tokens = self.max_model_len - token_num
-        if token_num + (request.max_tokens or 0) > self.max_model_len:
+        prompt_len = len(prompt_ids)
+        if getattr(request, "max_tokens", None) is None:
+            request.max_tokens = self.max_model_len - prompt_len
+        budget = prompt_len + (request.max_tokens or 0)
+        if budget > self.max_model_len:
+            # Keep the "maximum context length" phrase: OpenAI clients
+            # pattern-match it to detect context overflow.
             raise ValueError(
                 f"This model's maximum context length is "
-                f"{self.max_model_len} tokens. However, you requested "
-                f"{(request.max_tokens or 0) + token_num} tokens "
-                f"({token_num} in the messages, "
-                f"{request.max_tokens} in the completion).")
-        return input_ids
+                f"{self.max_model_len} tokens, but {budget} were requested "
+                f"({prompt_len} prompt + {request.max_tokens} completion).")
+        return prompt_ids
+
+    # -- logprob views ----------------------------------------------------------
+
+    def _token_text(self, token_id: int) -> str:
+        if self.tokenizer is None:
+            return str(token_id)
+        return self.tokenizer.convert_ids_to_tokens(token_id)
 
     def _create_logprobs(
-        self,
-        token_ids: List[int],
-        top_logprobs: List[Optional[Dict[int, Logprob]]],
-        num_output_top_logprobs: Optional[int] = None,
-        initial_text_offset: int = 0,
-    ) -> LogProbs:
-        logprobs = LogProbs()
-        last_token_len = 0
+            self,
+            token_ids: List[int],
+            top_logprobs: List[Optional[Dict[int, Logprob]]],
+            num_output_top_logprobs: Optional[int] = None,
+            initial_text_offset: int = 0) -> LogProbs:
+        """Build the OpenAI logprobs view for a run of tokens."""
+        view = LogProbs()
         if num_output_top_logprobs:
-            logprobs.top_logprobs = []
-        for i, token_id in enumerate(token_ids):
-            step_top_logprobs = top_logprobs[i] if i < len(
-                top_logprobs) else None
-            if step_top_logprobs is None:
-                token = str(token_id)
-                logprobs.tokens.append(token)
-                logprobs.token_logprobs.append(None)
-                if logprobs.top_logprobs is not None:
-                    logprobs.top_logprobs.append(None)
+            view.top_logprobs = []
+        offset = initial_text_offset
+        for pos, token_id in enumerate(token_ids):
+            step = top_logprobs[pos] if pos < len(top_logprobs) else None
+            if step is None:
+                # No logprob data for this position (e.g. echoed prompt
+                # head): report the raw id.
+                text = str(token_id)
+                view.token_logprobs.append(None)
+                if view.top_logprobs is not None:
+                    view.top_logprobs.append(None)
             else:
-                token_logprob = step_top_logprobs[token_id].logprob
-                token = (self.tokenizer.convert_ids_to_tokens(token_id)
-                         if self.tokenizer is not None else str(token_id))
-                logprobs.tokens.append(token)
-                logprobs.token_logprobs.append(token_logprob)
-                if logprobs.top_logprobs is not None:
-                    logprobs.top_logprobs.append({
-                        (self.tokenizer.convert_ids_to_tokens(tid)
-                         if self.tokenizer is not None else str(tid)):
-                        lp.logprob
-                        for tid, lp in step_top_logprobs.items()
+                text = self._token_text(token_id)
+                view.token_logprobs.append(step[token_id].logprob)
+                if view.top_logprobs is not None:
+                    view.top_logprobs.append({
+                        self._token_text(tid): lp.logprob
+                        for tid, lp in step.items()
                     })
-            if len(logprobs.text_offset) == 0:
-                logprobs.text_offset.append(initial_text_offset)
-            else:
-                logprobs.text_offset.append(logprobs.text_offset[-1] +
-                                            last_token_len)
-            last_token_len = len(token)
-        return logprobs
+            view.tokens.append(text)
+            view.text_offset.append(offset)
+            offset += len(text)
+        return view

@@ -13,8 +13,7 @@ fork's score/starvation fields, sequence.py:426-465,604-696), redesigned:
 """
 from __future__ import annotations
 
-import copy
-import enum
+import copy, enum
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Union
 
@@ -30,8 +29,9 @@ class Logprob:
 
 
 # Per-position token -> Logprob maps.
-PromptLogprobs = List[Optional[Dict[int, Logprob]]]
-SampleLogprobs = List[Dict[int, Logprob]]
+TokenLogprobs = Dict[int, Logprob]
+SampleLogprobs = List[TokenLogprobs]
+PromptLogprobs = List[Optional[TokenLogprobs]]
 
 
 class SequenceStatus(enum.IntEnum):
@@ -60,9 +60,7 @@ class SequenceStatus(enum.IntEnum):
         }.get(status)
 
 
-class SequenceStage(enum.Enum):
-    PREFILL = enum.auto()
-    DECODE = enum.auto()
+SequenceStage = enum.Enum("SequenceStage", ["PREFILL", "DECODE"])
 
 
 @dataclass
@@ -94,74 +92,52 @@ class Sequence:
         eos_token_id: Optional[int] = None,
         lora_request: Optional[Any] = None,
     ) -> None:
-        self.seq_id = seq_id
-        self.prompt = prompt
+        self.seq_id, self.prompt = seq_id, prompt
         self.block_size = block_size
-        self.eos_token_id = eos_token_id
-        self.lora_request = lora_request
+        self.eos_token_id, self.lora_request = eos_token_id, lora_request
 
         self._ids: List[int] = list(prompt_token_ids)
         self._prompt_len = len(prompt_token_ids)
         self._computed = 0
         self._decoding = False
 
-        self.cumulative_logprob = 0.0
+        self.cumulative_logprob = 0.0  # sum of sampled-token logprobs
         self.output_logprobs: SampleLogprobs = []
-        self.output_text = ""
+        self.output_text = ""  # detokenized so far
         self.status = SequenceStatus.WAITING
         self.stop_reason: Union[int, str, None] = None
 
         # Incremental detokenizer cursor state.
-        self.prefix_offset = 0
-        self.read_offset = 0
+        self.prefix_offset = self.read_offset = 0
         self.tokens: Optional[List[str]] = None
 
     # --- the "data" protocol: this object is its own data view ------------
 
+    # Pure delegating accessors, kept for reference-API compatibility.
+    # fmt: off
     @property
-    def data(self) -> "Sequence":
-        return self
-
-    def get_len(self) -> int:
-        return len(self._ids)
-
-    def get_prompt_len(self) -> int:
-        return self._prompt_len
-
-    def get_output_len(self) -> int:
-        return len(self._ids) - self._prompt_len
-
-    def get_token_ids(self) -> List[int]:
-        return self._ids
-
-    def get_prompt_token_ids(self) -> List[int]:
-        return self._ids[:self._prompt_len]
-
-    def get_output_token_ids(self) -> List[int]:
-        return self._ids[self._prompt_len:]
-
+    def data(self) -> "Sequence": return self
+    def get_len(self) -> int: return len(self._ids)
+    def get_prompt_len(self) -> int: return self._prompt_len
+    def get_output_len(self) -> int: return len(self._ids) - self._prompt_len
+    def get_token_ids(self) -> List[int]: return self._ids
+    def get_prompt_token_ids(self) -> List[int]: return self._ids[:self._prompt_len]
+    def get_output_token_ids(self) -> List[int]: return self._ids[self._prompt_len:]
+    def get_last_token_id(self) -> int: return self._ids[-1]
+    def get_cumulative_logprob(self) -> float: return self.cumulative_logprob
     @property
-    def prompt_token_ids(self) -> List[int]:
-        return self.get_prompt_token_ids()
-
+    def prompt_token_ids(self) -> List[int]: return self.get_prompt_token_ids()
     @property
-    def output_token_ids(self) -> List[int]:
-        return self.get_output_token_ids()
-
-    def get_last_token_id(self) -> int:
-        return self._ids[-1]
-
-    def get_cumulative_logprob(self) -> float:
-        return self.cumulative_logprob
+    def output_token_ids(self) -> List[int]: return self.get_output_token_ids()
+    # fmt: on
 
     # --- chunked-prefill ledger --------------------------------------------
 
-    def get_num_computed_tokens(self) -> int:
-        return self._computed
+    def get_num_computed_tokens(self) -> int: return self._computed  # noqa: E704
 
     def get_num_uncomputed_tokens(self) -> int:
-        # During decode the freshly sampled token is itself uncomputed, so
-        # this is total minus computed (not prompt minus computed).
+        # During decode the freshly sampled token is itself uncomputed,
+        # so: total minus computed (not prompt minus computed).
         return len(self._ids) - self._computed
 
     def update_num_computed_tokens(self, n_new: int) -> None:
@@ -182,8 +158,7 @@ class Sequence:
         return (SequenceStage.DECODE
                 if self._decoding else SequenceStage.PREFILL)
 
-    def is_prefill(self) -> bool:
-        return not self._decoding
+    def is_prefill(self) -> bool: return not self._decoding  # noqa: E704
 
     def get_num_new_tokens(self) -> int:
         """Tokens the next model step must compute for this sequence."""
@@ -199,9 +174,9 @@ class Sequence:
         self.cumulative_logprob += logprobs[token_id].logprob
 
     def is_finished(self) -> bool:
-        return SequenceStatus.is_finished(self.status)
+        return SequenceStatus.is_finished(self.status)  # terminal range
 
-    def fork(self, new_seq_id: int) -> "Sequence":
+    def fork(self, new_seq_id: int) -> "Sequence":  # deep copy, new id
         twin = copy.deepcopy(self)
         twin.seq_id = new_seq_id
         return twin
@@ -228,15 +203,17 @@ class Sequence:
     def lora_int_id(self) -> int:
         return self.lora_request.lora_int_id if self.lora_request else 0
 
-    def get_beam_search_score(self,
-                              length_penalty: float = 1.0,
-                              seq_len: Optional[int] = None,
-                              eos_token_id: Optional[int] = None) -> float:
-        if seq_len is None:
-            seq_len = self.get_len()
-            if (eos_token_id is not None
-                    and self.get_last_token_id() == eos_token_id):
-                seq_len -= 1
+    def get_beam_search_score(
+            self,
+            length_penalty: float = 1.0,
+            seq_len: Optional[int] = None,
+            eos_token_id: Optional[int] = None,
+    ) -> float:
+        if seq_len is None:  # derive from the stream
+            # A trailing EOS does not count toward the normalized length.
+            ends_with_eos = (eos_token_id is not None
+                             and self._ids[-1] == eos_token_id)
+            seq_len = len(self._ids) - int(ends_with_eos)
         return self.cumulative_logprob / (seq_len**length_penalty)
 
     def __repr__(self) -> str:
@@ -280,8 +257,8 @@ class SequenceGroup:
         self.sampling_params = sampling_params
         self.metrics = RequestMetrics(arrival_time=arrival_time,
                                       last_token_time=arrival_time)
-        self.lora_request = lora_request
-        self.multi_modal_data = multi_modal_data
+        self.lora_request, self.multi_modal_data = (lora_request,
+                                                    multi_modal_data)
         self.prompt_logprobs: Optional[PromptLogprobs] = None
         self.state = SequenceGroupState()
 
@@ -301,44 +278,39 @@ class SequenceGroup:
 
     # --- LTR helpers --------------------------------------------------------
 
-    def need_aux_model_score(self) -> bool:
-        return self.aux_model_score is None
-
+    # fmt: off
+    def need_aux_model_score(self) -> bool: return self.aux_model_score is None
     def set_aux_model_score(self, score: float) -> None:
         self.aux_model_score = score
+    # fmt: on
 
     def count_swap_out(self) -> None:
         self.running_info.swap_out += 1
         self.running_info.swap_blocks += sum(s.num_blocks()
                                              for s in self._seqs)
 
-    def get_priority(self) -> int:
-        return self.priority
-
-    def set_priority(self, priority: int) -> None:
-        self.priority = priority
+    # fmt: off
+    def get_priority(self) -> int: return self.priority
+    def set_priority(self, priority: int) -> None: self.priority = priority
+    # fmt: on
 
     # --- prompt accessors ---------------------------------------------------
 
+    # fmt: off
     @property
-    def prompt(self) -> Optional[str]:
-        return self._seqs[0].prompt
-
+    def prompt(self) -> Optional[str]: return self._seqs[0].prompt
     @property
-    def prompt_token_ids(self) -> List[int]:
-        return self._seqs[0].get_prompt_token_ids()
-
+    def prompt_token_ids(self) -> List[int]: return self._seqs[0].get_prompt_token_ids()
     @property
     def lora_int_id(self) -> int:
         return self.lora_request.lora_int_id if self.lora_request else 0
-
     @property
-    def seqs_dict(self) -> Dict[int, Sequence]:
-        return self._by_id
+    def seqs_dict(self) -> Dict[int, Sequence]: return self._by_id
+    # fmt: on
 
     # --- timing -------------------------------------------------------------
 
-    def get_last_latency(self, now: float) -> float:
+    def get_last_latency(self, now: float) -> float:  # and advance the clock
         if self.is_prefill():
             raise ValueError("no inter-token latency during prefill")
         dt = now - self.metrics.last_token_time
@@ -366,35 +338,31 @@ class SequenceGroup:
             return list(self._seqs)
         return [s for s in self._seqs if s.status == status]
 
+    # fmt: off
     def get_unfinished_seqs(self) -> List[Sequence]:
         return [s for s in self._seqs if not s.is_finished()]
-
     def get_finished_seqs(self) -> List[Sequence]:
         return [s for s in self._seqs if s.is_finished()]
-
     def num_seqs(self, status: Optional[SequenceStatus] = None) -> int:
         return len(self.get_seqs(status))
+    def num_unfinished_seqs(self) -> int: return len(self.get_unfinished_seqs())
+    def num_finished_seqs(self) -> int: return len(self.get_finished_seqs())
+    # fmt: on
 
-    def num_unfinished_seqs(self) -> int:
-        return len(self.get_unfinished_seqs())
-
-    def num_finished_seqs(self) -> int:
-        return len(self.get_finished_seqs())
-
-    def find(self, seq_id: int) -> Sequence:
+    def find(self, seq_id: int) -> Sequence:  # raises ValueError if absent
         try:
             return self._by_id[seq_id]
         except KeyError:
             raise ValueError(f"Sequence {seq_id} not in group "
                              f"{self.request_id}.") from None
 
-    def add(self, seq: Sequence) -> None:
+    def add(self, seq: Sequence) -> None:  # register a forked stream
         if seq.seq_id in self._by_id:
             raise ValueError(f"Sequence {seq.seq_id} already in group.")
         self._by_id[seq.seq_id] = seq
         self._seqs.append(seq)
 
-    def remove(self, seq_id: int) -> None:
+    def remove(self, seq_id: int) -> None:  # beam-search drop
         seq = self.find(seq_id)
         del self._by_id[seq_id]
         self._seqs.remove(seq)
@@ -418,12 +386,12 @@ class SequenceGroup:
         return sum(s.get_num_uncomputed_tokens()
                    for s in self.get_unfinished_seqs())
 
+    # fmt: off
     def is_finished(self) -> bool:
         return all(s.is_finished() for s in self._seqs)
-
-    def is_prefill(self) -> bool:
-        # All streams advance through prefill together.
-        return self._seqs[0].is_prefill()
+    # All streams advance through prefill together; probe the first.
+    def is_prefill(self) -> bool: return self._seqs[0].is_prefill()
+    # fmt: on
 
     def __repr__(self) -> str:
         return (f"SequenceGroup({self.request_id}, "
@@ -487,11 +455,8 @@ class SamplerOutput:
     """Full-batch sampler result: one entry per scheduled group."""
     outputs: List[SequenceGroupOutput]
 
-    def __getitem__(self, idx: int):
-        return self.outputs[idx]
-
-    def __setitem__(self, idx: int, value):
-        self.outputs[idx] = value
-
-    def __len__(self):
-        return len(self.outputs)
+    # fmt: off
+    def __getitem__(self, idx: int): return self.outputs[idx]
+    def __setitem__(self, idx: int, value): self.outputs[idx] = value
+    def __len__(self): return len(self.outputs)
+    # fmt: on

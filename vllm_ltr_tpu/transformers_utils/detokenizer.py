@@ -1,122 +1,97 @@
-"""Incremental detokenization.
+"""Streaming detokenization.
 
-Behavioral counterpart of reference
-``vllm/transformers_utils/detokenizer.py`` (313 LoC): decode newly sampled
-tokens without re-decoding the whole sequence, handling multi-token glyphs
-(hold back text until the byte sequence is complete).
+Behavioral counterpart of reference vllm/transformers_utils/detokenizer.py:
+turn newly sampled token ids into text without re-decoding the whole
+sequence, holding back output while a multi-token glyph (byte-fallback
+UTF-8 sequence) is still incomplete.
+
+Approach: each sequence keeps a cache of its token *strings* plus a
+sliding stabilization window [prefix_offset, read_offset).  A new token is
+emitted only once rendering the window with it produces strictly more text
+that does not end in U+FFFD (the replacement character HF emits for a
+dangling byte sequence).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from itertools import groupby
+from typing import List
 
-from vllm_ltr_tpu.sequence import Logprob, Sequence
+from vllm_ltr_tpu.sequence import Sequence
 
-INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET = 5
-
-
-def _convert_tokens_to_string_with_added_encoders(
-        tokenizer, output_tokens: List[str], skip_special_tokens: bool,
-        spaces_between_special_tokens: bool) -> str:
-    sub_texts = []
-    current_sub_text: List[str] = []
-    all_special_tokens = set(tokenizer.all_special_tokens)
-    for token in output_tokens:
-        if skip_special_tokens and token in all_special_tokens:
-            continue
-        if token in tokenizer.get_added_vocab():
-            if current_sub_text:
-                sub_texts.append(
-                    tokenizer.convert_tokens_to_string(current_sub_text))
-                current_sub_text = []
-            sub_texts.append(token)
-        else:
-            current_sub_text.append(token)
-    if current_sub_text:
-        sub_texts.append(tokenizer.convert_tokens_to_string(current_sub_text))
-    if spaces_between_special_tokens:
-        return " ".join(sub_texts)
-    return "".join(sub_texts)
-
-
-def detokenize_incrementally(
-    tokenizer,
-    all_input_ids: List[int],
-    prev_tokens: Optional[List[str]],
-    prefix_offset: int,
-    read_offset: int,
-    skip_special_tokens: bool = False,
-    spaces_between_special_tokens: bool = True,
-) -> Tuple[List[str], str, int, int]:
-    """Returns (new_tokens, new_decoded_text, prefix_offset, read_offset)."""
-    new_token_id = all_input_ids[-1]
-    if skip_special_tokens and new_token_id in tokenizer.all_special_ids:
-        return [], "", prefix_offset, read_offset
-
-    def _ids_to_tokens(ids):
-        toks = tokenizer.convert_ids_to_tokens(
-            ids, skip_special_tokens=skip_special_tokens)
-        # Ids outside the tokenizer vocab (model vocab can be padded
-        # larger) decode to None; render them as empty strings.
-        return [t if t is not None else "" for t in toks]
-
-    if prev_tokens is None:
-        new_tokens = _ids_to_tokens(all_input_ids)
-        output_tokens = new_tokens
-        prefix_offset = max(
-            len(output_tokens) - INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET,
-            0)
-        read_offset = max(len(output_tokens) - 1, 0)
-    else:
-        new_tokens = _ids_to_tokens([new_token_id])
-        output_tokens = prev_tokens + new_tokens
-
-    # Decode the window and emit only stabilized text.
-    if tokenizer.is_fast or not tokenizer.get_added_vocab():
-        prefix_text = tokenizer.convert_tokens_to_string(
-            output_tokens[prefix_offset:read_offset])
-        new_text = tokenizer.convert_tokens_to_string(
-            output_tokens[prefix_offset:])
-    else:
-        prefix_text = _convert_tokens_to_string_with_added_encoders(
-            tokenizer, output_tokens[prefix_offset:read_offset],
-            skip_special_tokens, spaces_between_special_tokens)
-        new_text = _convert_tokens_to_string_with_added_encoders(
-            tokenizer, output_tokens[prefix_offset:], skip_special_tokens,
-            spaces_between_special_tokens)
-
-    if len(new_text) > len(prefix_text) and not new_text.endswith("�"):
-        # Utf-8 char at the end means it's a potential unfinished byte
-        # sequence from byte fallback tokenization; defer until complete.
-        new_text = new_text[len(prefix_text):]
-        return new_tokens, new_text, read_offset, len(output_tokens)
-    return new_tokens, "", prefix_offset, read_offset
+# How many trailing tokens the first render uses for context.
+_WINDOW = 5
 
 
 class Detokenizer:
-    """Engine-side incremental detokenizer for sequences."""
+    """Engine-side streaming decoder; cursor state lives on the sequence."""
 
     def __init__(self, tokenizer) -> None:
         self.tokenizer = tokenizer
+
+    # -- rendering -----------------------------------------------------------
+
+    def _token_strings(self, ids: List[int],
+                       skip_special_tokens: bool) -> List[str]:
+        toks = self.tokenizer.convert_ids_to_tokens(
+            ids, skip_special_tokens=skip_special_tokens)
+        # Ids beyond the tokenizer vocab (padded model vocab) map to None.
+        return ["" if t is None else t for t in toks]
+
+    def _render(self, tokens: List[str], skip_special_tokens: bool,
+                spaces_between_special_tokens: bool) -> str:
+        """Token strings -> text.  Slow tokenizers with added vocabulary
+        need added tokens rendered verbatim, outside
+        convert_tokens_to_string."""
+        tok = self.tokenizer
+        if tok.is_fast or not tok.get_added_vocab():
+            return tok.convert_tokens_to_string(tokens)
+
+        specials = set(tok.all_special_tokens)
+        added = set(tok.get_added_vocab())
+        kept = [
+            t for t in tokens
+            if not (skip_special_tokens and t in specials)
+        ]
+        pieces: List[str] = []
+        for is_added, run in groupby(kept, key=lambda t: t in added):
+            if is_added:
+                pieces.extend(run)
+            else:
+                pieces.append(tok.convert_tokens_to_string(list(run)))
+        sep = " " if spaces_between_special_tokens else ""
+        return sep.join(pieces)
+
+    # -- streaming entry point -------------------------------------------------
 
     def decode_sequence_inplace(self, seq: Sequence,
                                 skip_special_tokens: bool,
                                 spaces_between_special_tokens: bool) -> None:
         if self.tokenizer is None:
             return
-        all_input_ids = seq.get_token_ids()
-        (new_tokens, new_output_text, prefix_offset,
-         read_offset) = detokenize_incrementally(
-             self.tokenizer,
-             all_input_ids=all_input_ids,
-             prev_tokens=seq.tokens,
-             prefix_offset=seq.prefix_offset,
-             read_offset=seq.read_offset,
-             skip_special_tokens=skip_special_tokens,
-             spaces_between_special_tokens=spaces_between_special_tokens)
+        ids = seq.get_token_ids()
+        fresh_id = ids[-1]
+        if skip_special_tokens and fresh_id in self.tokenizer.all_special_ids:
+            return
+
         if seq.tokens is None:
-            seq.tokens = new_tokens
+            # First decode: build the full token-string cache and place the
+            # window over the last few tokens.
+            seq.tokens = self._token_strings(ids, skip_special_tokens)
+            seq.prefix_offset = max(len(seq.tokens) - _WINDOW, 0)
+            seq.read_offset = max(len(seq.tokens) - 1, 0)
         else:
-            seq.tokens.extend(new_tokens)
-        seq.prefix_offset = prefix_offset
-        seq.read_offset = read_offset
-        seq.output_text += new_output_text
+            seq.tokens.extend(
+                self._token_strings([fresh_id], skip_special_tokens))
+
+        settled = self._render(seq.tokens[seq.prefix_offset:seq.read_offset],
+                               skip_special_tokens,
+                               spaces_between_special_tokens)
+        candidate = self._render(seq.tokens[seq.prefix_offset:],
+                                 skip_special_tokens,
+                                 spaces_between_special_tokens)
+
+        if len(candidate) > len(settled) and not candidate.endswith("�"):
+            # The new token produced stable text: emit it, slide the window.
+            seq.output_text += candidate[len(settled):]
+            seq.prefix_offset = seq.read_offset
+            seq.read_offset = len(seq.tokens)
