@@ -261,24 +261,33 @@ class LLMEngine:
         time_per_output_tokens = []
         time_e2e_requests = []
         if scheduler_outputs is not None:
-            prompt_run = scheduler_outputs.num_prefill_groups > 0
-            if prompt_run:
-                num_prompt_tokens = sum(
-                    len(sg.seq_group.prompt_token_ids)
-                    for sg in scheduler_outputs.scheduled_seq_groups
-                    if sg.seq_group.is_prefill())
-            num_generation_tokens = sum(
-                1 for sg in scheduler_outputs.scheduled_seq_groups
-                if not sg.seq_group.is_prefill())
             for sg in scheduler_outputs.scheduled_seq_groups:
-                seq_group = sg.seq_group
-                if seq_group.is_finished():
-                    if (seq_group.metrics.first_token_time is not None):
+                group = sg.seq_group
+                if group.is_prefill():
+                    # Mid-prefill (chunked): count the chunk, no token yet.
+                    num_prompt_tokens += sg.token_chunk_size
+                    continue
+                num_generation_tokens += group.num_seqs(
+                    status=SequenceStatus.RUNNING) or group.num_seqs()
+                first = group.metrics.first_token_time
+                produced = group.get_seqs()[0].get_output_len()
+                # Advance the inter-token clock every decode step; the
+                # first token of a request reports TTFT instead of TPOT
+                # (chunked prefill makes this a per-group, not per-step,
+                # distinction).
+                gap = group.get_last_latency(now)
+                if produced <= 1:
+                    if sg.token_chunk_size > 1:
+                        # Prefill completed this step.
+                        num_prompt_tokens += sg.token_chunk_size
+                    if first is not None:
                         time_to_first_tokens.append(
-                            seq_group.metrics.first_token_time -
-                            seq_group.metrics.arrival_time)
+                            first - group.metrics.arrival_time)
+                else:
+                    time_per_output_tokens.append(gap)
+                if group.is_finished():
                     time_e2e_requests.append(now -
-                                             seq_group.metrics.arrival_time)
+                                             group.metrics.arrival_time)
 
         return Stats(
             now=now,

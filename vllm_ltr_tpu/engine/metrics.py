@@ -1,15 +1,16 @@
 """Engine metrics: Prometheus registry + periodic local logging.
 
-Behavioral counterpart of reference ``vllm/engine/metrics.py`` (237 LoC):
-cache usage gauges, queue depths, token throughput counters, TTFT/TPOT/e2e
-histograms, 5-second local log summaries. Prometheus is optional — without
-``prometheus_client`` installed, local logging still works.
+Behavioral counterpart of reference vllm/engine/metrics.py (237 LoC):
+cache-usage gauges, queue depths, token-throughput counters, TTFT / TPOT /
+end-to-end histograms, and a 5-second local log line.  The collector set
+is declared as a spec table and built in one loop; Prometheus is optional
+(local logging works without prometheus_client).
 """
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from vllm_ltr_tpu.logger import init_logger
 
@@ -26,7 +27,7 @@ except ImportError:  # pragma: no cover
 
 @dataclass
 class Stats:
-    """Per-step system snapshot."""
+    """Per-step system snapshot fed to the logger."""
     now: float
     num_running: int
     num_swapped: int
@@ -40,55 +41,75 @@ class Stats:
     time_e2e_requests: List[float] = field(default_factory=list)
 
 
+# Collector specs: (metric name, help text, Stats attribute).
+_GAUGE_SPECS = [
+    ("num_requests_running", "Requests currently running.", "num_running"),
+    ("num_requests_swapped", "Requests swapped to host.", "num_swapped"),
+    ("num_requests_waiting", "Requests waiting.", "num_waiting"),
+    ("gpu_cache_usage_perc", "Device KV-cache usage (1 = full).",
+     "gpu_cache_usage"),
+    ("cpu_cache_usage_perc", "Host swap KV-cache usage (1 = full).",
+     "cpu_cache_usage"),
+]
+_COUNTER_SPECS = [
+    ("prompt_tokens_total", "Prefill tokens processed.",
+     "num_prompt_tokens"),
+    ("generation_tokens_total", "Generation tokens processed.",
+     "num_generation_tokens"),
+]
+_HISTOGRAM_SPECS = [
+    ("time_to_first_token_seconds", "Time to first token.",
+     "time_to_first_tokens",
+     (0.001, 0.005, 0.01, 0.02, 0.04, 0.06, 0.08, 0.1, 0.25, 0.5, 0.75,
+      1.0, 2.5, 5.0, 7.5, 10.0)),
+    ("time_per_output_token_seconds", "Time per output token.",
+     "time_per_output_tokens",
+     (0.01, 0.025, 0.05, 0.075, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5, 0.75, 1.0,
+      2.5)),
+    ("e2e_request_latency_seconds", "End-to-end request latency.",
+     "time_e2e_requests",
+     (1.0, 2.5, 5.0, 10.0, 15.0, 20.0, 30.0, 40.0, 50.0, 60.0)),
+]
+_PREFIX = "ltr_tpu:"
+
+
 class Metrics:
+    """Prometheus collector set, built from the spec tables."""
 
     def __init__(self, labelnames: List[str]):
+        self.gauges = {}
+        self.counters = {}
+        self.histograms = {}
         if not _HAS_PROMETHEUS:
             return
         self._unregister_duplicates()
-        self.gauge_scheduler_running = Gauge(
-            "ltr_tpu:num_requests_running",
-            "Number of requests currently running.", labelnames)
-        self.gauge_scheduler_swapped = Gauge(
-            "ltr_tpu:num_requests_swapped",
-            "Number of requests swapped to host.", labelnames)
-        self.gauge_scheduler_waiting = Gauge(
-            "ltr_tpu:num_requests_waiting",
-            "Number of requests waiting.", labelnames)
-        self.gauge_gpu_cache_usage = Gauge(
-            "ltr_tpu:gpu_cache_usage_perc",
-            "Device KV-cache usage (1 = full).", labelnames)
-        self.gauge_cpu_cache_usage = Gauge(
-            "ltr_tpu:cpu_cache_usage_perc",
-            "Host swap KV-cache usage (1 = full).", labelnames)
-        self.counter_prompt_tokens = Counter(
-            "ltr_tpu:prompt_tokens_total",
-            "Number of prefill tokens processed.", labelnames)
-        self.counter_generation_tokens = Counter(
-            "ltr_tpu:generation_tokens_total",
-            "Number of generation tokens processed.", labelnames)
-        self.histogram_time_to_first_token = Histogram(
-            "ltr_tpu:time_to_first_token_seconds",
-            "Time to first token.", labelnames,
-            buckets=[0.001, 0.005, 0.01, 0.02, 0.04, 0.06, 0.08, 0.1, 0.25,
-                     0.5, 0.75, 1.0, 2.5, 5.0, 7.5, 10.0])
-        self.histogram_time_per_output_token = Histogram(
-            "ltr_tpu:time_per_output_token_seconds",
-            "Time per output token.", labelnames,
-            buckets=[0.01, 0.025, 0.05, 0.075, 0.1, 0.15, 0.2, 0.3, 0.4,
-                     0.5, 0.75, 1.0, 2.5])
-        self.histogram_e2e_request_latency = Histogram(
-            "ltr_tpu:e2e_request_latency_seconds",
-            "End-to-end request latency.", labelnames,
-            buckets=[1.0, 2.5, 5.0, 10.0, 15.0, 20.0, 30.0, 40.0, 50.0,
-                     60.0])
+        for name, help_text, attr in _GAUGE_SPECS:
+            self.gauges[attr] = Gauge(_PREFIX + name, help_text, labelnames)
+        for name, help_text, attr in _COUNTER_SPECS:
+            self.counters[attr] = Counter(_PREFIX + name, help_text,
+                                          labelnames)
+        for name, help_text, attr, buckets in _HISTOGRAM_SPECS:
+            self.histograms[attr] = Histogram(_PREFIX + name, help_text,
+                                              labelnames,
+                                              buckets=list(buckets))
+
+    def record(self, stats: Stats, labels: Dict[str, str]) -> None:
+        if not _HAS_PROMETHEUS:
+            return
+        for attr, gauge in self.gauges.items():
+            gauge.labels(**labels).set(getattr(stats, attr))
+        for attr, counter in self.counters.items():
+            counter.labels(**labels).inc(getattr(stats, attr))
+        for attr, hist in self.histograms.items():
+            h = hist.labels(**labels)
+            for value in getattr(stats, attr):
+                h.observe(value)
 
     @staticmethod
     def _unregister_duplicates():
-        # Allow multiple engines per process (tests).
+        # Tests create several engines per process; drop stale collectors.
         for collector in list(REGISTRY._names_to_collectors.values()):
-            name = getattr(collector, "_name", "")
-            if name.startswith("ltr_tpu:"):
+            if getattr(collector, "_name", "").startswith(_PREFIX):
                 try:
                     REGISTRY.unregister(collector)
                 except KeyError:
@@ -96,71 +117,34 @@ class Metrics:
 
 
 class StatLogger:
-    """Aggregates Stats and logs locally every `local_interval` seconds
-    (+ pushes to Prometheus when available)."""
+    """Pushes each Stats to Prometheus and prints a rollup every
+    ``local_interval`` seconds."""
 
     def __init__(self, local_interval: float, labels: Dict[str, str]):
-        self.last_local_log = time.monotonic()
         self.local_interval = local_interval
         self.labels = labels
-        self.num_prompt_tokens: List[int] = []
-        self.num_generation_tokens: List[int] = []
         self.metrics = Metrics(labelnames=list(labels.keys()))
-
-    def _get_throughput(self, tracked: List[int], now: float) -> float:
-        elapsed = now - self.last_local_log
-        return float(sum(tracked) / elapsed) if elapsed > 0 else 0.0
-
-    def _local_interval_elapsed(self, now: float) -> bool:
-        return now - self.last_local_log >= self.local_interval
-
-    def _log_prometheus(self, stats: Stats) -> None:
-        if not _HAS_PROMETHEUS:
-            return
-        m = self.metrics
-        m.gauge_scheduler_running.labels(**self.labels).set(
-            stats.num_running)
-        m.gauge_scheduler_swapped.labels(**self.labels).set(
-            stats.num_swapped)
-        m.gauge_scheduler_waiting.labels(**self.labels).set(
-            stats.num_waiting)
-        m.gauge_gpu_cache_usage.labels(**self.labels).set(
-            stats.gpu_cache_usage)
-        m.gauge_cpu_cache_usage.labels(**self.labels).set(
-            stats.cpu_cache_usage)
-        m.counter_prompt_tokens.labels(**self.labels).inc(
-            stats.num_prompt_tokens)
-        m.counter_generation_tokens.labels(**self.labels).inc(
-            stats.num_generation_tokens)
-        for ttft in stats.time_to_first_tokens:
-            m.histogram_time_to_first_token.labels(**self.labels).observe(
-                ttft)
-        for tpot in stats.time_per_output_tokens:
-            m.histogram_time_per_output_token.labels(**self.labels).observe(
-                tpot)
-        for e2e in stats.time_e2e_requests:
-            m.histogram_e2e_request_latency.labels(**self.labels).observe(
-                e2e)
+        self._mark = time.monotonic()
+        self._prompt_tokens = 0
+        self._generation_tokens = 0
 
     def log(self, stats: Stats) -> None:
-        self._log_prometheus(stats)
-        self.num_prompt_tokens.append(stats.num_prompt_tokens)
-        self.num_generation_tokens.append(stats.num_generation_tokens)
+        self.metrics.record(stats, self.labels)
+        self._prompt_tokens += stats.num_prompt_tokens
+        self._generation_tokens += stats.num_generation_tokens
 
         now = time.monotonic()
-        if self._local_interval_elapsed(now):
-            prompt_throughput = self._get_throughput(self.num_prompt_tokens,
-                                                     now)
-            generation_throughput = self._get_throughput(
-                self.num_generation_tokens, now)
-            logger.info(
-                "Avg prompt throughput: %.1f tokens/s, "
-                "Avg generation throughput: %.1f tokens/s, "
-                "Running: %d reqs, Swapped: %d reqs, Pending: %d reqs, "
-                "Device KV cache usage: %.1f%%, Host KV cache usage: %.1f%%",
-                prompt_throughput, generation_throughput, stats.num_running,
-                stats.num_swapped, stats.num_waiting,
-                stats.gpu_cache_usage * 100, stats.cpu_cache_usage * 100)
-            self.last_local_log = now
-            self.num_prompt_tokens = []
-            self.num_generation_tokens = []
+        window = now - self._mark
+        if window < self.local_interval:
+            return
+        logger.info(
+            "Avg prompt throughput: %.1f tokens/s, "
+            "Avg generation throughput: %.1f tokens/s, "
+            "Running: %d reqs, Swapped: %d reqs, Pending: %d reqs, "
+            "Device KV cache usage: %.1f%%, Host KV cache usage: %.1f%%",
+            self._prompt_tokens / window, self._generation_tokens / window,
+            stats.num_running, stats.num_swapped, stats.num_waiting,
+            stats.gpu_cache_usage * 100, stats.cpu_cache_usage * 100)
+        self._mark = now
+        self._prompt_tokens = 0
+        self._generation_tokens = 0
