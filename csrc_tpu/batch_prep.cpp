@@ -19,6 +19,9 @@ extern "C" {
 // Fill the flattened token arrays for one step.
 //   all_tokens   [total]  concatenated new token ids, row-major by row
 //   row_start    [R]      offset of each row's tokens in all_tokens
+//   out_start    [R]      destination offset of the row in the flat layout
+//                         (tile-aligned when the Pallas prefill kernel will
+//                         consume the batch; gaps stay padding)
 //   row_len      [R]      number of new tokens in the row
 //   row_pos0     [R]      absolute position of the row's first new token
 //   block_tables [R*mb]   physical block numbers per row (-1 = none)
@@ -27,6 +30,7 @@ extern "C" {
 // Returns the number of real tokens written, or -1 on overflow.
 int32_t pack_batch(const int32_t* all_tokens,
                    const int32_t* row_start,
+                   const int32_t* out_start,
                    const int32_t* row_len,
                    const int32_t* row_pos0,
                    const int32_t* block_tables,
@@ -44,26 +48,28 @@ int32_t pack_batch(const int32_t* all_tokens,
         token_seq[t] = -1;
         slots[t] = -1;
     }
-    int32_t cursor = 0;
+    int32_t written = 0;
     for (int32_t r = 0; r < num_rows; ++r) {
         const int32_t len = row_len[r];
-        const int32_t start = row_start[r];
+        const int32_t src = row_start[r];
+        const int32_t dst = out_start[r];
         const int32_t pos0 = row_pos0[r];
-        if (cursor + len > T) return -1;
+        if (dst + len > T) return -1;
         const int32_t* bt = block_tables + (int64_t)r * mb;
         for (int32_t i = 0; i < len; ++i) {
             const int32_t pos = pos0 + i;
-            tokens[cursor] = all_tokens[start + i];
-            positions[cursor] = pos;
-            token_seq[cursor] = r;
+            const int32_t t = dst + i;
+            tokens[t] = all_tokens[src + i];
+            positions[t] = pos;
+            token_seq[t] = r;
             const int32_t b = pos / block_size;
             const int32_t blk = (b < mb) ? bt[b] : -1;
-            slots[cursor] = (blk < 0) ? -1
-                                      : blk * block_size + pos % block_size;
-            ++cursor;
+            slots[t] = (blk < 0) ? -1
+                                 : blk * block_size + pos % block_size;
         }
+        written += len;
     }
-    return cursor;
+    return written;
 }
 
 // Saturating token-count histogram for sampling penalties:

@@ -88,3 +88,24 @@ def test_decode_kernel_bf16_kv():
                                         scale=scale, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_decode_kernel_sliding_window():
+    """Sliding-window decode: the kernel skips blocks left of the window
+    and matches the reference mask semantics (Mistral path, no fallback)."""
+    q, cache, block_tables, seq_lens = build_case(3, 8, 2, 64, max_blocks=6,
+                                                  seed=5)
+    seq_lens = jnp.asarray([96, 17, 64], jnp.int32)
+    scale = 64**-0.5
+    from vllm_ltr_tpu.ops.attention import paged_attention_reference
+    S = 3
+    token_seq = jnp.arange(S, dtype=jnp.int32)
+    token_pos = jnp.maximum(seq_lens - 1, 0)
+    ref = paged_attention_reference(q, cache, block_tables, token_seq,
+                                    token_pos, seq_lens, scale,
+                                    sliding_window=48)
+    out = paged_attention_decode_pallas(q, cache, block_tables, seq_lens,
+                                        block_size=BLOCK, scale=scale,
+                                        window=48, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)

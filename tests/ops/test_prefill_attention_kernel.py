@@ -1,0 +1,124 @@
+"""Pallas chunked-prefill kernel vs the XLA reference (interpret mode).
+
+Covers full prefill, chunked prefill mid-sequence (prefix already cached),
+multi-kilotoken prompts (the O(T*ctx) case the reference gather path blows
+up on), sliding window, GQA, and padding tiles.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_ltr_tpu.ops.attention import paged_attention_reference
+from vllm_ltr_tpu.ops.pallas.prefill_attention import (
+    paged_prefill_attention_pallas)
+
+BLOCK = 16
+
+
+def build_flat_case(row_specs, QH, KH, D, tile, seed=0,
+                    dtype=jnp.float32):
+    """row_specs: list of (chunk_len, prior_ctx) per sequence.  Builds a
+    tile-aligned flat batch the way input_batch.py does."""
+    rng = np.random.RandomState(seed)
+    S = len(row_specs)
+    seq_lens = np.asarray([c + p for c, p in row_specs], np.int32)
+    max_blocks = int(np.ceil(seq_lens.max() / BLOCK))
+    N = S * max_blocks
+    cache = rng.normal(size=(2, KH, N + 1, BLOCK, D)).astype(np.float32)
+    perm = rng.permutation(N)
+    block_tables = perm[:S * max_blocks].reshape(S, max_blocks).astype(
+        np.int32)
+
+    # Tile-aligned flat layout.
+    starts, cursor = [], 0
+    for chunk, _ in row_specs:
+        starts.append(cursor)
+        cursor += -(-chunk // tile) * tile
+    T = cursor
+    token_seq = np.full(T, -1, np.int32)
+    token_pos = np.zeros(T, np.int32)
+    for r, (chunk, prior) in enumerate(row_specs):
+        sl = slice(starts[r], starts[r] + chunk)
+        token_seq[sl] = r
+        token_pos[sl] = prior + np.arange(chunk)
+
+    q = rng.normal(size=(T, QH, D)).astype(np.float32)
+    return (jnp.asarray(q, dtype), jnp.asarray(cache, dtype),
+            jnp.asarray(block_tables), jnp.asarray(token_seq),
+            jnp.asarray(token_pos), jnp.asarray(seq_lens))
+
+
+def run_both(case, scale, tile, window=None):
+    q, cache, bt, tseq, tpos, slens = case
+    ref = paged_attention_reference(q, cache, bt, tseq, tpos, slens, scale,
+                                    sliding_window=window)
+    out = paged_prefill_attention_pallas(q, cache, bt, tseq, tpos, slens,
+                                         tile=tile, block_size=BLOCK,
+                                         scale=scale, window=window,
+                                         interpret=True)
+    # Only real tokens are compared (pad tiles/rows are don't-care).
+    mask = np.asarray(tseq) >= 0
+    np.testing.assert_allclose(np.asarray(out)[mask],
+                               np.asarray(ref)[mask],
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("QH,KH", [(4, 4), (8, 2), (16, 2)])
+def test_full_prefill_matches_reference(QH, KH):
+    tile = 32
+    case = build_flat_case([(40, 0), (17, 0), (32, 0)], QH, KH, 64, tile)
+    run_both(case, 64**-0.5, tile)
+
+
+def test_chunked_prefill_attends_to_cached_prefix():
+    """Queries start mid-sequence: keys include the previously cached
+    context (the prefix-prefill case)."""
+    tile = 32
+    case = build_flat_case([(33, 64), (16, 48)], 4, 4, 64, tile, seed=1)
+    run_both(case, 64**-0.5, tile)
+
+
+def test_long_prompt_multi_tile():
+    """1k-token prompt (8 query tiles x 64 KV chunks in interpret mode) —
+    the shape class the XLA gather path materializes O(T*ctx) for.  The
+    full 2k case runs on hardware via the benchmark harness
+    (docs/BENCHMARKS.md)."""
+    tile = 128
+    case = build_flat_case([(1024, 0)], 4, 2, 64, tile, seed=2)
+    run_both(case, 64**-0.5, tile)
+
+
+def test_sliding_window():
+    tile = 32
+    case = build_flat_case([(40, 32), (24, 0)], 4, 4, 64, tile, seed=3)
+    run_both(case, 64**-0.5, tile, window=48)
+
+
+def test_padding_tiles_are_finite():
+    tile = 32
+    q, cache, bt, tseq, tpos, slens = build_flat_case([(5, 0)], 4, 4, 64,
+                                                      tile, seed=4)
+    # Append a fully-padded tile.
+    T = q.shape[0]
+    q = jnp.concatenate([q, jnp.zeros((tile, 4, 64), q.dtype)])
+    tseq = jnp.concatenate([tseq, jnp.full((tile, ), -1, jnp.int32)])
+    tpos = jnp.concatenate([tpos, jnp.zeros((tile, ), jnp.int32)])
+    out = paged_prefill_attention_pallas(q, cache, bt, tseq, tpos, slens,
+                                         tile=tile, block_size=BLOCK,
+                                         scale=0.125, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_kv_cache():
+    tile = 32
+    q, cache, bt, tseq, tpos, slens = build_flat_case([(33, 16)], 8, 2, 128,
+                                                      tile, seed=5)
+    cache = cache.astype(jnp.bfloat16)
+    ref = paged_attention_reference(q, cache, bt, tseq, tpos, slens, 0.1)
+    out = paged_prefill_attention_pallas(q, cache, bt, tseq, tpos, slens,
+                                         tile=tile, block_size=BLOCK,
+                                         scale=0.1, interpret=True)
+    mask = np.asarray(tseq) >= 0
+    np.testing.assert_allclose(np.asarray(out)[mask],
+                               np.asarray(ref)[mask], rtol=2e-2, atol=2e-2)

@@ -503,12 +503,19 @@ class ParallelConfig:
         data_parallel_size: int = 1,
         max_parallel_loading_workers: Optional[int] = None,
         disable_custom_all_reduce: bool = False,
+        distributed_coordinator: Optional[str] = None,
+        distributed_num_processes: Optional[int] = None,
+        distributed_process_id: Optional[int] = None,
     ) -> None:
         self.pipeline_parallel_size = pipeline_parallel_size
         self.tensor_parallel_size = tensor_parallel_size
         self.data_parallel_size = data_parallel_size
         self.max_parallel_loading_workers = max_parallel_loading_workers
         self.disable_custom_all_reduce = disable_custom_all_reduce
+        # Multi-host runtime (jax.distributed over DCN); None = env/auto.
+        self.distributed_coordinator = distributed_coordinator
+        self.distributed_num_processes = distributed_num_processes
+        self.distributed_process_id = distributed_process_id
         self.world_size = (pipeline_parallel_size * tensor_parallel_size *
                            data_parallel_size)
         self._verify_args()

@@ -55,6 +55,11 @@ class EngineArgs:
     max_lora_rank: int = 16
     device: str = "auto"
     enable_chunked_prefill: bool = False
+    # Multi-host runtime (jax.distributed); omit all three on TPU pods for
+    # auto-detection from the metadata server.
+    distributed_coordinator: Optional[str] = None
+    distributed_num_processes: Optional[int] = None
+    distributed_process_id: Optional[int] = None
     num_lookahead_slots: int = 0
     scheduler_delay_factor: float = 0.0
     # --- LTR flags (reference arg_utils.py:75-76,350-357) ---
@@ -100,6 +105,9 @@ class EngineArgs:
             tensor_parallel_size=self.tensor_parallel_size,
             data_parallel_size=self.data_parallel_size,
             disable_custom_all_reduce=self.disable_custom_all_reduce,
+            distributed_coordinator=self.distributed_coordinator,
+            distributed_num_processes=self.distributed_num_processes,
+            distributed_process_id=self.distributed_process_id,
         )
         model_config.verify_with_parallel_config(parallel_config)
         cache_config.verify_with_parallel_config(parallel_config)

@@ -164,9 +164,18 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     app = init_server(args)
+    executor = engine.engine.model_executor
+    if executor.multihost and not executor.is_leader:
+        # Non-leader hosts mirror the leader's device dispatches instead of
+        # serving HTTP (the reference's Ray worker loop equivalent).
+        executor.serve_follower()
+        return
     logger.info("Starting OpenAI-compatible server on %s:%d (model=%s)",
                 args.host, args.port, args.model)
-    web.run_app(app, host=args.host, port=args.port, print=None)
+    try:
+        web.run_app(app, host=args.host, port=args.port, print=None)
+    finally:
+        executor.shutdown_followers()
 
 
 if __name__ == "__main__":

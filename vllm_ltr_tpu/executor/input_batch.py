@@ -63,6 +63,8 @@ class PreparedBatch:
     rows_to_sample: List[int]
     # True when every scheduled group is a single decode token (row-aligned)
     decode_only: bool = False
+    # True when prefill rows are tile-aligned (Pallas prefill kernel layout)
+    prefill_aligned: bool = False
     # i32[T] LoRA bank slot per token (None when no request uses LoRA)
     lora_slots: Optional[np.ndarray] = None
     # token counts for penalties, or None when no request uses penalties
@@ -77,7 +79,12 @@ def prepare_batch(
     seq_buckets: List[int],
     vocab_size: int,
     lora_slot_of=None,
+    prefill_tile: int = 1,
 ) -> PreparedBatch:
+    """``prefill_tile`` > 1 tile-aligns each row's destination offset in the
+    flat token layout (prefill batches only), the contract the Pallas
+    chunked-prefill kernel needs: every tile of that many tokens belongs to
+    at most one sequence."""
     decode_only = all(not m.is_prompt for m in seq_group_metadata_list)
     any_lora = any(m.lora_request is not None
                    for m in seq_group_metadata_list)
@@ -142,10 +149,29 @@ def prepare_batch(
 
     num_real_seqs = len(seq_rows)
     row_len_np = np.asarray(row_len, np.int32)
+    # Source offsets: rows are concatenated back-to-back in all_tokens.
     row_start_np = np.zeros(num_real_seqs, np.int32)
     if num_real_seqs > 1:
         row_start_np[1:] = np.cumsum(row_len_np)[:-1]
     num_real_tokens = int(row_len_np.sum()) if num_real_seqs else 0
+
+    # Destination offsets: tile-aligned for prefill batches so the Pallas
+    # prefill kernel's tile->sequence mapping holds; contiguous otherwise.
+    def dest_offsets(align: int):
+        starts = np.zeros(num_real_seqs, np.int32)
+        cursor = 0
+        for i in range(num_real_seqs):
+            starts[i] = cursor
+            cursor += -(-int(row_len_np[i]) // align) * align
+        return starts, cursor
+
+    align = 1 if decode_only else max(prefill_tile, 1)
+    out_start_np, num_padded_tokens = dest_offsets(align)
+    if align > 1 and num_padded_tokens > token_buckets[-1]:
+        # Alignment waste would overflow the largest bucket (many tiny
+        # prefills): fall back to the contiguous layout + XLA path.
+        align = 1
+        out_start_np, num_padded_tokens = dest_offsets(align)
 
     S = pad_to_bucket(max(num_real_seqs, 1), seq_buckets)
     if decode_only:
@@ -153,9 +179,15 @@ def prepare_batch(
         # streaming decode kernel can treat q as [S, ...].
         T = S
     else:
-        T = pad_to_bucket(max(num_real_tokens, 1), token_buckets)
-    assert num_real_tokens <= T and num_real_seqs <= S, (
-        f"batch exceeds buckets: {num_real_tokens}>{T} or "
+        T = pad_to_bucket(max(num_padded_tokens, 1), token_buckets)
+        if align > 1:
+            T = max(T, align)
+            if T % align:  # non-power-of-two bucket tail
+                align = 1
+                out_start_np, num_padded_tokens = dest_offsets(align)
+    prefill_aligned = (not decode_only) and align > 1
+    assert num_padded_tokens <= T and num_real_seqs <= S, (
+        f"batch exceeds buckets: {num_padded_tokens}>{T} or "
         f"{num_real_seqs}>{S}")
 
     # Dense per-row block tables for the packer + the step function.
@@ -168,7 +200,7 @@ def prepare_batch(
         np.asarray(p, np.int32) for p in new_token_parts
     ]) if num_real_tokens else np.zeros(0, np.int32))
     tokens, positions, token_seq, slot_mapping = native.pack_batch(
-        all_tokens, row_start_np, row_len_np,
+        all_tokens, row_start_np, out_start_np, row_len_np,
         np.asarray(row_pos0, np.int32), block_tables[:num_real_seqs],
         block_size, T)
     block_tables = np.maximum(block_tables, 0)
@@ -176,7 +208,7 @@ def prepare_batch(
     # Per-row sample index: last token of each row in the flat layout.
     sample_idx = np.zeros((S, ), np.int32)
     if num_real_seqs:
-        sample_idx[:num_real_seqs] = row_start_np + row_len_np - 1
+        sample_idx[:num_real_seqs] = out_start_np + row_len_np - 1
 
     seq_lens = np.zeros((S, ), dtype=np.int32)
     temperature = np.full((S, ), 1.0, dtype=np.float32)
@@ -221,7 +253,7 @@ def prepare_batch(
     if any_lora:
         lora_slots = np.zeros(T, np.int32)
         for i in range(num_real_seqs):
-            s, l = int(row_start_np[i]), int(row_len_np[i])
+            s, l = int(out_start_np[i]), int(row_len_np[i])
             lora_slots[s:s + l] = row_lora[i]
 
     return PreparedBatch(
@@ -245,6 +277,7 @@ def prepare_batch(
         row_owners=row_owners,
         rows_to_sample=rows_to_sample,
         decode_only=decode_only,
+        prefill_aligned=prefill_aligned,
         lora_slots=lora_slots,
         token_counts=token_counts,
     )

@@ -47,7 +47,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.pack_batch.restype = ctypes.c_int32
         lib.pack_batch.argtypes = [
-            _I32P, _I32P, _I32P, _I32P, _I32P, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, _I32P, _I32P, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _I32P, _I32P,
             _I32P, _I32P
         ]
@@ -66,15 +66,17 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def pack_batch(
     all_tokens: np.ndarray,  # i32[total]
-    row_start: np.ndarray,  # i32[R]
+    row_start: np.ndarray,  # i32[R] source offsets in all_tokens
+    out_start: np.ndarray,  # i32[R] destination offsets (may leave gaps)
     row_len: np.ndarray,  # i32[R]
     row_pos0: np.ndarray,  # i32[R]
     block_tables: np.ndarray,  # i32[R, MB]
     block_size: int,
     T: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Flatten rows of new tokens into padded step arrays.
-    Returns (tokens, positions, token_seq, slots), each i32[T]."""
+    """Flatten rows of new tokens into padded step arrays; gaps between
+    rows (tile alignment) stay padding. Returns (tokens, positions,
+    token_seq, slots), each i32[T]."""
     R, MB = block_tables.shape
     lib = _load()
     if lib is not None:
@@ -84,6 +86,7 @@ def pack_batch(
         slots = np.empty(T, np.int32)
         n = lib.pack_batch(np.ascontiguousarray(all_tokens, np.int32),
                            np.ascontiguousarray(row_start, np.int32),
+                           np.ascontiguousarray(out_start, np.int32),
                            np.ascontiguousarray(row_len, np.int32),
                            np.ascontiguousarray(row_pos0, np.int32),
                            np.ascontiguousarray(block_tables, np.int32), R,
@@ -98,12 +101,12 @@ def pack_batch(
     positions = np.zeros(T, np.int32)
     token_seq = np.full(T, -1, np.int32)
     slots = np.full(T, -1, np.int32)
-    cursor = 0
     for r in range(R):
         ln = int(row_len[r])
-        if cursor + ln > T:
+        dst = int(out_start[r])
+        if dst + ln > T:
             raise ValueError("batch exceeds token bucket")
-        sl = slice(cursor, cursor + ln)
+        sl = slice(dst, dst + ln)
         pos = int(row_pos0[r]) + np.arange(ln, dtype=np.int32)
         tokens[sl] = all_tokens[int(row_start[r]):int(row_start[r]) + ln]
         positions[sl] = pos
@@ -112,7 +115,6 @@ def pack_batch(
         blk = block_tables[r, blk_idx]
         s = blk * block_size + pos % block_size
         slots[sl] = np.where((pos // block_size < MB) & (blk >= 0), s, -1)
-        cursor += ln
     return tokens, positions, token_seq, slots
 
 

@@ -35,6 +35,7 @@ from vllm_ltr_tpu.models.common import AttentionMetadata, dtype_by_name
 from vllm_ltr_tpu.models.weights import load_params
 from vllm_ltr_tpu.ops.kv_cache import (HostSwapSpace, allocate_kv_cache,
                                        run_copy_blocks)
+from vllm_ltr_tpu.parallel import distributed as dist
 from vllm_ltr_tpu.parallel.mesh import (MODEL_AXIS, ShardingLayout,
                                         build_mesh, set_global_mesh)
 from vllm_ltr_tpu.sequence import (Logprob, SamplerOutput, SequenceGroupOutput,
@@ -120,6 +121,14 @@ class TPUExecutor:
         cache_config = engine_config.cache_config
         scheduler_config = engine_config.scheduler_config
 
+        # Multi-host: join the jax.distributed runtime first so the mesh
+        # spans every host's chips (reference worker.py:283-320 equivalent).
+        dist.init_distributed(parallel_config.distributed_coordinator,
+                              parallel_config.distributed_num_processes,
+                              parallel_config.distributed_process_id)
+        self.multihost = dist.process_count() > 1
+        self.is_leader = dist.is_leader()
+
         self.mesh = build_mesh(parallel_config.tensor_parallel_size,
                                parallel_config.data_parallel_size)
         set_global_mesh(self.mesh)
@@ -140,6 +149,13 @@ class TPUExecutor:
         self.block_size = cache_config.block_size
         self.max_model_len = model_config.max_model_len
         self.max_blocks_per_seq = cdiv(self.max_model_len, self.block_size)
+        # Query-tile size for the Pallas chunked-prefill kernel (the batch
+        # packer aligns prefill rows to it).
+        from vllm_ltr_tpu.ops.pallas.prefill_attention import (
+            prefill_tile_size)
+        num_q_heads = self.hf_config.num_attention_heads
+        self.prefill_tile = prefill_tile_size(
+            max(num_q_heads // self.num_kv_heads, 1))
 
         # Load + place weights.
         t0 = time.time()
@@ -284,6 +300,12 @@ class TPUExecutor:
         # shrink by tp, so the device fits tp x more logical blocks.
         num_gpu_blocks = int(available * tp // self._block_bytes())
         num_gpu_blocks = max(num_gpu_blocks, 0)
+        if self.multihost:
+            # Identical shapes everywhere: adopt the leader's sizing.
+            counts = dist.broadcast_header(
+                np.asarray([num_gpu_blocks, num_cpu_blocks] + [0] * 14,
+                           np.int32) if self.is_leader else None)
+            num_gpu_blocks, num_cpu_blocks = int(counts[0]), int(counts[1])
         logger.info(
             "HBM %.2f GiB limit, %.2f GiB in use -> %d device blocks "
             "(%d host swap blocks)", limit / _GB, in_use / _GB,
@@ -328,6 +350,7 @@ class TPUExecutor:
     def _build_step_fn(self):
         model_cls = self.model_cls
         cfg = self.hf_config
+        mesh = self.mesh
 
         pred_config = self.pred_config
 
@@ -335,11 +358,12 @@ class TPUExecutor:
             jax.jit,
             donate_argnums=(1, ),
             static_argnames=("use_penalties", "decode_mode",
-                             "capture_layer", "has_lora"))
+                             "capture_layer", "has_lora", "prefill_tile"))
         def step_fn(params, pred_params, kv_cache, i32_t, i32_s, f32_s,
                     block_tables, token_counts, rng,
                     use_penalties: bool, decode_mode: bool,
-                    capture_layer=None, has_lora: bool = False):
+                    capture_layer=None, has_lora: bool = False,
+                    prefill_tile=None):
             # Packed host buffers (4 H2D transfers per step instead of ~17;
             # the per-step dispatch latency is the serving bottleneck).
             tokens, positions, token_seq, slot_mapping = (i32_t[0], i32_t[1],
@@ -355,7 +379,8 @@ class TPUExecutor:
                                      slot_mapping=slot_mapping,
                                      block_tables=block_tables,
                                      seq_lens=seq_lens,
-                                     lora_slots=lora_slots)
+                                     lora_slots=lora_slots,
+                                     prefill_tile=prefill_tile)
             pred_scores = jnp.zeros(sample_idx.shape, jnp.float32)
             if capture_layer is not None:
                 from vllm_ltr_tpu.layers.embedded_predictor import (
@@ -384,14 +409,18 @@ class TPUExecutor:
                          st,
                          rng,
                          token_counts=token_counts if use_penalties else None)
-            # Pack outputs: 2 D2H transfers per step.
-            out_i32 = jnp.concatenate([res.tokens[:, None], res.topk_ids],
-                                      axis=1)
-            out_f32 = jnp.concatenate([
-                res.logprobs[:, None], pred_scores[:, None],
-                res.topk_logprobs
-            ],
-                                      axis=1)
+            # Pack outputs: 2 D2H transfers per step. Outputs are pinned
+            # fully-replicated so every host can read its local copy
+            # without a collective (multi-host leader fetch).
+            rep = NamedSharding(mesh, P())
+            out_i32 = jax.lax.with_sharding_constraint(
+                jnp.concatenate([res.tokens[:, None], res.topk_ids],
+                                axis=1), rep)
+            out_f32 = jax.lax.with_sharding_constraint(
+                jnp.concatenate([
+                    res.logprobs[:, None], pred_scores[:, None],
+                    res.topk_logprobs
+                ], axis=1), rep)
             return kv_cache, out_i32, out_f32
 
         return step_fn
@@ -414,12 +443,21 @@ class TPUExecutor:
         # KV maintenance in dependency order: read swap-outs before their
         # blocks can be reused by swap-ins / new allocations.
         if blocks_to_swap_out:
+            if self.multihost:
+                self._mh_broadcast_mapping(dist.OP_SWAP_OUT,
+                                           blocks_to_swap_out)
             self.kv_cache = self.swap_space.swap_out(self.kv_cache,
                                                      blocks_to_swap_out)
         if blocks_to_swap_in:
+            if self.multihost:
+                self._mh_broadcast_mapping(dist.OP_SWAP_IN, blocks_to_swap_in)
             self.kv_cache = self.swap_space.swap_in(self.kv_cache,
                                                     blocks_to_swap_in)
         if blocks_to_copy:
+            if self.multihost:
+                pairs = {s_: list(d) for s_, d in blocks_to_copy.items()}
+                flat = [(s_, d) for s_, ds in pairs.items() for d in ds]
+                self._mh_broadcast_pairs(dist.OP_COPY, flat)
             self.kv_cache = run_copy_blocks(self.kv_cache, blocks_to_copy)
 
         if not seq_group_metadata_list:
@@ -467,7 +505,8 @@ class TPUExecutor:
             self.max_blocks_per_seq, self.token_buckets, self.seq_buckets,
             self.vocab_size,
             lora_slot_of=(self.lora_bank.slot_for
-                          if self.lora_bank is not None else None))
+                          if self.lora_bank is not None else None),
+            prefill_tile=self.prefill_tile)
 
         # Pack host buffers once: [Kt, T] ints, [4, S] ints, [6, S] floats.
         has_lora = batch.lora_slots is not None
@@ -508,12 +547,20 @@ class TPUExecutor:
                          if (self.pred_params is not None
                              and not batch.decode_only) else None)
 
+        step_tile = (self.prefill_tile
+                     if batch.prefill_aligned and not batch.decode_only
+                     else None)
+        if self.multihost:
+            self._mh_broadcast_step(i32_t, i32_s, f32_s, block_tables,
+                                    token_counts, step_key, use_penalties,
+                                    batch.decode_only, capture_layer,
+                                    step_tile)
         self.kv_cache, out_i32, out_f32 = self._step_fn(
             params, self.pred_params, self.kv_cache, i32_t, i32_s, f32_s,
             block_tables, token_counts, step_key, use_penalties,
-            batch.decode_only, capture_layer, has_lora)
-        out_i32 = np.asarray(out_i32)
-        out_f32 = np.asarray(out_f32)
+            batch.decode_only, capture_layer, has_lora, step_tile)
+        out_i32 = self._fetch(out_i32)
+        out_f32 = self._fetch(out_f32)
 
         return self._assemble_outputs(seq_group_metadata_list, batch,
                                       out_i32[:, 0], out_f32[:, 0],
@@ -673,10 +720,12 @@ class TPUExecutor:
                 mask[j, :len(t)] = 1
             positions = np.broadcast_to(np.arange(Lp, dtype=np.int32),
                                         (Bp, Lp))
+            if self.multihost:
+                self._mh_broadcast_aux(tokens, positions, mask)
             out = self._aux_score_fn(self.aux_params, jnp.asarray(tokens),
                                      jnp.asarray(positions),
                                      jnp.asarray(mask))
-            out = np.asarray(out)
+            out = self._fetch(out)
             if cfg.num_labels == 1:
                 scores.extend(float(s) for s in out[:B, 0])
             else:
@@ -813,6 +862,139 @@ class TPUExecutor:
     def list_loras(self):
         return (set(self.lora_bank.slot_of)
                 if self.lora_bank is not None else set())
+
+    def _fetch(self, arr) -> np.ndarray:
+        """Device -> host for step outputs; multihost arrays span
+        non-addressable devices and need the replicated local shard (or an
+        allgather when sharded)."""
+        if not self.multihost:
+            return np.asarray(arr)
+        if arr.is_fully_replicated:
+            return np.asarray(arr.addressable_shards[0].data)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+    # ------------------------------------------------------------------
+    # Multi-host protocol: the leader's scheduler decides; every process
+    # issues identical jit calls. The plan mirror below is the analogue of
+    # the reference's broadcast_tensor_dict (worker.py:228-240), carried by
+    # device collectives over ICI/DCN instead of gloo.
+    # ------------------------------------------------------------------
+
+    def _mh_broadcast_mapping(self, op: int, mapping: Dict[int, int]) -> None:
+        pairs = list(mapping.items())
+        header = np.zeros(dist.HEADER_LEN, np.int32)
+        header[0], header[1] = op, len(pairs)
+        dist.broadcast_header(header)
+        arr = np.asarray(pairs, np.int32).reshape(len(pairs), 2)
+        dist.broadcast_array(arr, arr.shape, np.int32)
+
+    def _mh_broadcast_pairs(self, op: int, pairs) -> None:
+        header = np.zeros(dist.HEADER_LEN, np.int32)
+        header[0], header[1] = op, len(pairs)
+        dist.broadcast_header(header)
+        arr = np.asarray(pairs, np.int32).reshape(len(pairs), 2)
+        dist.broadcast_array(arr, arr.shape, np.int32)
+
+    def _mh_broadcast_step(self, i32_t, i32_s, f32_s, block_tables,
+                           token_counts, step_key, use_penalties,
+                           decode_mode, capture_layer, step_tile) -> None:
+        header = np.zeros(dist.HEADER_LEN, np.int32)
+        header[0] = dist.OP_STEP
+        header[1] = int(use_penalties)
+        header[2] = int(decode_mode)
+        header[3] = 0 if capture_layer is None else capture_layer + 1
+        header[4] = 0 if step_tile is None else step_tile
+        header[5], header[6] = i32_t.shape  # Kt, T
+        header[7], header[8] = i32_s.shape[1], block_tables.shape[1]  # S, MB
+        header[9] = token_counts.shape[1]  # vocab (or 1)
+        dist.broadcast_header(header)
+        for arr, dt in ((i32_t, np.int32), (i32_s, np.int32),
+                        (f32_s, np.float32), (block_tables, np.int32),
+                        (token_counts, np.uint8)):
+            dist.broadcast_array(np.asarray(arr), arr.shape, dt)
+        dist.broadcast_array(np.asarray(step_key), step_key.shape,
+                             np.uint32)
+
+    def _mh_broadcast_aux(self, tokens, positions, mask) -> None:
+        header = np.zeros(dist.HEADER_LEN, np.int32)
+        header[0] = dist.OP_AUX_SCORE
+        header[1], header[2] = tokens.shape
+        dist.broadcast_header(header)
+        for arr in (tokens, positions, mask):
+            dist.broadcast_array(np.asarray(arr), arr.shape, np.int32)
+
+    def shutdown_followers(self) -> None:
+        if self.multihost and self.is_leader:
+            header = np.zeros(dist.HEADER_LEN, np.int32)
+            header[0] = dist.OP_STOP
+            dist.broadcast_header(header)
+
+    def serve_follower(self) -> None:
+        """Follower main loop: mirror the leader's device dispatches until
+        an OP_STOP arrives. Runs on every non-leader process instead of the
+        engine's scheduler loop."""
+        assert self.multihost and not self.is_leader
+        logger.info("follower %d serving", dist.process_index())
+        while True:
+            header = dist.broadcast_header(None)
+            op = int(header[0])
+            if op == dist.OP_STOP:
+                logger.info("follower %d stopping", dist.process_index())
+                return
+            if op in (dist.OP_SWAP_OUT, dist.OP_SWAP_IN, dist.OP_COPY):
+                n = int(header[1])
+                pairs = dist.broadcast_array(None, (n, 2), np.int32)
+                if op == dist.OP_SWAP_OUT:
+                    self.kv_cache = self.swap_space.swap_out(
+                        self.kv_cache, dict(map(tuple, pairs)))
+                elif op == dist.OP_SWAP_IN:
+                    self.kv_cache = self.swap_space.swap_in(
+                        self.kv_cache, dict(map(tuple, pairs)))
+                else:
+                    copy_map: Dict[int, List[int]] = {}
+                    for src, dst in pairs:
+                        copy_map.setdefault(int(src), []).append(int(dst))
+                    self.kv_cache = run_copy_blocks(self.kv_cache, copy_map)
+            elif op == dist.OP_STEP:
+                use_penalties = bool(header[1])
+                decode_mode = bool(header[2])
+                capture_layer = int(header[3]) - 1
+                capture_layer = None if capture_layer < 0 else capture_layer
+                step_tile = int(header[4]) or None
+                Kt, T = int(header[5]), int(header[6])
+                S, MB = int(header[7]), int(header[8])
+                V = int(header[9])
+                i32_t = jnp.asarray(
+                    dist.broadcast_array(None, (Kt, T), np.int32))
+                i32_s = jnp.asarray(
+                    dist.broadcast_array(None, (4, S), np.int32))
+                f32_s = jnp.asarray(
+                    dist.broadcast_array(None, (6, S), np.float32))
+                block_tables = jnp.asarray(
+                    dist.broadcast_array(None, (S, MB), np.int32))
+                tc_shape = (S, V) if use_penalties else (1, V)
+                token_counts = jnp.asarray(
+                    dist.broadcast_array(None, tc_shape, np.uint8))
+                step_key = jnp.asarray(
+                    dist.broadcast_array(None, (2, ), np.uint32))
+                has_lora = Kt > 4
+                self.kv_cache, _, _ = self._step_fn(
+                    self.params, self.pred_params, self.kv_cache, i32_t,
+                    i32_s, f32_s, block_tables, token_counts, step_key,
+                    use_penalties, decode_mode, capture_layer, has_lora,
+                    step_tile)
+            elif op == dist.OP_AUX_SCORE:
+                B, L = int(header[1]), int(header[2])
+                tokens = jnp.asarray(
+                    dist.broadcast_array(None, (B, L), np.int32))
+                positions = jnp.asarray(
+                    dist.broadcast_array(None, (B, L), np.int32))
+                mask = jnp.asarray(
+                    dist.broadcast_array(None, (B, L), np.int32))
+                self._aux_score_fn(self.aux_params, tokens, positions, mask)
+            else:
+                raise RuntimeError(f"unknown multihost opcode {op}")
 
     # ------------------------------------------------------------------
 

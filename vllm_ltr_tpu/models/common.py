@@ -43,6 +43,9 @@ class AttentionMetadata(NamedTuple):
     lora_slots: Optional[jax.Array] = None
     # LTR: produce predictor scores this step (embedded predictor hook).
     need_score: bool = False
+    # Static query-tile size when the flat layout is tile-aligned (enables
+    # the Pallas chunked-prefill kernel); None = unaligned layout.
+    prefill_tile: Optional[int] = None
 
 
 def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:

@@ -15,7 +15,7 @@ from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
                                         normal_init, stack_layers, t2j)
 from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_reference)
+                                        paged_attention_prefill)
 from vllm_ltr_tpu.ops.kv_cache import write_kv
 
 
@@ -128,9 +128,10 @@ class GemmaForCausalLM:
                                               meta.block_tables,
                                               meta.seq_lens, scale)
             else:
-                attn = paged_attention_reference(
+                attn = paged_attention_prefill(
                     q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale)
+                    meta.token_pos, meta.seq_lens, scale,
+                    tile=meta.prefill_tile)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h

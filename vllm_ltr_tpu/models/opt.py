@@ -18,7 +18,7 @@ from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
                                         linear, normal_init, stack_layers,
                                         t2j)
 from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                         paged_attention_reference)
+                                         paged_attention_prefill)
 from vllm_ltr_tpu.ops.kv_cache import write_kv
 
 # OPT's learned positional embedding is offset by 2 (HF convention).
@@ -164,9 +164,10 @@ class OPTForCausalLM:
                                               meta.block_tables,
                                               meta.seq_lens, scale)
             else:
-                attn = paged_attention_reference(
+                attn = paged_attention_prefill(
                     q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale)
+                    meta.token_pos, meta.seq_lens, scale,
+                    tile=meta.prefill_tile)
             attn = attn.reshape(T, H)
             x = linear(attn, lp["out_w"], lp["out_b"])
             h = residual + x

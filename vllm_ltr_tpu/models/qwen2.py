@@ -15,7 +15,7 @@ from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
                                         stack_layers, t2j)
 from vllm_ltr_tpu.models.llama import LlamaForCausalLM
 from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_reference)
+                                        paged_attention_prefill)
 from vllm_ltr_tpu.ops.kv_cache import write_kv
 
 
@@ -94,10 +94,11 @@ class Qwen2ForCausalLM(LlamaForCausalLM):
                                               meta.seq_lens, scale,
                                               sliding_window=sliding_window)
             else:
-                attn = paged_attention_reference(
+                attn = paged_attention_prefill(
                     q, layer_cache, meta.block_tables, meta.token_seq,
                     meta.token_pos, meta.seq_lens, scale,
-                    sliding_window=sliding_window)
+                    sliding_window=sliding_window,
+                    tile=meta.prefill_tile)
             attn = attn * kv_scale.astype(attn.dtype)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 

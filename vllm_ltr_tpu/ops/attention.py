@@ -86,6 +86,39 @@ def paged_attention_reference(
     return out.reshape(T, QH, D)
 
 
+def paged_attention_prefill(
+    q: jax.Array,
+    layer_cache: jax.Array,
+    block_tables: jax.Array,
+    token_seq: jax.Array,
+    token_pos: jax.Array,
+    seq_lens: jax.Array,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    kv_scale: float = 1.0,
+    tile: Optional[int] = None,
+) -> jax.Array:
+    """Prefill/mixed-batch dispatcher: the Pallas chunked-prefill (flash)
+    kernel on TPU when the flat layout is tile-aligned (``tile`` set by the
+    batch packer), else the XLA gather reference."""
+    import os
+    T = q.shape[0]
+    use_pallas = (jax.default_backend() == "tpu" and tile is not None
+                  and T % tile == 0 and T >= tile
+                  and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
+    if use_pallas:
+        from vllm_ltr_tpu.ops.pallas.prefill_attention import (
+            paged_prefill_attention_pallas)
+        return paged_prefill_attention_pallas(
+            q, layer_cache, block_tables, token_seq, token_pos, seq_lens,
+            tile=tile, block_size=layer_cache.shape[3], scale=scale,
+            kv_scale=kv_scale, window=sliding_window)
+    return paged_attention_reference(q, layer_cache, block_tables, token_seq,
+                                     token_pos, seq_lens, scale,
+                                     sliding_window=sliding_window,
+                                     kv_scale=kv_scale)
+
+
 def paged_attention_decode_reference(
     q: jax.Array,
     layer_cache: jax.Array,
@@ -93,6 +126,7 @@ def paged_attention_decode_reference(
     seq_lens: jax.Array,
     scale: float,
     kv_scale: float = 1.0,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Decode-only variant: one query per sequence.
 
@@ -104,6 +138,7 @@ def paged_attention_decode_reference(
     token_pos = jnp.maximum(seq_lens - 1, 0)
     return paged_attention_reference(q, layer_cache, block_tables, token_seq,
                                      token_pos, seq_lens, scale,
+                                     sliding_window=sliding_window,
                                      kv_scale=kv_scale)
 
 
@@ -120,7 +155,6 @@ def paged_attention_decode(
     reference elsewhere (or when a feature the kernel lacks is needed)."""
     import os
     use_pallas = (jax.default_backend() == "tpu"
-                  and sliding_window is None
                   and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
     if use_pallas:
         from vllm_ltr_tpu.ops.pallas.paged_attention import (
@@ -132,7 +166,9 @@ def paged_attention_decode(
                                              seq_lens,
                                              block_size=block_size,
                                              scale=scale,
-                                             kv_scale=kv_scale)
+                                             kv_scale=kv_scale,
+                                             window=sliding_window or 0)
     return paged_attention_decode_reference(q, layer_cache, block_tables,
                                             seq_lens, scale,
-                                            kv_scale=kv_scale)
+                                            kv_scale=kv_scale,
+                                            sliding_window=sliding_window)

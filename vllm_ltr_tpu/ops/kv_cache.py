@@ -119,13 +119,27 @@ def _swap_in_jit(kv_cache, host_chunk, dst):
     return kv_cache.at[:, :, :, dst].set(host_chunk.astype(kv_cache.dtype))
 
 
+@jax.jit
+def _gather_blocks_jit(kv_cache, src):
+    return kv_cache[:, :, :, src]
+
+
 class HostSwapSpace:
     """Host-memory mirror for swapped-out KV blocks.
 
     Counterpart of the reference's pinned-CPU CacheEngine tensors +
-    swap_blocks memcpys (``vllm/worker/cache_engine.py``, csrc
-    cache_kernels.cu:swap_blocks). Device->host reads and host->device
-    writes happen at block granularity, batched per scheduler step.
+    swap_blocks memcpys (vllm/worker/cache_engine.py, csrc
+    cache_kernels.cu:swap_blocks), with the improvement SURVEY §7 calls
+    for: **swap-outs overlap with compute**.  A swap-out only dispatches
+    the on-device block gather and starts the D2H copy asynchronously; the
+    gathered buffer is committed into the host mirror one step later (or
+    the moment a swap-in needs it).  Device-stream ordering guarantees the
+    gather reads the cache before the step's donated buffer is reused, so
+    the blocking np.asarray happens after the copy has had a full model
+    step to complete in the background.
+
+    Blocks round-trip as raw bits (no dtype conversion), so quantized
+    (FP8) caches are restored exactly.
     """
 
     def __init__(self, num_layers: int, num_cpu_blocks: int, block_size: int,
@@ -137,23 +151,56 @@ class HostSwapSpace:
             (num_layers, 2, num_kv_heads, max(num_cpu_blocks, 1), block_size,
              padded_head_dim(head_dim)),
             dtype=self._np_dtype)
+        # In-flight D2H transfers: (device chunk, host block indices),
+        # committed in issue order.
+        self._inflight: List[Tuple[jax.Array, np.ndarray]] = []
+
+    @staticmethod
+    def _to_host(chunk: jax.Array) -> np.ndarray:
+        if jax.process_count() > 1:
+            # Multi-host: the gathered blocks are sharded across hosts;
+            # reassemble the global value on every host.
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(chunk, tiled=True))
+        return np.asarray(chunk)
+
+    def _commit_inflight(self) -> None:
+        for chunk, dst in self._inflight:
+            self.buf[:, :, :, dst] = self._to_host(chunk)
+        self._inflight.clear()
+
+    def flush(self) -> None:
+        """Force every pending swap-out into the host mirror."""
+        self._commit_inflight()
 
     def swap_out(self, kv_cache: jax.Array,
                  mapping: Dict[int, int]) -> jax.Array:
-        """Copy device blocks to host: mapping device_block -> host_block."""
+        """Move device blocks to host (device_block -> host_block),
+        overlapping the D2H copy with the following model step."""
         if not mapping:
             return kv_cache
+        # Previous step's transfer has had a full step to finish: commit it
+        # first (ordering) — usually a no-wait memcpy by now.
+        self._commit_inflight()
         src = jnp.asarray(list(mapping.keys()), jnp.int32)
-        chunk = np.asarray(kv_cache[:, :, :, src])  # device -> host
-        dst = np.asarray(list(mapping.values()), np.int64)
-        self.buf[:, :, :, dst] = chunk
+        chunk = _gather_blocks_jit(kv_cache, src)
+        try:
+            chunk.copy_to_host_async()
+        except Exception:  # backends without async host copies
+            pass
+        self._inflight.append(
+            (chunk, np.asarray(list(mapping.values()), np.int64)))
         return kv_cache
 
     def swap_in(self, kv_cache: jax.Array,
                 mapping: Dict[int, int]) -> jax.Array:
-        """Copy host blocks back to device: mapping host_block -> device_block."""
+        """Copy host blocks back into the device cache
+        (host_block -> device_block)."""
         if not mapping:
             return kv_cache
+        if self._inflight:
+            self._commit_inflight()
         src = np.asarray(list(mapping.keys()), np.int64)
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
         chunk = jnp.asarray(self.buf[:, :, :, src])

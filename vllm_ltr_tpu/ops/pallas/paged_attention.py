@@ -50,12 +50,21 @@ def _decode_kernel(
     max_blocks: int,
     scale: float,
     kv_scale: float,
+    window: int = 0,
 ):
     s = pl.program_id(0)
     h = pl.program_id(1)
     seq_len = seq_lens_ref[s]
     num_blocks = jnp.maximum(
         jax.lax.div(seq_len + block_size - 1, block_size), 0)
+    # Sliding window: whole blocks left of the window are skipped, so
+    # Mistral-class models keep the streaming fast path (the window lower
+    # bound for the decode query at position seq_len-1 is seq_len-window).
+    if window > 0:
+        first_block = jax.lax.div(jnp.maximum(seq_len - window, 0),
+                                  block_size)
+    else:
+        first_block = jnp.int32(0)
 
     q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
     G = q.shape[0]
@@ -80,13 +89,13 @@ def _decode_kernel(
     m_ref[...] = jnp.full_like(m_ref, -1e30)
     l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(num_blocks > 0)
+    @pl.when(num_blocks > first_block)
     def _():
-        start_dma(0, 0)
+        start_dma(0, first_block)
 
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        next_slot = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i - first_block, 2)
+        next_slot = jax.lax.rem(i - first_block + 1, 2)
 
         @pl.when(i + 1 < num_blocks)
         def _():
@@ -100,10 +109,14 @@ def _decode_kernel(
             q, k, (((1, ), (1, )), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [G, Bs]
 
-        # Mask keys beyond the live context (last partial block).
+        # Mask keys beyond the live context (last partial block) and, for
+        # sliding-window models, keys left of the window.
         key_pos = (i * block_size +
                    jax.lax.broadcasted_iota(jnp.int32, (G, block_size), 1))
-        scores = jnp.where(key_pos < seq_len, scores, -1e30)
+        live = key_pos < seq_len
+        if window > 0:
+            live &= key_pos >= seq_len - window
+        scores = jnp.where(live, scores, -1e30)
 
         m_prev = m_ref[:, 0:1]  # [G, 1]
         l_prev = l_ref[:, 0:1]
@@ -121,7 +134,7 @@ def _decode_kernel(
         l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
         return 0
 
-    jax.lax.fori_loop(0, num_blocks, body, 0)
+    jax.lax.fori_loop(first_block, num_blocks, body, 0)
 
     l = jnp.maximum(l_ref[:, 0:1], 1e-9)
     o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
@@ -129,7 +142,8 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "scale", "kv_scale", "interpret"))
+    static_argnames=("block_size", "scale", "kv_scale", "window",
+                     "interpret"))
 def paged_attention_decode_pallas(
     q: jax.Array,  # [S, QH, D]
     layer_cache: jax.Array,  # [2, KH, N+1, Bs, D]
@@ -139,6 +153,7 @@ def paged_attention_decode_pallas(
     block_size: int,
     scale: float,
     kv_scale: float = 1.0,
+    window: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     S, QH, D = q.shape
@@ -181,7 +196,8 @@ def paged_attention_decode_pallas(
                                block_size=block_size,
                                max_blocks=MB,
                                scale=scale,
-                               kv_scale=kv_scale)
+                               kv_scale=kv_scale,
+                               window=window)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
