@@ -317,10 +317,19 @@ class ModelConfig:
                 self.hf_config.num_attention_heads)
 
     def get_total_num_kv_heads(self) -> int:
-        for attr in ("num_key_value_heads", "num_kv_heads", "n_head_kv"):
-            if getattr(self.hf_config, attr, None) is not None:
-                return getattr(self.hf_config, attr)
-        return self.hf_config.num_attention_heads
+        cfg = self.hf_config
+        if getattr(cfg, "model_type", "") == "falcon":
+            # Falcon: num_kv_heads only applies to the new decoder
+            # architecture; the classic 7B architecture is multi-query.
+            if getattr(cfg, "new_decoder_architecture", False):
+                return cfg.num_kv_heads
+            return 1 if getattr(cfg, "multi_query", False) else (
+                cfg.num_attention_heads)
+        for attr in ("num_key_value_heads", "num_kv_heads", "n_head_kv",
+                     "multi_query_group_num"):
+            if getattr(cfg, attr, None) is not None:
+                return getattr(cfg, attr)
+        return cfg.num_attention_heads
 
     def get_num_kv_heads(self, parallel_config: "ParallelConfig") -> int:
         """KV heads per tensor-parallel shard (>=1 with replication)."""

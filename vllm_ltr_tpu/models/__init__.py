@@ -22,6 +22,28 @@ _MODEL_REGISTRY: Dict[str, tuple] = {
     "GemmaForCausalLM": ("vllm_ltr_tpu.models.gemma", "GemmaForCausalLM"),
     "MixtralForCausalLM": ("vllm_ltr_tpu.models.mixtral",
                            "MixtralForCausalLM"),
+    "FalconForCausalLM": ("vllm_ltr_tpu.models.falcon",
+                          "FalconForCausalLM"),
+    "RWForCausalLM": ("vllm_ltr_tpu.models.falcon", "FalconForCausalLM"),
+    "PhiForCausalLM": ("vllm_ltr_tpu.models.phi", "PhiForCausalLM"),
+    "MptForCausalLM": ("vllm_ltr_tpu.models.mpt", "MptForCausalLM"),
+    "MPTForCausalLM": ("vllm_ltr_tpu.models.mpt", "MptForCausalLM"),
+    "Starcoder2ForCausalLM": ("vllm_ltr_tpu.models.starcoder2",
+                              "Starcoder2ForCausalLM"),
+    "Qwen2MoeForCausalLM": ("vllm_ltr_tpu.models.qwen2_moe",
+                            "Qwen2MoeForCausalLM"),
+    "GlmForCausalLM": ("vllm_ltr_tpu.models.chatglm", "GlmForCausalLM"),
+    "ChatGLMModel": ("vllm_ltr_tpu.models.chatglm", "GlmForCausalLM"),
+    "ChatGLMForConditionalGeneration": ("vllm_ltr_tpu.models.chatglm",
+                                        "GlmForCausalLM"),
+    "BaichuanForCausalLM": ("vllm_ltr_tpu.models.baichuan",
+                            "BaichuanForCausalLM"),
+    "BaiChuanForCausalLM": ("vllm_ltr_tpu.models.baichuan",
+                            "BaiChuanForCausalLM"),
+    "InternLM2ForCausalLM": ("vllm_ltr_tpu.models.internlm2",
+                             "InternLM2ForCausalLM"),
+    "DeepseekForCausalLM": ("vllm_ltr_tpu.models.deepseek",
+                            "DeepseekForCausalLM"),
 }
 
 

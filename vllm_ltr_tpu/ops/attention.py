@@ -35,6 +35,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def alibi_slopes(num_heads: int) -> jax.Array:
+    """Standard ALiBi head slopes (power-of-two geometric ladder with the
+    interleaved extension for non-power-of-two head counts)."""
+    import math
+    n = 2**math.floor(math.log2(num_heads))
+    base = 2.0**(-8.0 / n)
+    slopes = [base**(i + 1) for i in range(n)]
+    if n < num_heads:
+        extra_base = 2.0**(-4.0 / n)
+        extra = [extra_base**(2 * i + 1) for i in range(num_heads - n)]
+        slopes.extend(extra)
+    return jnp.asarray(slopes[:num_heads], jnp.float32)
+
+
 def paged_attention_reference(
     q: jax.Array,
     layer_cache: jax.Array,
@@ -45,6 +59,7 @@ def paged_attention_reference(
     scale: float,
     sliding_window: Optional[int] = None,
     kv_scale: float = 1.0,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     T, QH, D = q.shape
     _, KH, num_blocks_p1, block_size, Dp = layer_cache.shape
@@ -79,6 +94,11 @@ def paged_attention_reference(
     valid &= key_pos < seq_lens[safe_seq][:, None]
     if sliding_window is not None:
         valid &= key_pos > (token_pos[:, None] - sliding_window)
+    if alibi is not None:
+        # ALiBi: scores get -slope * distance (per query head).
+        dist = (token_pos[:, None] - key_pos).astype(jnp.float32)  # [T, ctx]
+        bias = -alibi.reshape(1, KH, group, 1) * dist[:, None, None, :]
+        scores = scores + bias
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -97,13 +117,16 @@ def paged_attention_prefill(
     sliding_window: Optional[int] = None,
     kv_scale: float = 1.0,
     tile: Optional[int] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Prefill/mixed-batch dispatcher: the Pallas chunked-prefill (flash)
     kernel on TPU when the flat layout is tile-aligned (``tile`` set by the
-    batch packer), else the XLA gather reference."""
+    batch packer), else the XLA gather reference. ALiBi models always take
+    the reference path (the kernels do not carry the bias yet)."""
     import os
     T = q.shape[0]
     use_pallas = (jax.default_backend() == "tpu" and tile is not None
+                  and alibi is None
                   and T % tile == 0 and T >= tile
                   and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
     if use_pallas:
@@ -116,7 +139,7 @@ def paged_attention_prefill(
     return paged_attention_reference(q, layer_cache, block_tables, token_seq,
                                      token_pos, seq_lens, scale,
                                      sliding_window=sliding_window,
-                                     kv_scale=kv_scale)
+                                     kv_scale=kv_scale, alibi=alibi)
 
 
 def paged_attention_decode_reference(
@@ -127,6 +150,7 @@ def paged_attention_decode_reference(
     scale: float,
     kv_scale: float = 1.0,
     sliding_window: Optional[int] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode-only variant: one query per sequence.
 
@@ -139,7 +163,7 @@ def paged_attention_decode_reference(
     return paged_attention_reference(q, layer_cache, block_tables, token_seq,
                                      token_pos, seq_lens, scale,
                                      sliding_window=sliding_window,
-                                     kv_scale=kv_scale)
+                                     kv_scale=kv_scale, alibi=alibi)
 
 
 def paged_attention_decode(
@@ -150,11 +174,12 @@ def paged_attention_decode(
     scale: float,
     kv_scale: float = 1.0,
     sliding_window: Optional[int] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode-path dispatcher: the Pallas streaming kernel on TPU, the XLA
     reference elsewhere (or when a feature the kernel lacks is needed)."""
     import os
-    use_pallas = (jax.default_backend() == "tpu"
+    use_pallas = (jax.default_backend() == "tpu" and alibi is None
                   and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
     if use_pallas:
         from vllm_ltr_tpu.ops.pallas.paged_attention import (
@@ -171,4 +196,5 @@ def paged_attention_decode(
     return paged_attention_decode_reference(q, layer_cache, block_tables,
                                             seq_lens, scale,
                                             kv_scale=kv_scale,
-                                            sliding_window=sliding_window)
+                                            sliding_window=sliding_window,
+                                            alibi=alibi)

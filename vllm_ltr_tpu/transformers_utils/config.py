@@ -9,9 +9,20 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-from transformers import (AutoConfig, GPT2Config, GemmaConfig,
-                          LlamaConfig, MixtralConfig, OPTConfig,
-                          PretrainedConfig, Qwen2Config)
+from transformers import (AutoConfig, FalconConfig, GPT2Config,
+                          GemmaConfig, GlmConfig, LlamaConfig, MixtralConfig,
+                          MptConfig, OPTConfig, PhiConfig, PretrainedConfig,
+                          Qwen2Config, Qwen2MoeConfig, Starcoder2Config)
+
+def _shim_config(**kwargs) -> PretrainedConfig:
+    """Config shim for architectures whose HF class needs remote code
+    (Baichuan, InternLM2, DeepSeek v1): a plain PretrainedConfig carrying
+    the fields our implementations read."""
+    cfg = PretrainedConfig()
+    for k, v in kwargs.items():
+        setattr(cfg, k, v)
+    return cfg
+
 
 # Built-in tiny configs for hermetic tests / benchmarks (random weights).
 _BUILTIN_CONFIGS = {
@@ -79,6 +90,115 @@ _BUILTIN_CONFIGS = {
         num_experts_per_tok=2,
         max_position_embeddings=512,
     ),
+    "test-falcon-tiny": lambda: FalconConfig(
+        vocab_size=512,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_kv_heads=2,
+        new_decoder_architecture=True,
+        bias=False,
+        alibi=False,
+        max_position_embeddings=512,
+    ),
+    "test-phi-tiny": lambda: PhiConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        partial_rotary_factor=0.5,
+        max_position_embeddings=512,
+    ),
+    "test-mpt-tiny": lambda: MptConfig(
+        vocab_size=512,
+        d_model=64,
+        n_layers=2,
+        n_heads=4,
+        expansion_ratio=2,
+        max_seq_len=512,
+    ),
+    "test-starcoder2-tiny": lambda: Starcoder2Config(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        sliding_window=None,
+    ),
+    "test-qwen2moe-tiny": lambda: Qwen2MoeConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=48,
+        shared_expert_intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_experts=4,
+        num_experts_per_tok=2,
+        decoder_sparse_step=1,
+        max_position_embeddings=512,
+    ),
+    "test-glm-tiny": lambda: GlmConfig(
+        vocab_size=512,
+        pad_token_id=0,
+        eos_token_id=1,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=512,
+    ),
+    "test-internlm2-tiny": lambda: _shim_config(
+        model_type="internlm2",
+        architectures=["InternLM2ForCausalLM"],
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        max_position_embeddings=512,
+    ),
+    "test-baichuan-tiny": lambda: _shim_config(
+        model_type="baichuan",
+        architectures=["BaichuanForCausalLM"],
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        rms_norm_eps=1e-6,
+        max_position_embeddings=512,
+    ),
+    "test-deepseek-tiny": lambda: _shim_config(
+        model_type="deepseek",
+        architectures=["DeepseekForCausalLM"],
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=48,
+        n_routed_experts=4,
+        n_shared_experts=1,
+        num_experts_per_tok=2,
+        first_k_dense_replace=1,
+        moe_layer_freq=1,
+        norm_topk_prob=False,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-6,
+        max_position_embeddings=512,
+    ),
     "pred-opt-bench": lambda: OPTConfig(
         vocab_size=8192,
         hidden_size=128,
@@ -133,6 +253,12 @@ def get_hf_config(model: str,
                 "gpt2": ["GPT2LMHeadModel"],
                 "gemma": ["GemmaForCausalLM"],
                 "mixtral": ["MixtralForCausalLM"],
+                "falcon": ["FalconForCausalLM"],
+                "phi": ["PhiForCausalLM"],
+                "mpt": ["MptForCausalLM"],
+                "starcoder2": ["Starcoder2ForCausalLM"],
+                "qwen2_moe": ["Qwen2MoeForCausalLM"],
+                "glm": ["GlmForCausalLM"],
             }[config.model_type]
             config.architectures = arch
         return config
