@@ -102,3 +102,28 @@ def test_gptq_repack_roundtrip():
     np.testing.assert_array_equal(w_vals, q)
     # GPTQ zero points are stored as z-1 by exporters; repack adds 1 back.
     np.testing.assert_array_equal(zeros, (z + 1).astype(np.float32))
+
+
+def test_int4_multi_tile_m_and_n():
+    """Shapes that force multiple M and N tiles (the VMEM-bounded grid)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vllm_ltr_tpu.ops.pallas.int4_matmul import (
+        int4_matmul_plane_major, to_plane_major)
+    rng = np.random.RandomState(7)
+    M, K, N, G = 300, 256, 4096, 32  # N8p=512 -> 2 N tiles; M -> 2 M tiles
+    q = rng.randint(0, 16, size=(K, N)).astype(np.int32)
+    scales = (rng.rand(K // G, N).astype(np.float32) * 0.05 + 0.01)
+    zeros = rng.randint(0, 16, size=(K // G, N)).astype(np.float32)
+    x = rng.normal(size=(M, K)).astype(np.float32)
+
+    w = (q.astype(np.float32) -
+         np.repeat(zeros, G, 0)) * np.repeat(scales, G, 0)
+    want = x @ w
+
+    p, s, z = to_plane_major(q, scales, zeros, G)
+    got = int4_matmul_plane_major(jnp.asarray(x), jnp.asarray(p),
+                                  jnp.asarray(s), jnp.asarray(z),
+                                  group_size=G, logical_n=N,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-3)

@@ -1,33 +1,37 @@
 """Pallas INT4 weight-only fused dequant+matmul.
 
 TPU-native counterpart of the reference's AWQ/GPTQ/Marlin CUDA GEMMs
-(``csrc/quantization/awq/gemm_kernels.cu`` 533 LoC,
-``gptq/q_gemm.cu`` ~2,800 LoC, ``marlin/marlin_cuda_kernel.cu`` 1,145 LoC):
-a single kernel serves both weight formats after offline repacking to a
-canonical layout, the Marlin strategy (pre-layouting weights so the hot
-kernel does no data movement — SURVEY.md §7 "sub-byte unpack layout must
-match MXU tiling").
+(csrc/quantization/awq/gemm_kernels.cu 533 LoC, gptq/q_gemm.cu ~2,800
+LoC, marlin/marlin_cuda_kernel.cu 1,145 LoC): a single kernel serves both
+weight formats after offline repacking to a canonical layout — the Marlin
+strategy (pre-layout the weights so the hot kernel does no data movement;
+SURVEY.md §7 "sub-byte unpack layout must match MXU tiling").
 
-Canonical **plane-major** layout (chosen so the kernel needs NO reshapes,
-dynamic slices, or repeats — all Mosaic-hostile):
+Canonical **plane-major** layout (no reshapes, dynamic slices, or repeats
+in the kernel — all Mosaic-hostile):
 
   N8  = N // 8, N8p = round_up(N8, 128) (lane padding)
   Kp  = round_up(K, 8 * group_size)
   packed: int32[Kp, N8p] — nibble j of word (k, n) holds logical weight
-          column  c = j * N8 + n  (so the kernel's per-plane outputs
-          concatenate to logical order by a plain outer reshape)
-  scales/zeros: f32[Kp // G, 8 * N8p] — storage column j * N8p + n
+          column  c = j * N8 + n  (per-plane outputs concatenate back to
+          logical order with a plain outer reshape)
+  scales/zeros: f32[Kp // G, 8, N8p] — [group row, plane, lane]
 
-Kernel: grid over K tiles of TK = 8*G rows; the int32 word block streams
-HBM->VMEM once (INT4 => 4x less weight traffic than bf16 — the win for
-memory-bound decode); two static loops (8 planes x 8 groups) do
-shift-mask dequant on the VPU and MXU-accumulate into the full-N f32
-accumulator; the output writes on the last K tile.
+Kernel: grid (M tiles, N-lane tiles, K tiles) with K innermost.  Each
+int32 word block streams HBM->VMEM once (INT4 = 4x less weight traffic
+than bf16 — the win for memory-bound decode); two static loops (8 planes
+x 8 groups per K tile) do shift-mask dequant on the VPU and
+MXU-accumulate.  Dequantization is factored out of the inner product:
+  sum_k x_k (q - z) s  =  s * (x . q) - (s z) * (sum_k x_k)
+so the hot loop is a raw-nibble matmul plus a per-group rank-1
+correction.  The M/N tiling keeps the f32 accumulator at a fixed VMEM
+footprint for any weight shape (Llama-7B/13B MLPs included) and any
+prefill batch size.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +43,9 @@ from vllm_ltr_tpu.utils import cdiv, round_up
 
 LANE = 128
 PLANES = 8
+# Per-grid-cell tile caps: acc f32[TM, 8, TN8] stays <= 2 MiB.
+MAX_TM = 256
+MAX_TN8 = 256
 
 
 def plane_major_shapes(K: int, N: int, group_size: int):
@@ -65,50 +72,43 @@ def to_plane_major(q_vals: np.ndarray, scales: np.ndarray,
         packed[:K, :N8] |= (cols & 0xF) << (4 * j)
 
     n_groups_p = Kp // G
-    s_store = np.ones((n_groups_p, PLANES * N8p), dtype=np.float32)
-    z_store = np.zeros((n_groups_p, PLANES * N8p), dtype=np.float32)
+    s_store = np.ones((n_groups_p, PLANES, N8p), dtype=np.float32)
+    z_store = np.zeros((n_groups_p, PLANES, N8p), dtype=np.float32)
     ng = K // G
     for j in range(PLANES):
-        s_store[:ng, j * N8p:j * N8p + N8] = scales[:, j * N8:(j + 1) * N8]
-        z_store[:ng, j * N8p:j * N8p + N8] = zeros[:, j * N8:(j + 1) * N8]
+        s_store[:ng, j, :N8] = scales[:, j * N8:(j + 1) * N8]
+        z_store[:ng, j, :N8] = zeros[:, j * N8:(j + 1) * N8]
     return packed.astype(np.int32), s_store, z_store
 
 
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                        group_size: int, n_k_tiles: int, n8p: int):
-    """Grid (Kp//TK,). x [Mp, TK]; w [TK, N8p] int32;
-    s/z [TK//G, 8*N8p]; o/acc [Mp, 8*N8p].
-
-    Dequantization is factored out of the inner product so the hot loop is
-    a raw-nibble MXU matmul plus a per-group rank-1 correction:
-      sum_k x_k (q - z) s = s * (x . q) - (s z) * (sum_k x_k)
-    — O(M*N) VPU work per group instead of O(G*N) per-element dequant.
-    """
-    k_idx = pl.program_id(0)
+                        group_size: int, n_k_tiles: int):
+    """Grid (MT, NT, KT), K innermost. x [TM, TK]; w [TK, TN8] int32;
+    s/z [8, 8, TN8]; o/acc [TM, 8, TN8]."""
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     words = w_ref[...]
-    n_groups = PLANES  # TK = 8 * group_size => 8 groups per tile
     for j in range(PLANES):
         # Keep the matmul in the activation dtype: bf16 in serving (full
         # MXU rate), f32 in the f32 parity tests.
         qj = (jax.lax.shift_right_logical(words, 4 * j)
-              & 0xF).astype(x_ref.dtype)  # [TK, N8p]
-        for g in range(n_groups):
+              & 0xF).astype(x_ref.dtype)  # [TK, TN8]
+        for g in range(PLANES):  # TK = 8 * group_size => 8 groups per tile
             r0 = g * group_size
             qg = qj[r0:r0 + group_size, :]
-            s = s_ref[g:g + 1, j * n8p:(j + 1) * n8p]  # [1, N8p]
-            sz = s * z_ref[g:g + 1, j * n8p:(j + 1) * n8p]
-            xg = x_ref[:, r0:r0 + group_size]  # [Mp, G]
+            s = s_ref[g, j:j + 1, :]  # [1, TN8]
+            sz = s * z_ref[g, j:j + 1, :]
+            xg = x_ref[:, r0:r0 + group_size]  # [TM, G]
             raw = jax.lax.dot_general(
                 xg, qg, (((1, ), (0, )), ((), ())),
-                preferred_element_type=jnp.float32)  # [Mp, N8p]
+                preferred_element_type=jnp.float32)  # [TM, TN8]
             x_sum = jnp.sum(xg.astype(jnp.float32), axis=1,
-                            keepdims=True)  # [Mp, 1]
-            acc_ref[:, j * n8p:(j + 1) * n8p] += raw * s - x_sum * sz
+                            keepdims=True)  # [TM, 1]
+            acc_ref[:, j, :] += raw * s - x_sum * sz
 
     @pl.when(k_idx == n_k_tiles - 1)
     def _():
@@ -120,8 +120,8 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
 def int4_matmul_plane_major(
     x: jax.Array,  # [M, K]
     packed: jax.Array,  # int32[Kp, N8p]
-    scales: jax.Array,  # f32[Kp//G, 8*N8p]
-    zeros: jax.Array,  # f32[Kp//G, 8*N8p]
+    scales: jax.Array,  # f32[Kp//G, 8, N8p]
+    zeros: jax.Array,  # f32[Kp//G, 8, N8p]
     *,
     group_size: int,
     logical_n: int,
@@ -133,37 +133,47 @@ def int4_matmul_plane_major(
     TK = PLANES * group_size
     n_k_tiles = Kp // TK
 
-    Mp = max(round_up(M, 8), 8)
-    pad_m = Mp - M
-    pad_k = Kp - K
+    TM = min(max(round_up(M, 8), 8), MAX_TM)
+    Mp = round_up(max(M, 1), TM)
+    # Small-M (decode) tiles afford wider N tiles: fewer grid cells, better
+    # DMA pipelining, same VMEM budget.
+    tn_cap = MAX_TN8 if TM > 64 else 2 * MAX_TN8
+    TN8 = min(N8p, tn_cap)
+    n_m_tiles = Mp // TM
+    n_n_tiles = cdiv(N8p, TN8)
+    N8pp = n_n_tiles * TN8
+    pad_m, pad_k = Mp - M, Kp - K
     if pad_m or pad_k:
         x = jnp.pad(x, ((0, pad_m), (0, pad_k)))
+    if N8pp != N8p:
+        packed = jnp.pad(packed, ((0, 0), (0, N8pp - N8p)))
+        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, N8pp - N8p)),
+                         constant_values=1.0)
+        zeros = jnp.pad(zeros, ((0, 0), (0, 0), (0, N8pp - N8p)))
 
     out = pl.pallas_call(
         functools.partial(_int4_matmul_kernel,
                           group_size=group_size,
-                          n_k_tiles=n_k_tiles,
-                          n8p=N8p),
-        grid=(n_k_tiles, ),
+                          n_k_tiles=n_k_tiles),
+        grid=(n_m_tiles, n_n_tiles, n_k_tiles),
         in_specs=[
-            pl.BlockSpec((Mp, TK), lambda k: (0, k),
+            pl.BlockSpec((TM, TK), lambda m, n, k: (m, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, N8p), lambda k: (k, 0),
+            pl.BlockSpec((TK, TN8), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANES, PLANES * N8p), lambda k: (k, 0),
+            pl.BlockSpec((PLANES, PLANES, TN8), lambda m, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANES, PLANES * N8p), lambda k: (k, 0),
+            pl.BlockSpec((PLANES, PLANES, TN8), lambda m, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Mp, PLANES * N8p), lambda k: (0, 0),
+        out_specs=pl.BlockSpec((TM, PLANES, TN8), lambda m, n, k: (m, 0, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, PLANES * N8p), x.dtype),
-        scratch_shapes=[pltpu.VMEM((Mp, PLANES * N8p), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, PLANES, N8pp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TM, PLANES, TN8), jnp.float32)],
         interpret=interpret,
     )(x, packed, scales, zeros)
     # Plane-major storage -> logical column order by construction.
-    out = out.reshape(Mp, PLANES, N8p)[:M, :, :N8].reshape(M, logical_n)
-    return out
+    return out[:M, :, :N8].reshape(M, logical_n)
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +209,6 @@ def int4_matmul_reference(x: jax.Array, w_packed: jax.Array,
 def interleaved_to_plane_major(w_packed: np.ndarray, scales: np.ndarray,
                                zeros: np.ndarray, group_size: int):
     """Convert the simple interleaved packing to the kernel layout."""
-    import numpy as np
     w_packed = np.asarray(w_packed)
     q = np.zeros((w_packed.shape[0], w_packed.shape[1] * 8), np.int32)
     wu = w_packed.astype(np.uint32)
@@ -241,12 +250,11 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     words = packed.astype(jnp.uint32)
     planes = [((words >> (4 * j)) & 0xF).astype(jnp.float32)
               for j in range(PLANES)]
-    q = jnp.concatenate(planes, axis=1)  # [Kp, 8*N8p] storage order
+    q = jnp.stack(planes, axis=1)  # [Kp, 8, N8p] storage order
     s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=0)
     z = jnp.repeat(zeros.astype(jnp.float32), group_size, axis=0)
-    w = (q - z) * s
+    w = (q - z[:Kp]) * s[:Kp]
     K = x.shape[1]
-    y = jnp.dot(x.astype(jnp.float32), w[:K],
-                preferred_element_type=jnp.float32)
-    y = y.reshape(x.shape[0], PLANES, N8p)[:, :, :N8]
-    return y.reshape(x.shape[0], logical_n).astype(x.dtype)
+    y = jnp.einsum("mk,kpn->mpn", x.astype(jnp.float32), w[:K],
+                   preferred_element_type=jnp.float32)
+    return y[:, :, :N8].reshape(x.shape[0], logical_n).astype(x.dtype)
