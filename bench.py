@@ -1,93 +1,177 @@
 """Benchmark entry point (driver-run on real TPU hardware).
 
 Measures steady-state offline serving throughput (continuous batching,
-paged KV cache, device-side sampling) on a small random-weight Llama.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+paged KV cache, device-side sampling) on a 1.1B-parameter random-weight
+Llama (TinyLlama shape: hidden 2048, 22 layers, vocab 32k) with 512-token
+prompts, and reports decode tokens/s, tokens/s/chip, and MFU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"tokens_per_sec_per_chip", ...}.
 
 The reference publishes no absolute serving numbers (BASELINE.md), so
-``vs_baseline`` reports against the previous round's recorded value when
-available (BENCH_BASELINE.json), else 1.0.
+``vs_baseline`` compares against this repo's own previous recorded value
+for the same benchmark config (BENCH_BASELINE.json, keyed per config).
+
+Methodology notes:
+- median of N measured passes (dispatch over the relay tunnel adds
+  40-90 ms jitter per step; median is robust, best-of-N flatters).
+- decode throughput excludes prefill time: a prefill-only pass
+  (max_tokens=1) is timed separately and subtracted.
+- MFU = 2 * params * total_processed_tokens / wall / peak_flops, using
+  the real parameter count from the device weight tree and the chip's
+  bf16 peak (v5e 197 TF, v4 275 TF, v5p 459 TF, v6e 918 TF).
 """
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Per-chip peak bf16 FLOP/s by jax device_kind (substring match).
+_PEAK_FLOPS = (
+    ("v5 lite", 197e12),
+    ("v5litepod", 197e12),
+    ("v5e", 197e12),
+    ("v6 lite", 918e12),
+    ("v6e", 918e12),
+    ("v5p", 459e12),
+    ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+CONFIGS = {
+    # Headline: 1.1B params, 512-token prompts — compute-dominated shapes.
+    "llama-1b": dict(model="test-llama-1b",
+                     num_requests=32,
+                     prompt_len=512,
+                     max_tokens=64,
+                     max_model_len=1024,
+                     max_num_batched_tokens=2048,
+                     num_gpu_blocks_override=1536,
+                     vocab=32000),
+    # Round-1 toy config, kept for regression tracking.
+    "toy": dict(model="bench-llama-s",
+                num_requests=32,
+                prompt_len=64,
+                max_tokens=32,
+                max_model_len=512,
+                max_num_batched_tokens=512,
+                num_gpu_blocks_override=1024,
+                vocab=8000),
+}
+
+
+def _peak_flops(device_kind: str):
+    kind = device_kind.lower()
+    for key, peak in _PEAK_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default=None)
-    parser.add_argument("--num-requests", type=int, default=32)
-    parser.add_argument("--prompt-len", type=int, default=64)
-    parser.add_argument("--max-tokens", type=int, default=32)
+    parser.add_argument("--config", default="llama-1b", choices=CONFIGS)
     parser.add_argument("--schedule-type", default="fcfs")
     parser.add_argument("--repeats", type=int, default=3,
-                        help="Measured passes; best is reported (the relay "
-                        "tunnel adds 40-90ms jitter per dispatch, so a "
-                        "single short pass under-reports).")
+                        help="Measured passes; the median is reported.")
+    parser.add_argument("--decode-steps-per-dispatch", type=int, default=None,
+                        help="Override multi-step decode fusion depth.")
     args = parser.parse_args()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    import jax
     import numpy as np
     from vllm_ltr_tpu import LLM, SamplingParams
 
-    llm = LLM(model="bench-llama-s",
+    cfg = CONFIGS[args.config]
+    extra = {}
+    if args.decode_steps_per_dispatch is not None:
+        extra["decode_steps_per_dispatch"] = args.decode_steps_per_dispatch
+    llm = LLM(model=cfg["model"],
               skip_tokenizer_init=True,
               dtype="bfloat16",
-              max_model_len=512,
-              max_num_seqs=args.num_requests,
-              max_num_batched_tokens=512,
-              num_gpu_blocks_override=1024,
+              max_model_len=cfg["max_model_len"],
+              max_num_seqs=cfg["num_requests"],
+              max_num_batched_tokens=cfg["max_num_batched_tokens"],
+              num_gpu_blocks_override=cfg["num_gpu_blocks_override"],
               block_size=16,
               swap_space=0.25,
               schedule_type=args.schedule_type,
-              disable_log_stats=True)
+              disable_log_stats=True,
+              **extra)
+
+    executor = llm.llm_engine.model_executor
+    n_params = sum(x.size for x in jax.tree.leaves(executor.params))
+    device = jax.devices()[0]
+    peak = _peak_flops(device.device_kind)
+    n_chips = jax.device_count()
 
     rng = np.random.RandomState(0)
+    prompts = [
+        list(map(int, rng.randint(1, cfg["vocab"], size=cfg["prompt_len"])))
+        for _ in range(cfg["num_requests"])
+    ]
 
-    def workload(max_tokens=None):
-        prompts = [
-            list(map(int, rng.randint(1, 8000, size=args.prompt_len)))
-            for _ in range(args.num_requests)
-        ]
+    def run(max_tokens):
         params = SamplingParams(temperature=0.0,
-                                max_tokens=max_tokens or args.max_tokens,
+                                max_tokens=max_tokens,
                                 ignore_eos=True)
         return llm.generate(prompt_token_ids=prompts,
                             sampling_params=params,
                             use_tqdm=False)
 
-    # Warmup: a short run hits the same prefill/decode buckets (batch
-    # shapes don't depend on max_tokens) with far fewer dispatches.
+    # Warmup compiles the prefill buckets and the decode step.
     t0 = time.time()
-    workload(max_tokens=min(4, args.max_tokens))
+    run(max_tokens=4)
     warmup_s = time.time() - t0
 
-    # Measured runs: dispatch latency over the relay tunnel is jittery,
-    # so take the best of several short passes.
-    elapsed_runs = []
+    # Prefill-only pass: timed so decode throughput can exclude it.
+    t0 = time.time()
+    run(max_tokens=1)
+    prefill_s = time.time() - t0
+
+    decode_rates, total_rates = [], []
+    outputs = None
     for _ in range(max(args.repeats, 1)):
         t0 = time.time()
-        outputs = workload()
-        elapsed_runs.append(time.time() - t0)
-    elapsed = min(elapsed_runs)
+        outputs = run(cfg["max_tokens"])
+        elapsed = time.time() - t0
+        gen = sum(len(o.outputs[0].token_ids) for o in outputs)
+        decode_s = max(elapsed - prefill_s, 1e-6)
+        decode_rates.append((gen - cfg["num_requests"]) / decode_s)
+        total_rates.append(gen / elapsed)
+    tput = statistics.median(decode_rates)
     gen_tokens = sum(len(o.outputs[0].token_ids) for o in outputs)
     prompt_tokens = sum(len(o.prompt_token_ids) for o in outputs)
-    tput = gen_tokens / elapsed
+
+    # MFU over the full measured pass (prefill + decode): every processed
+    # token costs ~2*N matmul FLOPs.
+    total_tokens = prompt_tokens + gen_tokens
+    wall = gen_tokens / statistics.median(total_rates)
+    mfu = (2.0 * n_params * total_tokens / wall / (peak * n_chips)
+           if peak else None)
 
     baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_BASELINE.json")
+    baseline_path = os.path.join(_REPO, "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
         try:
             with open(baseline_path) as f:
-                baseline = json.load(f).get("value")
+                data = json.load(f)
+            baseline = data.get("configs", {}).get(args.config)
+            if baseline is None and args.config == "toy":
+                baseline = data.get("value")
         except Exception:
             baseline = None
     vs_baseline = (tput / baseline) if baseline else 1.0
@@ -98,12 +182,18 @@ def main():
             "value": round(tput, 2),
             "unit": "tok/s",
             "vs_baseline": round(vs_baseline, 3),
+            "mfu": round(mfu, 4) if mfu is not None else None,
+            "tokens_per_sec_per_chip": round(tput / n_chips, 2),
+            "params": n_params,
+            "config": args.config,
         }))
     print(
-        f"# warmup={warmup_s:.1f}s measured="
-        f"{'/'.join(f'{e:.1f}' for e in elapsed_runs)}s "
-        f"gen_tokens={gen_tokens} prompt_tokens={prompt_tokens} "
-        f"requests={args.num_requests} schedule={args.schedule_type}",
+        f"# device={device.device_kind} chips={n_chips} "
+        f"params={n_params/1e9:.2f}B peak={peak/1e12 if peak else 0:.0f}TF "
+        f"warmup={warmup_s:.1f}s prefill={prefill_s:.1f}s "
+        f"decode_tok_s={'/'.join(f'{r:.0f}' for r in decode_rates)} "
+        f"gen={gen_tokens} prompt={prompt_tokens} "
+        f"requests={cfg['num_requests']} schedule={args.schedule_type}",
         file=sys.stderr)
 
 

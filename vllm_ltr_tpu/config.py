@@ -551,6 +551,7 @@ class SchedulerConfig:
         schedule_type: Union[str, ScheduleSpec] = "fcfs",
         enable_starvation_prevent: bool = False,
         fake_allocate: bool = False,
+        decode_steps_per_dispatch: int = 1,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -568,6 +569,7 @@ class SchedulerConfig:
         self.chunked_prefill_enabled = enable_chunked_prefill
         self.enable_starvation_prevent = enable_starvation_prevent
         self.fake_allocate = fake_allocate
+        self.decode_steps_per_dispatch = decode_steps_per_dispatch
         if isinstance(schedule_type, ScheduleSpec):
             self.schedule_spec = schedule_type
         else:
@@ -599,6 +601,10 @@ class SchedulerConfig:
                 "num_lookahead_slots "
                 f"({self.num_lookahead_slots}) must be greater than or "
                 "equal to 0.")
+        if self.decode_steps_per_dispatch < 1:
+            raise ValueError(
+                "decode_steps_per_dispatch "
+                f"({self.decode_steps_per_dispatch}) must be >= 1.")
 
 
 class DeviceConfig:

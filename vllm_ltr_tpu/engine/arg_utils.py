@@ -71,6 +71,9 @@ class EngineArgs:
     # Speculative decoding
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 0
+    # Fused multi-step decode: K decode iterations per host dispatch
+    # (executor/multi_step.py). 1 = one step per dispatch.
+    decode_steps_per_dispatch: int = 1
 
     def create_engine_config(self) -> EngineConfig:
         model_config = ModelConfig(
@@ -116,6 +119,10 @@ class EngineArgs:
             # Speculative decoding reserves k slots ahead per sequence.
             num_lookahead_slots = max(num_lookahead_slots,
                                       self.num_speculative_tokens)
+        if self.decode_steps_per_dispatch > 1:
+            # Fused decode writes K tokens' KV before the host sees them.
+            num_lookahead_slots = max(num_lookahead_slots,
+                                      self.decode_steps_per_dispatch - 1)
         scheduler_config = SchedulerConfig(
             max_num_batched_tokens=self.max_num_batched_tokens,
             max_num_seqs=self.max_num_seqs,
@@ -126,6 +133,7 @@ class EngineArgs:
             schedule_type=self.schedule_type,
             enable_starvation_prevent=self.enable_starvation_prevent,
             fake_allocate=self.fake_allocate,
+            decode_steps_per_dispatch=self.decode_steps_per_dispatch,
         )
         device_config = DeviceConfig(self.device)
         load_config = LoadConfig(load_format=self.load_format,

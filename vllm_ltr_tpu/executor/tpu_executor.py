@@ -209,6 +209,17 @@ class TPUExecutor:
 
         self._step_fn = self._build_step_fn()
 
+        # Fused multi-step decode (executor/multi_step.py): K decode
+        # iterations chained on-device per host dispatch.
+        self.decode_steps = scheduler_config.decode_steps_per_dispatch
+        self._multi_step_fn = None
+        if self.decode_steps > 1:
+            from vllm_ltr_tpu.executor.multi_step import build_multi_step_fn
+            self._multi_step_fn = build_multi_step_fn(
+                self.model_cls, self.hf_config, self.mesh, self.decode_steps)
+            logger.info("Fused multi-step decode: %d steps per dispatch",
+                        self.decode_steps)
+
         # LoRA bank (counterpart of WorkerLoRAManager, reference
         # vllm/lora/worker_manager.py): adapters load on first use, LRU.
         self.lora_bank = None
@@ -508,6 +519,13 @@ class TPUExecutor:
                           if self.lora_bank is not None else None),
             prefill_tile=self.prefill_tile)
 
+        # Fused multi-step decode: K chained decode iterations in one
+        # dispatch (spec decode takes precedence when configured).
+        if (self._multi_step_fn is not None and batch.decode_only
+                and self.draft_params is None
+                and self._multi_step_eligible(seq_group_metadata_list)):
+            return self._execute_multi_step(seq_group_metadata_list, batch)
+
         # Pack host buffers once: [Kt, T] ints, [4, S] ints, [6, S] floats.
         has_lora = batch.lora_slots is not None
         i32_t_rows = [batch.tokens, batch.positions, batch.token_seq,
@@ -731,6 +749,111 @@ class TPUExecutor:
             else:
                 scores.extend(-float(s) for s in np.argmax(out[:B], axis=1))
         return scores
+
+    # ------------------------------------------------------------------
+    # Fused multi-step decode (executor/multi_step.py)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _multi_step_eligible(seq_group_metadata_list) -> bool:
+        """Beam search needs a host-side selection step after every token,
+        so beam groups fall back to one-step dispatch."""
+        return not any(m.sampling_params.use_beam_search
+                       for m in seq_group_metadata_list)
+
+    def _execute_multi_step(self, seq_group_metadata_list,
+                            batch: PreparedBatch) -> List[SamplerOutput]:
+        """K decode steps per dispatch. The scheduler reserved K-1
+        lookahead slots, so cache slots for positions L-1 .. L+K-2 exist
+        for every running row (same contract as _execute_spec_decode)."""
+        K = self.decode_steps
+        S = batch.seq_lens.shape[0]
+        bs, MB = self.block_size, self.max_blocks_per_seq
+
+        last_tokens = batch.tokens[:S].copy()
+        seq_lens = batch.seq_lens
+        base_pos = np.maximum(seq_lens - 1, 0)
+        pos = base_pos[:, None] + np.arange(K)[None, :]
+        blk = np.minimum(pos // bs, MB - 1)
+        slots = (np.take_along_axis(batch.block_tables, blk, axis=1) * bs +
+                 pos % bs).astype(np.int32)
+        slots[seq_lens == 0] = -1  # padded rows write to the trash slot
+
+        i32_s = np.stack([
+            batch.seq_lens, batch.sample_idx, batch.top_k,
+            batch.greedy.astype(np.int32)
+        ])
+        f32_s = np.stack([
+            batch.temperature, batch.top_p, batch.min_p,
+            batch.presence_penalty, batch.frequency_penalty,
+            batch.repetition_penalty
+        ])
+        use_penalties = batch.token_counts is not None
+        token_counts = (jnp.asarray(batch.token_counts)
+                        if use_penalties else jnp.zeros((1, 1), jnp.uint8))
+        has_lora = batch.lora_slots is not None
+        lora_slots = jnp.asarray(batch.lora_slots[:S] if has_lora else np.
+                                 zeros((S, ), np.int32))
+        params = self._params_with_lora(batch)
+        self._rng, step_key = jax.random.split(self._rng)
+
+        if self.multihost:
+            self._mh_broadcast_multi_step(last_tokens, base_pos,
+                                          batch.block_tables, slots, i32_s,
+                                          f32_s, token_counts, lora_slots,
+                                          step_key, use_penalties, has_lora)
+        self.kv_cache, out_i32, out_f32 = self._multi_step_fn(
+            params, self.kv_cache, jnp.asarray(last_tokens),
+            jnp.asarray(base_pos), jnp.asarray(batch.block_tables),
+            jnp.asarray(slots), jnp.asarray(i32_s), jnp.asarray(f32_s),
+            token_counts, lora_slots, step_key, use_penalties, has_lora)
+        out_i32 = self._fetch(out_i32)  # [S, K, 1+L]
+        out_f32 = self._fetch(out_f32)
+
+        group_samples: Dict[int, List[SequenceOutput]] = {
+            i: []
+            for i in range(len(seq_group_metadata_list))
+        }
+        for row, (g_idx, seq_id) in enumerate(batch.row_owners):
+            sp = seq_group_metadata_list[g_idx].sampling_params
+            num_lp = sp.logprobs or 0
+            for j in range(K):
+                token = int(out_i32[row, j, 0])
+                lp_dict = {token: Logprob(float(out_f32[row, j, 0]))}
+                for k in range(min(num_lp, out_i32.shape[2] - 1)):
+                    tid = int(out_i32[row, j, 1 + k])
+                    lp_dict.setdefault(
+                        tid, Logprob(float(out_f32[row, j, 1 + k]),
+                                     rank=k + 1))
+                group_samples[g_idx].append(
+                    SequenceOutput(parent_seq_id=seq_id,
+                                   output_token=token,
+                                   logprobs=lp_dict))
+        outputs = [
+            SequenceGroupOutput(samples=group_samples[i],
+                                prompt_logprobs=None)
+            for i in range(len(seq_group_metadata_list))
+        ]
+        return [SamplerOutput(outputs=outputs)]
+
+    def _mh_broadcast_multi_step(self, last_tokens, base_pos, block_tables,
+                                 slots, i32_s, f32_s, token_counts,
+                                 lora_slots, step_key, use_penalties,
+                                 has_lora) -> None:
+        header = np.zeros(dist.HEADER_LEN, np.int32)
+        header[0] = dist.OP_MULTI_STEP
+        header[1] = int(use_penalties)
+        header[2] = int(has_lora)
+        header[3], header[4] = block_tables.shape  # S, MB
+        header[5] = slots.shape[1]  # K
+        header[6] = token_counts.shape[1]  # vocab (or 1)
+        dist.broadcast_header(header)
+        for arr, dt in ((last_tokens, np.int32), (base_pos, np.int32),
+                        (block_tables, np.int32), (slots, np.int32),
+                        (i32_s, np.int32), (f32_s, np.float32),
+                        (token_counts, np.uint8), (lora_slots, np.int32)):
+            dist.broadcast_array(np.asarray(arr), arr.shape, dt)
+        dist.broadcast_array(np.asarray(step_key), step_key.shape, np.uint32)
 
     # ------------------------------------------------------------------
     # Speculative decoding helpers
@@ -984,6 +1107,35 @@ class TPUExecutor:
                     i32_s, f32_s, block_tables, token_counts, step_key,
                     use_penalties, decode_mode, capture_layer, has_lora,
                     step_tile)
+            elif op == dist.OP_MULTI_STEP:
+                use_penalties = bool(header[1])
+                has_lora = bool(header[2])
+                S, MB = int(header[3]), int(header[4])
+                K = int(header[5])
+                V = int(header[6])
+                last_tokens = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.int32))
+                base_pos = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.int32))
+                block_tables = jnp.asarray(
+                    dist.broadcast_array(None, (S, MB), np.int32))
+                slots = jnp.asarray(
+                    dist.broadcast_array(None, (S, K), np.int32))
+                i32_s = jnp.asarray(
+                    dist.broadcast_array(None, (4, S), np.int32))
+                f32_s = jnp.asarray(
+                    dist.broadcast_array(None, (6, S), np.float32))
+                tc_shape = (S, V) if use_penalties else (1, V)
+                token_counts = jnp.asarray(
+                    dist.broadcast_array(None, tc_shape, np.uint8))
+                lora_slots = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.int32))
+                step_key = jnp.asarray(
+                    dist.broadcast_array(None, (2, ), np.uint32))
+                self.kv_cache, _, _ = self._multi_step_fn(
+                    self.params, self.kv_cache, last_tokens, base_pos,
+                    block_tables, slots, i32_s, f32_s, token_counts,
+                    lora_slots, step_key, use_penalties, has_lora)
             elif op == dist.OP_AUX_SCORE:
                 B, L = int(header[1]), int(header[2])
                 tokens = jnp.asarray(

@@ -91,6 +91,7 @@ OP_SWAP_OUT = 2
 OP_SWAP_IN = 3
 OP_COPY = 4
 OP_AUX_SCORE = 5
+OP_MULTI_STEP = 6
 
 # Fixed header layout (i32): [opcode, 15 x op-specific fields].
 HEADER_LEN = 16
