@@ -32,6 +32,22 @@ CASES = [
      "vllm_ltr_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     ("test-glm-tiny", "GlmForCausalLM",
      "vllm_ltr_tpu.models.chatglm", "GlmForCausalLM"),
+    ("test-bloom-tiny", "BloomForCausalLM",
+     "vllm_ltr_tpu.models.bloom", "BloomForCausalLM"),
+    ("test-gptneox-tiny", "GPTNeoXForCausalLM",
+     "vllm_ltr_tpu.models.gpt_neox", "GPTNeoXForCausalLM"),
+    ("test-gptj-tiny", "GPTJForCausalLM",
+     "vllm_ltr_tpu.models.gpt_j", "GPTJForCausalLM"),
+    ("test-bigcode-tiny", "GPTBigCodeForCausalLM",
+     "vllm_ltr_tpu.models.gpt_bigcode", "GPTBigCodeForCausalLM"),
+    ("test-stablelm-tiny", "StableLmForCausalLM",
+     "vllm_ltr_tpu.models.stablelm", "StableLmForCausalLM"),
+    ("test-olmo-tiny", "OlmoForCausalLM",
+     "vllm_ltr_tpu.models.olmo", "OlmoForCausalLM"),
+    ("test-cohere-tiny", "CohereForCausalLM",
+     "vllm_ltr_tpu.models.commandr", "CohereForCausalLM"),
+    ("test-dbrx-tiny", "DbrxForCausalLM",
+     "vllm_ltr_tpu.models.dbrx", "DbrxForCausalLM"),
 ]
 
 
@@ -45,9 +61,16 @@ def _geometry(cfg):
               (1 if cfg.multi_query else cfg.num_attention_heads))
         return (cfg.num_hidden_layers, kv,
                 cfg.hidden_size // cfg.num_attention_heads)
-    if mt == "gpt2":
+    if mt in ("gpt2", "bloom", "gpt_neox", "gptj"):
         return (cfg.num_hidden_layers, cfg.num_attention_heads,
                 cfg.hidden_size // cfg.num_attention_heads)
+    if mt == "gpt_bigcode":
+        kv = 1 if cfg.multi_query else cfg.num_attention_heads
+        return (cfg.num_hidden_layers, kv,
+                cfg.hidden_size // cfg.num_attention_heads)
+    if mt == "dbrx":
+        return (cfg.n_layers, cfg.attn_config.kv_n_heads,
+                cfg.d_model // cfg.n_heads)
     head_dim = (getattr(cfg, "head_dim", None)
                 or cfg.hidden_size // cfg.num_attention_heads)
     kv = getattr(cfg, "num_key_value_heads", None) or cfg.num_attention_heads

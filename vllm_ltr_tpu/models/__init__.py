@@ -44,6 +44,21 @@ _MODEL_REGISTRY: Dict[str, tuple] = {
                              "InternLM2ForCausalLM"),
     "DeepseekForCausalLM": ("vllm_ltr_tpu.models.deepseek",
                             "DeepseekForCausalLM"),
+    "BloomForCausalLM": ("vllm_ltr_tpu.models.bloom", "BloomForCausalLM"),
+    "GPTNeoXForCausalLM": ("vllm_ltr_tpu.models.gpt_neox",
+                           "GPTNeoXForCausalLM"),
+    "GPTJForCausalLM": ("vllm_ltr_tpu.models.gpt_j", "GPTJForCausalLM"),
+    "GPTBigCodeForCausalLM": ("vllm_ltr_tpu.models.gpt_bigcode",
+                              "GPTBigCodeForCausalLM"),
+    "StableLmForCausalLM": ("vllm_ltr_tpu.models.stablelm",
+                            "StableLmForCausalLM"),
+    "StableLMEpochForCausalLM": ("vllm_ltr_tpu.models.stablelm",
+                                 "StableLmForCausalLM"),
+    "OlmoForCausalLM": ("vllm_ltr_tpu.models.olmo", "OlmoForCausalLM"),
+    "OLMoForCausalLM": ("vllm_ltr_tpu.models.olmo", "OlmoForCausalLM"),
+    "CohereForCausalLM": ("vllm_ltr_tpu.models.commandr",
+                          "CohereForCausalLM"),
+    "DbrxForCausalLM": ("vllm_ltr_tpu.models.dbrx", "DbrxForCausalLM"),
 }
 
 

@@ -9,10 +9,13 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-from transformers import (AutoConfig, FalconConfig, GPT2Config,
-                          GemmaConfig, GlmConfig, LlamaConfig, MixtralConfig,
-                          MptConfig, OPTConfig, PhiConfig, PretrainedConfig,
-                          Qwen2Config, Qwen2MoeConfig, Starcoder2Config)
+from transformers import (AutoConfig, BloomConfig, CohereConfig, DbrxConfig,
+                          FalconConfig, GPT2Config, GPTBigCodeConfig,
+                          GPTJConfig, GPTNeoXConfig, GemmaConfig, GlmConfig,
+                          LlamaConfig, MixtralConfig, MptConfig, OPTConfig,
+                          OlmoConfig, PhiConfig, PretrainedConfig,
+                          Qwen2Config, Qwen2MoeConfig, StableLmConfig,
+                          Starcoder2Config)
 
 def _shim_config(**kwargs) -> PretrainedConfig:
     """Config shim for architectures whose HF class needs remote code
@@ -155,6 +158,85 @@ _BUILTIN_CONFIGS = {
         head_dim=16,
         max_position_embeddings=512,
     ),
+    "test-bloom-tiny": lambda: BloomConfig(
+        vocab_size=512,
+        hidden_size=64,
+        n_layer=2,
+        n_head=4,
+    ),
+    "test-gptneox-tiny": lambda: GPTNeoXConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        rotary_pct=0.25,
+        max_position_embeddings=512,
+    ),
+    "test-gptj-tiny": lambda: GPTJConfig(
+        vocab_size=512,
+        n_embd=64,
+        n_layer=2,
+        n_head=4,
+        rotary_dim=8,
+        n_positions=512,
+    ),
+    "test-bigcode-tiny": lambda: GPTBigCodeConfig(
+        vocab_size=512,
+        n_embd=64,
+        n_layer=2,
+        n_head=4,
+        multi_query=True,
+        n_positions=512,
+    ),
+    "test-stablelm-tiny": lambda: StableLmConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        partial_rotary_factor=0.25,
+        use_qkv_bias=True,
+        # qk_layernorm is supported by our implementation but cannot be
+        # golden-tested: HF's _init_weights crashes on its bias-less
+        # per-head LayerNorms (transformers 4.57, modeling_stablelm.py:643).
+        qk_layernorm=False,
+        max_position_embeddings=512,
+    ),
+    "test-olmo-tiny": lambda: OlmoConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        clip_qkv=8.0,
+        tie_word_embeddings=False,
+        max_position_embeddings=512,
+    ),
+    "test-cohere-tiny": lambda: CohereConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        use_qk_norm=True,
+        logit_scale=0.125,
+        max_position_embeddings=512,
+    ),
+    "test-dbrx-tiny": lambda: DbrxConfig(
+        vocab_size=512,
+        d_model=64,
+        n_layers=2,
+        n_heads=4,
+        max_seq_len=512,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1.0},
+    ),
     "test-internlm2-tiny": lambda: _shim_config(
         model_type="internlm2",
         architectures=["InternLM2ForCausalLM"],
@@ -259,6 +341,14 @@ def get_hf_config(model: str,
                 "starcoder2": ["Starcoder2ForCausalLM"],
                 "qwen2_moe": ["Qwen2MoeForCausalLM"],
                 "glm": ["GlmForCausalLM"],
+                "bloom": ["BloomForCausalLM"],
+                "gpt_neox": ["GPTNeoXForCausalLM"],
+                "gptj": ["GPTJForCausalLM"],
+                "gpt_bigcode": ["GPTBigCodeForCausalLM"],
+                "stablelm": ["StableLmForCausalLM"],
+                "olmo": ["OlmoForCausalLM"],
+                "cohere": ["CohereForCausalLM"],
+                "dbrx": ["DbrxForCausalLM"],
             }[config.model_type]
             config.architectures = arch
         return config
