@@ -1,30 +1,66 @@
-"""Pallas decode kernel vs the XLA reference implementation (the reference
-repo's per-kernel CUDA-vs-torch comparison pattern, tests/kernels/)."""
+"""Fused Pallas decode kernel (KV write + paged attention in one kernel)
+vs the XLA reference (the reference repo's per-kernel CUDA-vs-torch
+comparison pattern, tests/kernels/). Runs in interpret mode on CPU."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vllm_ltr_tpu.ops.attention import paged_attention_decode_reference
-from vllm_ltr_tpu.ops.pallas.paged_attention import (
-    paged_attention_decode_pallas)
+from vllm_ltr_tpu.ops.attention import (alibi_slopes,
+                                        paged_attention_decode_reference)
+from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.pallas.fused_decode import fused_decode_attention
 
 BLOCK = 16
+LAYERS = 3
 
 
-def build_case(S, QH, KH, D, max_blocks, seed=0, dtype=jnp.float32):
+def build_case(S, QH, KH, D, max_blocks, seed=0, dtype=jnp.float32,
+               seq_lens=None):
+    """Returns (q, kv_new, cache, block_tables, seq_lens, slot_mapping).
+
+    seq_lens INCLUDE the new token; slot_mapping points at its slot in the
+    last logical page. The cache row at that slot is garbage the kernel
+    must overwrite.
+    """
     rng = np.random.RandomState(seed)
-    N = S * max_blocks  # enough distinct physical blocks
-    cache = rng.normal(size=(2, KH, N + 1, BLOCK, D)).astype(np.float32)
+    N = S * max_blocks
+    cache = rng.normal(size=(LAYERS, N + 1, 2, KH, BLOCK, D)).astype(
+        np.float32)
     q = rng.normal(size=(S, QH, D)).astype(np.float32)
-    # Random non-overlapping block tables + random context lengths.
+    kv_new = rng.normal(size=(S, 2, KH, D)).astype(np.float32)
     perm = rng.permutation(N)
     block_tables = perm[:S * max_blocks].reshape(S, max_blocks).astype(
         np.int32)
-    seq_lens = rng.randint(1, max_blocks * BLOCK + 1,
-                           size=(S, )).astype(np.int32)
-    return (jnp.asarray(q, dtype), jnp.asarray(cache, dtype),
-            jnp.asarray(block_tables), jnp.asarray(seq_lens))
+    if seq_lens is None:
+        seq_lens = rng.randint(1, max_blocks * BLOCK + 1,
+                               size=(S, )).astype(np.int32)
+    else:
+        seq_lens = np.asarray(seq_lens, np.int32)
+    slot = np.full(S, -1, np.int32)
+    for s in range(S):
+        if seq_lens[s] > 0:
+            pos = seq_lens[s] - 1
+            slot[s] = block_tables[s, pos // BLOCK] * BLOCK + pos % BLOCK
+    return (jnp.asarray(q, dtype), jnp.asarray(kv_new, dtype),
+            jnp.asarray(cache, dtype), jnp.asarray(block_tables),
+            jnp.asarray(seq_lens), jnp.asarray(slot))
+
+
+def run_both(case, scale, layer=1, window=0, alibi=None, tol=2e-4):
+    q, kv_new, cache, bt, slens, slot = case
+    # Reference: write the new K/V rows with the XLA scatter, then attend.
+    ref_cache = write_kv(cache, layer, kv_new[:, 0], kv_new[:, 1], slot)
+    ref = paged_attention_decode_reference(
+        q, ref_cache, layer, bt, slens, scale,
+        sliding_window=window or None, alibi=alibi)
+    out, new_cache = fused_decode_attention(
+        q, kv_new.astype(cache.dtype), cache, jnp.int32(layer), bt, slens,
+        slot, scale=scale, window=window, alibi=alibi, interpret=True)
+    live = np.asarray(slot) >= 0
+    np.testing.assert_allclose(np.asarray(out)[live],
+                               np.asarray(ref)[live], rtol=tol, atol=tol)
+    return new_cache, ref_cache
 
 
 @pytest.mark.parametrize("S,QH,KH,D", [
@@ -33,79 +69,74 @@ def build_case(S, QH, KH, D, max_blocks, seed=0, dtype=jnp.float32):
     (3, 8, 8, 128),
     (2, 16, 2, 128),  # GQA group 8
 ])
-def test_decode_kernel_matches_reference(S, QH, KH, D):
-    q, cache, block_tables, seq_lens = build_case(S, QH, KH, D,
-                                                  max_blocks=4)
-    scale = D**-0.5
-    ref = paged_attention_decode_reference(q, cache, block_tables, seq_lens,
-                                           scale)
-    out = paged_attention_decode_pallas(q,
-                                        cache,
-                                        block_tables,
-                                        seq_lens,
-                                        block_size=BLOCK,
-                                        scale=scale,
-                                        interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
-                               atol=2e-4)
+def test_fused_decode_matches_reference(S, QH, KH, D):
+    case = build_case(S, QH, KH, D, max_blocks=4)
+    run_both(case, D**-0.5)
 
 
-def test_decode_kernel_partial_last_block():
-    q, cache, block_tables, seq_lens = build_case(3, 4, 4, 64, max_blocks=3,
-                                                  seed=1)
-    # Force odd context lengths (partial last block masking).
-    seq_lens = jnp.asarray([1, 17, 33], jnp.int32)
-    scale = 64**-0.5
-    ref = paged_attention_decode_reference(q, cache, block_tables, seq_lens,
-                                           scale)
-    out = paged_attention_decode_pallas(q, cache, block_tables, seq_lens,
-                                        block_size=BLOCK, scale=scale,
-                                        interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
-                               atol=2e-4)
+def test_fused_decode_writes_cache_in_place():
+    """The new token's K/V row must land in the cache exactly where the
+    XLA scatter puts it, and no other page may change."""
+    case = build_case(3, 4, 4, 64, max_blocks=3, seed=1)
+    new_cache, ref_cache = run_both(case, 64**-0.5, layer=2)
+    np.testing.assert_array_equal(np.asarray(new_cache),
+                                  np.asarray(ref_cache))
 
 
-def test_decode_kernel_zero_len_rows_are_finite():
-    """Padded rows (seq_len=0) must produce finite output, not NaN."""
-    q, cache, block_tables, seq_lens = build_case(4, 4, 4, 64, max_blocks=2,
-                                                  seed=2)
-    seq_lens = jnp.asarray([16, 0, 8, 0], jnp.int32)
-    out = paged_attention_decode_pallas(q, cache, block_tables, seq_lens,
-                                        block_size=BLOCK, scale=0.125,
-                                        interpret=True)
+def test_fused_decode_partial_last_block():
+    case = build_case(3, 4, 4, 64, max_blocks=3, seed=1,
+                      seq_lens=[1, 17, 33])
+    run_both(case, 64**-0.5)
+
+
+def test_fused_decode_padded_lanes_are_finite():
+    """Padded lanes (slot=-1, seq_len=0) must produce finite output and
+    must not write anything into the cache."""
+    case = build_case(4, 4, 4, 64, max_blocks=2, seed=2,
+                      seq_lens=[16, 0, 8, 0])
+    q, kv_new, cache, bt, slens, slot = case
+    before = np.asarray(cache).copy()
+    out, new_cache = fused_decode_attention(
+        q, kv_new, cache, jnp.int32(0), bt, slens, slot,
+        scale=0.125, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+    # Only the two live rows' slots may differ from the original cache.
+    diff = (np.asarray(new_cache) != before).any(axis=(2, 3, 5))  # [L,N+1,Bs]
+    changed_pages = sorted(set(zip(*np.nonzero(diff.any(axis=2)))))
+    live_pages = {(0, int(np.asarray(slot)[s]) // BLOCK)
+                  for s in (0, 2)}
+    assert set(changed_pages) <= live_pages
 
 
-def test_decode_kernel_bf16_kv():
-    q, cache, block_tables, seq_lens = build_case(2, 4, 4, 64, max_blocks=2,
-                                                  seed=3)
-    cache_bf16 = cache.astype(jnp.bfloat16)
-    scale = 64**-0.5
-    ref = paged_attention_decode_reference(q, cache_bf16, block_tables,
-                                           seq_lens, scale)
-    out = paged_attention_decode_pallas(q, cache_bf16, block_tables,
-                                        seq_lens, block_size=BLOCK,
-                                        scale=scale, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
-                               atol=2e-2)
+def test_fused_decode_bf16_cache():
+    case = build_case(2, 4, 4, 64, max_blocks=2, seed=3, dtype=jnp.bfloat16)
+    q, kv_new, cache, bt, slens, slot = case
+    case = (q.astype(jnp.float32), kv_new, cache, bt, slens, slot)
+    run_both(case, 64**-0.5, tol=2e-2)
 
 
-def test_decode_kernel_sliding_window():
-    """Sliding-window decode: the kernel skips blocks left of the window
-    and matches the reference mask semantics (Mistral path, no fallback)."""
-    q, cache, block_tables, seq_lens = build_case(3, 8, 2, 64, max_blocks=6,
-                                                  seed=5)
-    seq_lens = jnp.asarray([96, 17, 64], jnp.int32)
-    scale = 64**-0.5
-    from vllm_ltr_tpu.ops.attention import paged_attention_reference
-    S = 3
-    token_seq = jnp.arange(S, dtype=jnp.int32)
-    token_pos = jnp.maximum(seq_lens - 1, 0)
-    ref = paged_attention_reference(q, cache, block_tables, token_seq,
-                                    token_pos, seq_lens, scale,
-                                    sliding_window=48)
-    out = paged_attention_decode_pallas(q, cache, block_tables, seq_lens,
-                                        block_size=BLOCK, scale=scale,
-                                        window=48, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
-                               atol=2e-4)
+def test_fused_decode_sliding_window():
+    """Whole pages left of the window are skipped yet the mask semantics
+    match the reference (Mistral path, no silent fallback)."""
+    case = build_case(3, 8, 2, 64, max_blocks=6, seed=5,
+                      seq_lens=[96, 17, 64])
+    run_both(case, 64**-0.5, window=48)
+
+
+def test_fused_decode_alibi():
+    QH = 8
+    case = build_case(3, QH, QH, 64, max_blocks=3, seed=6)
+    run_both(case, 64**-0.5, alibi=alibi_slopes(QH))
+
+
+def test_fused_decode_single_token_context():
+    """seq_len=1: the new token is the entire context (first decode after
+    an empty prefill) — attention must equal V of the new token."""
+    case = build_case(2, 4, 4, 64, max_blocks=2, seed=7, seq_lens=[1, 1])
+    q, kv_new, cache, bt, slens, slot = case
+    out, _ = fused_decode_attention(q, kv_new, cache, jnp.int32(1), bt,
+                                    slens, slot, scale=0.125,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(kv_new[:, 1]), rtol=1e-5,
+                               atol=1e-5)

@@ -14,6 +14,8 @@ from vllm_ltr_tpu.ops.pallas.prefill_attention import (
     paged_prefill_attention_pallas)
 
 BLOCK = 16
+LAYERS = 2
+LAYER = 1
 
 
 def build_flat_case(row_specs, QH, KH, D, tile, seed=0,
@@ -25,7 +27,8 @@ def build_flat_case(row_specs, QH, KH, D, tile, seed=0,
     seq_lens = np.asarray([c + p for c, p in row_specs], np.int32)
     max_blocks = int(np.ceil(seq_lens.max() / BLOCK))
     N = S * max_blocks
-    cache = rng.normal(size=(2, KH, N + 1, BLOCK, D)).astype(np.float32)
+    cache = rng.normal(size=(LAYERS, N + 1, 2, KH, BLOCK, D)).astype(
+        np.float32)
     perm = rng.permutation(N)
     block_tables = perm[:S * max_blocks].reshape(S, max_blocks).astype(
         np.int32)
@@ -51,12 +54,12 @@ def build_flat_case(row_specs, QH, KH, D, tile, seed=0,
 
 def run_both(case, scale, tile, window=None):
     q, cache, bt, tseq, tpos, slens = case
-    ref = paged_attention_reference(q, cache, bt, tseq, tpos, slens, scale,
-                                    sliding_window=window)
-    out = paged_prefill_attention_pallas(q, cache, bt, tseq, tpos, slens,
-                                         tile=tile, block_size=BLOCK,
-                                         scale=scale, window=window,
-                                         interpret=True)
+    ref = paged_attention_reference(q, cache, LAYER, bt, tseq, tpos, slens,
+                                    scale, sliding_window=window)
+    out = paged_prefill_attention_pallas(q, cache, jnp.int32(LAYER), bt,
+                                         tseq, tpos, slens, tile=tile,
+                                         block_size=BLOCK, scale=scale,
+                                         window=window, interpret=True)
     # Only real tokens are compared (pad tiles/rows are don't-care).
     mask = np.asarray(tseq) >= 0
     np.testing.assert_allclose(np.asarray(out)[mask],
@@ -100,13 +103,13 @@ def test_padding_tiles_are_finite():
     q, cache, bt, tseq, tpos, slens = build_flat_case([(5, 0)], 4, 4, 64,
                                                       tile, seed=4)
     # Append a fully-padded tile.
-    T = q.shape[0]
     q = jnp.concatenate([q, jnp.zeros((tile, 4, 64), q.dtype)])
     tseq = jnp.concatenate([tseq, jnp.full((tile, ), -1, jnp.int32)])
     tpos = jnp.concatenate([tpos, jnp.zeros((tile, ), jnp.int32)])
-    out = paged_prefill_attention_pallas(q, cache, bt, tseq, tpos, slens,
-                                         tile=tile, block_size=BLOCK,
-                                         scale=0.125, interpret=True)
+    out = paged_prefill_attention_pallas(q, cache, jnp.int32(LAYER), bt,
+                                         tseq, tpos, slens, tile=tile,
+                                         block_size=BLOCK, scale=0.125,
+                                         interpret=True)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -115,10 +118,12 @@ def test_bf16_kv_cache():
     q, cache, bt, tseq, tpos, slens = build_flat_case([(33, 16)], 8, 2, 128,
                                                       tile, seed=5)
     cache = cache.astype(jnp.bfloat16)
-    ref = paged_attention_reference(q, cache, bt, tseq, tpos, slens, 0.1)
-    out = paged_prefill_attention_pallas(q, cache, bt, tseq, tpos, slens,
-                                         tile=tile, block_size=BLOCK,
-                                         scale=0.1, interpret=True)
+    ref = paged_attention_reference(q, cache, LAYER, bt, tseq, tpos, slens,
+                                    0.1)
+    out = paged_prefill_attention_pallas(q, cache, jnp.int32(LAYER), bt,
+                                         tseq, tpos, slens, tile=tile,
+                                         block_size=BLOCK, scale=0.1,
+                                         interpret=True)
     mask = np.asarray(tseq) >= 0
     np.testing.assert_allclose(np.asarray(out)[mask],
                                np.asarray(ref)[mask], rtol=2e-2, atol=2e-2)

@@ -20,11 +20,11 @@ def test_swap_roundtrip_bf16():
 
     cache = swap.swap_out(cache, {1: 3, 5: 0})
     # Overwrite the device blocks (simulating reuse), then swap back in.
-    cache = cache.at[:, :, :, [1, 5]].set(0)
+    cache = cache.at[:, [1, 5]].set(0)
     cache = swap.swap_in(cache, {3: 1, 0: 5})
     got = np.asarray(cache)
-    np.testing.assert_array_equal(got[:, :, :, 1], orig[:, :, :, 1])
-    np.testing.assert_array_equal(got[:, :, :, 5], orig[:, :, :, 5])
+    np.testing.assert_array_equal(got[:, 1], orig[:, 1])
+    np.testing.assert_array_equal(got[:, 5], orig[:, 5])
 
 
 def test_swap_roundtrip_fp8_bit_exact():
@@ -36,10 +36,10 @@ def test_swap_roundtrip_fp8_bit_exact():
     orig_bits = np.asarray(cache).view(np.uint8)
 
     cache = swap.swap_out(cache, {2: 1})
-    cache = cache.at[:, :, :, 2].set(0)
+    cache = cache.at[:, 2].set(0)
     cache = swap.swap_in(cache, {1: 2})
     got_bits = np.asarray(cache).view(np.uint8)
-    np.testing.assert_array_equal(got_bits[:, :, :, 2], orig_bits[:, :, :, 2])
+    np.testing.assert_array_equal(got_bits[:, 2], orig_bits[:, 2])
 
 
 def test_swap_out_commit_is_deferred_until_needed():
@@ -53,7 +53,7 @@ def test_swap_out_commit_is_deferred_until_needed():
     assert swap._inflight, "transfer should be pending, not committed"
     swap.flush()
     assert not swap._inflight
-    np.testing.assert_array_equal(swap.buf[:, :, :, 0], orig[:, :, :, 0])
+    np.testing.assert_array_equal(swap.buf[:, 0], orig[:, 0])
 
 
 def test_swap_out_ordering_same_host_block():
@@ -66,4 +66,4 @@ def test_swap_out_ordering_same_host_block():
     swap.swap_out(cache, {0: 1})
     swap.swap_out(cache, {2: 1})  # commits the first, then queues this one
     swap.flush()
-    np.testing.assert_array_equal(swap.buf[:, :, :, 1], orig[:, :, :, 2])
+    np.testing.assert_array_equal(swap.buf[:, 1], orig[:, 2])

@@ -16,11 +16,9 @@ import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, rms_norm, silu_and_mul,
-                                        stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        normal_init, rms_norm, run_layers,
+                                        silu_and_mul, stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _dims(cfg):
@@ -156,8 +154,7 @@ class GlmForCausalLM:
 
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -167,28 +164,19 @@ class GlmForCausalLM:
             # GLM rotary: interleaved (GPT-J style) over the first half.
             q, k = apply_rotary_embedding(positions, q, k, D, rot, max_pos,
                                           rope_theta, False)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
             x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
             h = residual + linear(x, lp["down_w"])
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = rms_norm(h, params["norm"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -11,9 +11,12 @@ arrays; each architecture exposes
   (hidden[T, H], new_kv_cache),
 * ``compute_logits(params, hidden, cfg)`` → [*, V].
 
-Per-layer parameters are stacked on a leading layer axis and the decoder
-runs as a single ``lax.scan`` over layers — one compiled layer body instead
-of L unrolled copies (fast compiles, XLA-friendly).
+Per-layer parameters are stacked on a leading layer axis; the decoder
+runs as an UNROLLED python loop over layers (:func:`run_layers`). The KV
+cache is one stacked array threaded through the loop at a constant layer
+index — never ``lax.scan`` xs/ys, which XLA cannot alias into the donated
+buffer and would copy the multi-GiB cache wholesale every step. Weight
+slices at constant indices fuse into their consuming matmuls for free.
 """
 from __future__ import annotations
 
@@ -96,6 +99,32 @@ def t2j(tensor, dtype) -> jnp.ndarray:
 def stack_layers(layer_param_list):
     """List of per-layer param dicts -> one dict of [L, ...] arrays."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_param_list)
+
+
+def run_layers(layer_fn, h, kv_cache, params, capture_layer=None):
+    """Unrolled decoder-layer driver.
+
+    ``layer_fn(h, lp, kv_cache, lid, kv_scale) -> (h, kv_cache)`` where
+    ``lp`` is the layer's parameter slice (constant index into the stacked
+    [L, ...] arrays) and ``lid`` is the python layer index, so every cache
+    update happens at a constant layer offset and XLA aliases it in place.
+
+    ``capture_layer`` (static): additionally return the hidden state
+    entering that layer (the embedded mid-layer predictor hook, reference
+    deepseek.py:354-359 / llama.py:288-293); None otherwise.
+    """
+    num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
+    kv_scales = params.get("kv_scales")
+    cap = None
+    for lid in range(num_layers):
+        if capture_layer is not None and lid == capture_layer:
+            cap = h
+        lp = jax.tree.map(lambda x: x[lid], params["layers"])
+        ks = kv_scales[lid] if kv_scales is not None else 1.0
+        h, kv_cache = layer_fn(h, lp, kv_cache, lid, ks)
+    if capture_layer is not None and cap is None:
+        cap = jnp.zeros_like(h)
+    return h, kv_cache, cap
 
 
 def dtype_by_name(name: str):

@@ -17,11 +17,9 @@ import jax.numpy as jnp
 from vllm_ltr_tpu.layers.moe import fused_moe
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, rms_norm, silu_and_mul,
-                                        stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        normal_init, rms_norm, run_layers,
+                                        silu_and_mul, stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _dims(cfg):
@@ -151,18 +149,10 @@ class DeepseekForCausalLM:
         E = getattr(cfg, "n_routed_experts", 0) or 1
         top_k = min(getattr(cfg, "num_experts_per_tok", 2), E)
         renorm = bool(getattr(cfg, "norm_topk_prob", False))
-        layer_ids = jnp.arange(cfg.num_hidden_layers)
-        sparse_flags = jnp.asarray(
-            [_is_sparse(cfg, i) for i in range(cfg.num_hidden_layers)],
-            jnp.float32)
-
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(carry, scan_in):
-            h, cap = carry
-            lp, layer_cache, lid, is_sparse = scan_in
-            if capture_layer is not None:
-                cap = jnp.where(lid == capture_layer, h, cap)
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
+            is_sparse = _is_sparse(cfg, lid)  # python static (unrolled)
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -171,43 +161,34 @@ class DeepseekForCausalLM:
             v = linear(x, lp["v_w"]).reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
-            # Shared/dense MLP path.
+            # Shared/dense MLP path; sparse layers add routed experts
+            # (static per-layer pattern, so dense layers skip the MoE).
             dense = linear(
                 silu_and_mul(linear(x, lp["sh_gate_w"]),
                              linear(x, lp["sh_up_w"])), lp["sh_down_w"])
-            router_logits = linear(x, lp["router_w"])
-            moe_out = fused_moe(x, router_logits, lp["gate_w"], lp["up_w"],
-                                lp["down_w"], top_k=top_k,
-                                renormalize=renorm)
-            # Sparse layers: routed experts + shared experts; dense layers:
-            # plain MLP.
-            ffn = jnp.where(is_sparse > 0,
-                            moe_out.astype(h.dtype) + dense, dense)
+            if is_sparse:
+                router_logits = linear(x, lp["router_w"])
+                moe_out = fused_moe(x, router_logits, lp["gate_w"],
+                                    lp["up_w"], lp["down_w"], top_k=top_k,
+                                    renormalize=renorm)
+                ffn = moe_out.astype(h.dtype) + dense
+            else:
+                ffn = dense
             h = residual + ffn
-            return (h, cap), layer_cache
+            return h, kv_cache
 
-        cap0 = jnp.zeros_like(h)
-        (h, cap), new_cache = jax.lax.scan(
-            layer_fn, (h, cap0),
-            (params["layers"], kv_cache, layer_ids, sparse_flags))
+        h, kv_cache, cap = run_layers(layer_fn, h, kv_cache, params,
+                                      capture_layer)
         h = rms_norm(h, params["norm"], eps)
         if capture_layer is not None:
-            return h, new_cache, cap
-        return h, new_cache
+            return h, kv_cache, cap
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -15,12 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
-from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, stack_layers,
+from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm, linear,
+                                        normal_init, run_layers, stack_layers,
                                         t2j)
-from vllm_ltr_tpu.ops.attention import (alibi_slopes, paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import alibi_slopes, attend
 
 
 def _geometry(cfg) -> Tuple[int, int, int]:
@@ -158,8 +156,7 @@ class FalconForCausalLM:
 
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x_attn = layer_norm(h, lp["ln1_s"], lp["ln1_b"], eps)
             x_mlp = (layer_norm(h, lp["ln2_s"], lp["ln2_b"], eps)
@@ -171,17 +168,9 @@ class FalconForCausalLM:
             if not use_alibi:
                 q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                               rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale,
-                                              alibi=slopes)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile, alibi=slopes)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode,
+                                    alibi=slopes)
             attn_out = linear(attn.reshape(T, QH * D), lp["o_w"])
 
             if parallel:
@@ -199,12 +188,11 @@ class FalconForCausalLM:
                         linear(x, lp["fc1_w"]).astype(jnp.float32),
                         approximate=False).astype(h.dtype), lp["fc2_w"])
                 h = residual + mlp
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = layer_norm(h, params["ln_f_s"], params["ln_f_b"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -13,10 +13,9 @@ import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        normal_init, run_layers, stack_layers,
+                                        t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _gemma_rms_norm(x, w, eps):
@@ -112,8 +111,7 @@ class GemmaForCausalLM:
         h = params["embed_tokens"][tokens]
         h = h * jnp.asarray(H**0.5, h.dtype)  # Gemma embed scaling
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = _gemma_rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -122,16 +120,8 @@ class GemmaForCausalLM:
             v = linear(x, lp["v_w"]).reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
@@ -139,12 +129,11 @@ class GemmaForCausalLM:
             x = _gelu_tanh_mul(linear(x, lp["gate_w"]),
                                linear(x, lp["up_w"]))
             h = residual + linear(x, lp["down_w"])
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = _gemma_rms_norm(h, params["norm"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -11,12 +11,10 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, stack_layers,
+from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm, linear,
+                                        normal_init, run_layers, stack_layers,
                                         t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import attend
 
 
 class GPT2LMHeadModel:
@@ -104,8 +102,7 @@ class GPT2LMHeadModel:
 
         h = params["wte"][tokens] + params["wpe"][positions]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = layer_norm(h, lp["ln1_s"], lp["ln1_b"], eps)
             qkv = linear(x, lp["qkv_w"], lp["qkv_b"])
@@ -114,16 +111,8 @@ class GPT2LMHeadModel:
             q = q.reshape(T, num_heads, D)
             k = k.reshape(T, num_heads, D)
             v = v.reshape(T, num_heads, D)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, H), lp["out_w"],
                                   lp["out_b"])
 
@@ -134,12 +123,11 @@ class GPT2LMHeadModel:
                             approximate=True).astype(x.dtype)
             x = linear(x, lp["fc2_w"], lp["fc2_b"])
             h = residual + x
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = layer_norm(h, params["ln_f_s"], params["ln_f_b"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -11,12 +11,10 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, stack_layers,
+from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm, linear,
+                                        normal_init, run_layers, stack_layers,
                                         t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _kv_heads(cfg) -> int:
@@ -114,24 +112,15 @@ class GPTBigCodeForCausalLM:
 
         h = params["embed_tokens"][tokens] + params["embed_pos"][positions]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = layer_norm(h, lp["ln1_s"], lp["ln1_b"], eps)
             T = x.shape[0]
             q = linear(x, lp["q_w"], lp["q_b"]).reshape(T, NH, D)
             k = linear(x, lp["k_w"], lp["k_b"]).reshape(T, KH, D)
             v = linear(x, lp["v_w"], lp["v_b"]).reshape(T, KH, D)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, NH * D), lp["o_w"],
                                   lp["o_b"])
 
@@ -141,12 +130,11 @@ class GPTBigCodeForCausalLM:
             x = jax.nn.gelu(x.astype(jnp.float32),
                             approximate=True).astype(h.dtype)
             h = residual + linear(x, lp["fc2_w"], lp["fc2_b"])
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = layer_norm(h, params["norm_s"], params["norm_b"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

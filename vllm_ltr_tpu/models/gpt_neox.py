@@ -12,12 +12,10 @@ import jax
 import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
-from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, stack_layers,
+from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm, linear,
+                                        normal_init, run_layers, stack_layers,
                                         t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _gelu(x: jax.Array, act: str) -> jax.Array:
@@ -128,36 +126,27 @@ class GPTNeoXForCausalLM:
 
         h = params["embed_tokens"][tokens]
 
-        def attend(x, lp, layer_cache):
+        def self_attn(x, lp, kv_cache, lid):
             T = x.shape[0]
             q = linear(x, lp["q_w"], lp["q_b"]).reshape(T, NH, D)
             k = linear(x, lp["k_w"], lp["k_b"]).reshape(T, NH, D)
             v = linear(x, lp["v_w"], lp["v_b"]).reshape(T, NH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, rotary_dim,
                                           max_pos, base, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             return linear(attn.reshape(T, NH * D), lp["o_w"],
-                          lp["o_b"]), layer_cache
+                          lp["o_b"]), kv_cache
 
         def mlp(x, lp):
             x = linear(x, lp["fc1_w"], lp["fc1_b"])
             x = _gelu(x, act)
             return linear(x, lp["fc2_w"], lp["fc2_b"])
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
-            attn_out, layer_cache = attend(
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
+            attn_out, kv_cache = self_attn(
                 layer_norm(h, lp["ln1_s"], lp["ln1_b"], eps), lp,
-                layer_cache)
+                kv_cache, lid)
             if parallel:
                 mlp_out = mlp(layer_norm(h, lp["ln2_s"], lp["ln2_b"], eps),
                               lp)
@@ -165,12 +154,11 @@ class GPTNeoXForCausalLM:
             else:
                 h = h + attn_out
                 h = h + mlp(layer_norm(h, lp["ln2_s"], lp["ln2_b"], eps), lp)
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = layer_norm(h, params["norm_s"], params["norm_b"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

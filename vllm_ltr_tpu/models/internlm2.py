@@ -15,11 +15,9 @@ import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, rms_norm, silu_and_mul,
-                                        stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        normal_init, rms_norm, run_layers,
+                                        silu_and_mul, stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _dims(cfg):
@@ -105,15 +103,9 @@ class InternLM2ForCausalLM:
         eps = getattr(cfg, "rms_norm_eps", 1e-6)
         rope_theta = getattr(cfg, "rope_theta", 10000.0)
         max_pos = cfg.max_position_embeddings
-        layer_ids = jnp.arange(cfg.num_hidden_layers)
-
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(carry, scan_in):
-            h, cap = carry
-            lp, layer_cache, lid = scan_in
-            if capture_layer is not None:
-                cap = jnp.where(lid == capture_layer, h, cap)
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -122,31 +114,22 @@ class InternLM2ForCausalLM:
             v = linear(x, lp["v_w"]).reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
             x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
             h = residual + linear(x, lp["down_w"])
-            return (h, cap), layer_cache
+            return h, kv_cache
 
-        cap0 = jnp.zeros_like(h)
-        (h, cap), new_cache = jax.lax.scan(
-            layer_fn, (h, cap0), (params["layers"], kv_cache, layer_ids))
+        h, kv_cache, cap = run_layers(layer_fn, h, kv_cache, params,
+                                      capture_layer)
         h = rms_norm(h, params["norm"], eps)
         if capture_layer is not None:
-            return h, new_cache, cap
-        return h, new_cache
+            return h, kv_cache, cap
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -3,7 +3,8 @@
 Behavioral counterpart of reference ``vllm/model_executor/models/llama.py``
 (448 LoC): RMSNorm, SwiGLU MLP, rotary embeddings, grouped-query attention,
 paged KV cache, FP8-KV scale hook (reference llama.py:126,429-445). Pure
-functional JAX with stacked layer params + ``lax.scan``.
+functional JAX with stacked layer params and an unrolled layer loop
+(common.run_layers) so the paged cache updates in place.
 """
 from __future__ import annotations
 
@@ -14,11 +15,9 @@ import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, rms_norm, silu_and_mul,
-                                        stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                         paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        normal_init, rms_norm, run_layers,
+                                        silu_and_mul, stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _lora(lp, name, x, scalings, slots):
@@ -174,21 +173,12 @@ class LlamaForCausalLM:
         sliding_window = getattr(cfg, "sliding_window", None)
 
         h = params["embed_tokens"][tokens]
-        # Per-layer FP8-KV scales (reference llama.py:126,429-445); ones
-        # for non-quantized caches.
-        L = cfg.num_hidden_layers
-        kv_scales = params.get("kv_scales",
-                               jnp.ones((L, ), jnp.float32))
-
-        layer_ids = jnp.arange(cfg.num_hidden_layers)
         lora_scalings = params.get("lora_scalings")
         lora_slots = meta.lora_slots
 
-        def layer_fn(carry, scan_in):
-            h, cap = carry
-            lp, layer_cache, kv_scale, lid = scan_in
-            if capture_layer is not None:
-                cap = jnp.where(lid == capture_layer, h, cap)
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
+            # Per-layer FP8-KV scale (reference llama.py:126,429-445);
+            # folded by attend() into q/out so kernels never see it.
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -204,24 +194,10 @@ class LlamaForCausalLM:
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True, scaling_type,
                                           scaling_factor)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping,
-                                   kv_scale)
-            # Dequantization is linear: fold the K scale into q and the V
-            # scale into the output, so the attention kernels never need a
-            # per-layer (traced) scale argument.
-            q = q * kv_scale.astype(q.dtype)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale,
-                                              sliding_window=sliding_window)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    sliding_window=sliding_window,
-                    tile=meta.prefill_tile)
-            attn = attn * kv_scale.astype(attn.dtype)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode,
+                                    sliding_window=sliding_window,
+                                    kv_scale=kv_scale)
             attn2 = attn.reshape(T, QH * D)
             h = residual + linear(attn2, lp["o_w"]) + _lora(
                 lp, "o", attn2, lora_scalings, lora_slots)
@@ -235,16 +211,14 @@ class LlamaForCausalLM:
                 _lora(lp, "up", x, lora_scalings, lora_slots))
             h = residual + linear(x, lp["down_w"]) + _lora(
                 lp, "down", x, lora_scalings, lora_slots)
-            return (h, cap), (layer_cache, kv_scale)
+            return h, kv_cache
 
-        cap0 = jnp.zeros_like(h)
-        (h, cap), (new_cache, _) = jax.lax.scan(
-            layer_fn, (h, cap0),
-            (params["layers"], kv_cache, kv_scales, layer_ids))
+        h, kv_cache, cap = run_layers(layer_fn, h, kv_cache, params,
+                                      capture_layer)
         h = rms_norm(h, params["norm"], eps)
         if capture_layer is not None:
-            return h, new_cache, cap
-        return h, new_cache
+            return h, kv_cache, cap
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -14,11 +14,9 @@ import jax.numpy as jnp
 from vllm_ltr_tpu.layers.moe import fused_moe
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, rms_norm, stack_layers,
-                                        t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        normal_init, rms_norm, run_layers,
+                                        stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 
 class MixtralForCausalLM:
@@ -122,8 +120,7 @@ class MixtralForCausalLM:
 
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -132,16 +129,8 @@ class MixtralForCausalLM:
             v = linear(x, lp["v_w"]).reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
@@ -150,12 +139,11 @@ class MixtralForCausalLM:
             moe_out = fused_moe(x, router_logits, lp["gate_w"], lp["up_w"],
                                 lp["down_w"], top_k=top_k)
             h = residual + moe_out.astype(h.dtype)
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = rms_norm(h, params["norm"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -12,12 +12,10 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, stack_layers,
+from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm, linear,
+                                        normal_init, run_layers, stack_layers,
                                         t2j)
-from vllm_ltr_tpu.ops.attention import (alibi_slopes, paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import alibi_slopes, attend
 
 
 def _dims(cfg):
@@ -102,8 +100,7 @@ class MptForCausalLM:
         h = params["embed_tokens"][tokens]
         zero_b = jnp.zeros((H, ), h.dtype)
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = layer_norm(h, lp["ln1_s"], zero_b, eps)
             T = x.shape[0]
@@ -117,17 +114,9 @@ class MptForCausalLM:
             q = q.reshape(T, QH, D)
             k = k.reshape(T, KH, D)
             v = v.reshape(T, KH, D)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale,
-                                              alibi=slopes)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile, alibi=slopes)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode,
+                                    alibi=slopes)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
@@ -136,12 +125,11 @@ class MptForCausalLM:
             x = jax.nn.gelu(x.astype(jnp.float32),
                             approximate=False).astype(h.dtype)
             h = residual + linear(x, lp["fc2_w"])
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = layer_norm(h, params["ln_f_s"], zero_b, eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

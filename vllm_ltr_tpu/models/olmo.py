@@ -13,11 +13,9 @@ import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, silu_and_mul,
+                                        normal_init, run_layers, silu_and_mul,
                                         stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _nonparam_layer_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -95,8 +93,7 @@ class OlmoForCausalLM:
 
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = _nonparam_layer_norm(h)
             T = x.shape[0]
@@ -112,28 +109,19 @@ class OlmoForCausalLM:
             v = v.reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           base, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
             x = _nonparam_layer_norm(h)
             x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
             h = residual + linear(x, lp["down_w"])
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = _nonparam_layer_norm(h)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

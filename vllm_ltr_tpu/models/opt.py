@@ -4,7 +4,7 @@ Behavioral counterpart of reference ``vllm/model_executor/models/opt.py``
 (444 LoC torch modules), incl. ``OPTForSequenceClassification`` — the LTR
 output-length predictor with a scalar score head over the last token's
 hidden state (reference opt.py:362-445). Here both are pure functional JAX:
-stacked layer params + ``lax.scan`` decoder, paged attention via
+stacked layer params + unrolled layer loop, paged attention via
 ops/attention, KV writes via ops/kv_cache.
 """
 from __future__ import annotations
@@ -15,11 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, stack_layers,
-                                        t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                         paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        linear, normal_init, run_layers,
+                                        stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 # OPT's learned positional embedding is offset by 2 (HF convention).
 POS_OFFSET = 2
@@ -125,7 +123,7 @@ class OPTForCausalLM:
     def forward(params, tokens: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttentionMetadata,
                 cfg, decode_mode: bool = False, capture_layer=None):
-        """tokens/positions: [T]; kv_cache: [L, 2, KH, N+1, Bs, D].
+        """tokens/positions: [T]; kv_cache: [L, N+1, 2, KH, Bs, D].
         Returns (hidden [T, H], updated kv_cache[, captured hidden]).
         decode_mode / capture_layer: see llama (reference opt.py:250-255)."""
         H = cfg.hidden_size
@@ -140,13 +138,7 @@ class OPTForCausalLM:
         pos_emb = params["embed_positions"][positions + POS_OFFSET]
         h = h + pos_emb
 
-        layer_ids = jnp.arange(cfg.num_hidden_layers)
-
-        def layer_fn(carry, scan_in):
-            h, cap = carry
-            lp, layer_cache, lid = scan_in
-            if capture_layer is not None:
-                cap = jnp.where(lid == capture_layer, h, cap)
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = layer_norm(h, lp["ln1_s"], lp["ln1_b"]) if do_lnb else h
             qkv = linear(x, lp["qkv_w"], lp["qkv_b"])
@@ -155,19 +147,8 @@ class OPTForCausalLM:
             q = q.reshape(T, num_heads, head_dim)
             k = k.reshape(T, num_heads, head_dim)
             v = v.reshape(T, num_heads, head_dim)
-            layer_cache = write_kv(layer_cache,
-                                   k.astype(layer_cache.dtype),
-                                   v.astype(layer_cache.dtype),
-                                   meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             attn = attn.reshape(T, H)
             x = linear(attn, lp["out_w"], lp["out_b"])
             h = residual + x
@@ -182,16 +163,15 @@ class OPTForCausalLM:
             h = residual + x
             if not do_lnb:
                 h = layer_norm(h, lp["ln2_s"], lp["ln2_b"])
-            return (h, cap), layer_cache
+            return h, kv_cache
 
-        cap0 = jnp.zeros_like(h)
-        (h, cap), new_cache = jax.lax.scan(
-            layer_fn, (h, cap0), (params["layers"], kv_cache, layer_ids))
+        h, kv_cache, cap = run_layers(layer_fn, h, kv_cache, params,
+                                      capture_layer)
         if do_lnb and "final_ln_s" in params:
             h = layer_norm(h, params["final_ln_s"], params["final_ln_b"])
         if capture_layer is not None:
-            return h, new_cache, cap
-        return h, new_cache
+            return h, kv_cache, cap
+        return h, kv_cache
 
     @staticmethod
     def params_to_torch(cfg, params) -> Dict[str, Any]:

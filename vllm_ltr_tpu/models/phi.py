@@ -13,12 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
-from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, stack_layers,
+from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm, linear,
+                                        normal_init, run_layers, stack_layers,
                                         t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import attend
 
 
 class PhiForCausalLM:
@@ -107,8 +105,7 @@ class PhiForCausalLM:
 
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = layer_norm(h, lp["ln_s"], lp["ln_b"], eps)
             T = x.shape[0]
@@ -117,16 +114,8 @@ class PhiForCausalLM:
             v = linear(x, lp["v_w"], lp["v_b"]).reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, rot, max_pos,
                                           rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             attn_out = linear(attn.reshape(T, QH * D), lp["o_w"], lp["o_b"])
             # Parallel MLP over the same normed input (phi blocks).
             mlp = linear(x, lp["fc1_w"], lp["fc1_b"])
@@ -134,12 +123,11 @@ class PhiForCausalLM:
                               approximate=True).astype(h.dtype)
             mlp = linear(mlp, lp["fc2_w"], lp["fc2_b"])
             h = residual + attn_out + mlp
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = layer_norm(h, params["final_ln_s"], params["final_ln_b"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -11,12 +11,10 @@ import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, rms_norm, silu_and_mul,
-                                        stack_layers, t2j)
+                                        normal_init, rms_norm, run_layers,
+                                        silu_and_mul, stack_layers, t2j)
 from vllm_ltr_tpu.models.llama import LlamaForCausalLM
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import attend
 
 
 class Qwen2ForCausalLM(LlamaForCausalLM):
@@ -72,11 +70,8 @@ class Qwen2ForCausalLM(LlamaForCausalLM):
             cfg, "use_sliding_window", False) else None)
 
         h = params["embed_tokens"][tokens]
-        L = cfg.num_hidden_layers
-        kv_scales = params.get("kv_scales", jnp.ones((L, ), jnp.float32))
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache, kv_scale = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -85,31 +80,18 @@ class Qwen2ForCausalLM(LlamaForCausalLM):
             v = linear(x, lp["v_w"], lp["v_b"]).reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping,
-                                   kv_scale)
-            q = q * kv_scale.astype(q.dtype)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale,
-                                              sliding_window=sliding_window)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    sliding_window=sliding_window,
-                    tile=meta.prefill_tile)
-            attn = attn * kv_scale.astype(attn.dtype)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode,
+                                    sliding_window=sliding_window,
+                                    kv_scale=kv_scale)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
             x = silu_and_mul(linear(x, lp["gate_w"]), linear(x, lp["up_w"]))
             h = residual + linear(x, lp["down_w"])
-            return h, (layer_cache, kv_scale)
+            return h, kv_cache
 
-        h, (new_cache, _) = jax.lax.scan(layer_fn, h,
-                                         (params["layers"], kv_cache,
-                                          kv_scales))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = rms_norm(h, params["norm"], eps)
-        return h, new_cache
+        return h, kv_cache

@@ -16,11 +16,9 @@ import jax.numpy as jnp
 from vllm_ltr_tpu.layers.moe import fused_moe
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
-                                        normal_init, rms_norm, silu_and_mul,
-                                        stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+                                        normal_init, rms_norm, run_layers,
+                                        silu_and_mul, stack_layers, t2j)
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _is_sparse(cfg, layer_idx: int) -> bool:
@@ -166,15 +164,12 @@ class Qwen2MoeForCausalLM:
         max_pos = cfg.max_position_embeddings
         top_k = cfg.num_experts_per_tok
         renorm = bool(getattr(cfg, "norm_topk_prob", False))
-        # Per-layer sparse/dense pattern (static).
-        sparse_flags = jnp.asarray(
-            [_is_sparse(cfg, i) for i in range(cfg.num_hidden_layers)],
-            jnp.float32)
-
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache, is_sparse = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
+            # Per-layer sparse/dense pattern: a PYTHON static in the
+            # unrolled loop, so dense layers skip the MoE compute entirely.
+            is_sparse = _is_sparse(cfg, lid)
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
@@ -183,16 +178,8 @@ class Qwen2MoeForCausalLM:
             v = linear(x, lp["v_w"], lp["v_b"]).reshape(T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
                                           rope_theta, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             h = residual + linear(attn.reshape(T, QH * D), lp["o_w"])
 
             residual = h
@@ -201,25 +188,23 @@ class Qwen2MoeForCausalLM:
             shared = linear(
                 silu_and_mul(linear(x, lp["sh_gate_w"]),
                              linear(x, lp["sh_up_w"])), lp["sh_down_w"])
-            gate = jax.nn.sigmoid(
-                linear(x, lp["sh_gate_proj"]).astype(jnp.float32))
-            # Sparse layers blend shared through the gate; dense layers use
-            # the MLP raw (is_sparse selects).
-            shared_out = jnp.where(is_sparse > 0,
-                                   gate.astype(h.dtype) * shared, shared)
-            router_logits = linear(x, lp["router_w"])
-            moe_out = fused_moe(x, router_logits, lp["gate_w"], lp["up_w"],
-                                lp["down_w"], top_k=top_k,
-                                renormalize=renorm)
-            ffn = jnp.where(is_sparse > 0,
-                            moe_out.astype(h.dtype) + shared_out, shared_out)
+            if is_sparse:
+                gate = jax.nn.sigmoid(
+                    linear(x, lp["sh_gate_proj"]).astype(jnp.float32))
+                shared_out = gate.astype(h.dtype) * shared
+                router_logits = linear(x, lp["router_w"])
+                moe_out = fused_moe(x, router_logits, lp["gate_w"],
+                                    lp["up_w"], lp["down_w"], top_k=top_k,
+                                    renormalize=renorm)
+                ffn = moe_out.astype(h.dtype) + shared_out
+            else:
+                ffn = shared
             h = residual + ffn
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(
-            layer_fn, h, (params["layers"], kv_cache, sparse_flags))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = rms_norm(h, params["norm"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

@@ -13,12 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
-from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm,
-                                        linear, normal_init, silu_and_mul,
+from vllm_ltr_tpu.models.common import (AttentionMetadata, layer_norm, linear,
+                                        normal_init, run_layers, silu_and_mul,
                                         stack_layers, t2j)
-from vllm_ltr_tpu.ops.attention import (paged_attention_decode,
-                                        paged_attention_prefill)
-from vllm_ltr_tpu.ops.kv_cache import write_kv
+from vllm_ltr_tpu.ops.attention import attend
 
 
 def _per_head_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -159,8 +157,7 @@ class StableLmForCausalLM:
 
         h = params["embed_tokens"][tokens]
 
-        def layer_fn(h, scan_in):
-            lp, layer_cache = scan_in
+        def layer_fn(h, lp, kv_cache, lid, kv_scale):
             x = layer_norm(h, lp["ln1_s"], lp["ln1_b"], eps)
             T = x.shape[0]
             q = linear(x, lp["q_w"], lp.get("q_b")).reshape(T, QH, D)
@@ -171,16 +168,8 @@ class StableLmForCausalLM:
                 k = _per_head_layer_norm(k, lp["kln_s"], lp["kln_b"], eps)
             q, k = apply_rotary_embedding(positions, q, k, D, rotary_dim,
                                           max_pos, base, True)
-            layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-            if decode_mode:
-                attn = paged_attention_decode(q, layer_cache,
-                                              meta.block_tables,
-                                              meta.seq_lens, scale)
-            else:
-                attn = paged_attention_prefill(
-                    q, layer_cache, meta.block_tables, meta.token_seq,
-                    meta.token_pos, meta.seq_lens, scale,
-                    tile=meta.prefill_tile)
+            attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
+                                    decode_mode=decode_mode)
             attn_out = linear(attn.reshape(T, QH * D), lp["o_w"])
 
             def mlp(y):
@@ -193,12 +182,11 @@ class StableLmForCausalLM:
             else:
                 h = h + attn_out
                 h = h + mlp(layer_norm(h, lp["ln2_s"], lp["ln2_b"], eps))
-            return h, layer_cache
+            return h, kv_cache
 
-        h, new_cache = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], kv_cache))
+        h, kv_cache, _ = run_layers(layer_fn, h, kv_cache, params)
         h = layer_norm(h, params["norm_s"], params["norm_b"], eps)
-        return h, new_cache
+        return h, kv_cache
 
     @staticmethod
     def compute_logits(params, hidden: jax.Array, cfg) -> jax.Array:

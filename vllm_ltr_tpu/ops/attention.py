@@ -2,32 +2,33 @@
 
 TPU-native counterpart of the reference attention stack
 (``vllm/attention/ops/paged_attn.py`` + ``csrc/attention/attention_kernels.cu``
-paged-attention v1/v2 + flash-attn prefill): one unified formulation that
-serves chunked prefill, full prefill, and decode in a single jitted step:
+paged-attention v1/v2 + flash-attn prefill + ``csrc/cache_kernels.cu``
+reshape_and_cache): one entry point, :func:`attend`, that writes the step's
+new K/V into the paged cache and attends over it, dispatching to
 
-1. the step's new K/V are scattered into the paged cache first
-   (ops/kv_cache.write_kv),
-2. every query token then attends over its sequence's cached pages with a
-   causal mask on absolute positions.
+* the fused Pallas decode kernel (``ops/pallas/fused_decode.py``) on TPU —
+  write + attention in one kernel, cache updated in place;
+* the Pallas chunked-prefill kernel (``ops/pallas/prefill_attention.py``)
+  on TPU for tile-aligned prefill batches;
+* the XLA gather reference below everywhere else (CPU tests, odd shapes).
 
-This file holds the XLA reference implementation (gather + masked softmax),
-used for CPU tests and correctness baselines. The Pallas decode kernel in
-``ops/pallas/paged_attention.py`` is the production fast path; both share
-this interface.
+The cache is the full stacked array ``[L, N+1, 2, KH, Bs, Dp]`` (see
+ops/kv_cache.py) addressed at a CONSTANT layer index from the model's
+unrolled layer loop, so XLA aliases every update into the donated buffer.
 
 Shapes:
-  q:            [T, QH, D]   flattened new tokens (padded to bucket)
-  kv_cache:     [2, KH, N+1, Bs, D] one layer's cache (KV already written)
-  block_tables: [S, MB]     physical block numbers per sequence
-  token_seq:    [T]         sequence row (0..S-1) of each token; -1 padding
-  token_pos:    [T]         absolute position of each token in its sequence
-  seq_lens:     [S]         context length per sequence AFTER this step
-Returns:        [T, QH, D]
+  q, k, v:      [T, H, D]     flattened new tokens (padded to bucket)
+  kv_cache:     [L, N+1, 2, KH, Bs, D]
+  block_tables: [S, MB]       physical block numbers per sequence
+  token_seq:    [T]           sequence row (0..S-1) of each token; -1 pad
+  token_pos:    [T]           absolute position of each token
+  seq_lens:     [S]           context length per sequence AFTER this step
+Returns:        ([T, QH, D], updated cache)
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,40 +50,129 @@ def alibi_slopes(num_heads: int) -> jax.Array:
     return jnp.asarray(slopes[:num_heads], jnp.float32)
 
 
+def _pallas_enabled() -> bool:
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
+
+
+def attend(
+    kv_cache: jax.Array,
+    layer: int,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    meta,
+    scale: float,
+    *,
+    decode_mode: bool = False,
+    sliding_window: Optional[int] = None,
+    kv_scale=1.0,
+    alibi: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Write this step's K/V for ``layer`` and attend over the paged cache.
+
+    ``kv_scale`` (scalar, possibly traced) is the FP8 quantization scale:
+    the cache stores ``x / kv_scale``; dequantization folds into the query
+    and output (linearity), so the kernels never see a traced scale.
+    Returns (attention output, updated cache).
+    """
+    is_unit_scale = isinstance(kv_scale, float) and kv_scale == 1.0
+    if not is_unit_scale:
+        k = k / kv_scale
+        v = v / kv_scale
+        q = q * kv_scale
+
+    if decode_mode and _pallas_enabled():
+        from vllm_ltr_tpu.ops.pallas.fused_decode import (
+            fused_decode_attention)
+        Dp = kv_cache.shape[-1]
+        kv_new = jnp.stack([k, v], axis=1)  # [S, 2, KH, D]
+        if kv_new.shape[-1] < Dp:
+            kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, 0),
+                                      (0, Dp - kv_new.shape[-1])))
+        out, kv_cache = fused_decode_attention(
+            q, kv_new.astype(kv_cache.dtype), kv_cache,
+            jnp.int32(layer), meta.block_tables, meta.seq_lens,
+            meta.slot_mapping, scale=scale,
+            window=sliding_window or 0, alibi=alibi)
+    else:
+        from vllm_ltr_tpu.ops.kv_cache import write_kv
+        kv_cache = write_kv(kv_cache, layer, k, v, meta.slot_mapping)
+        if decode_mode:
+            out = paged_attention_decode_reference(
+                q, kv_cache, layer, meta.block_tables, meta.seq_lens, scale,
+                sliding_window=sliding_window, alibi=alibi)
+        else:
+            out = _prefill_dispatch(q, kv_cache, layer, meta, scale,
+                                    sliding_window=sliding_window,
+                                    alibi=alibi)
+
+    if not is_unit_scale:
+        out = out * kv_scale
+    return out, kv_cache
+
+
+def _prefill_dispatch(q, kv_cache, layer, meta, scale, *,
+                      sliding_window=None, alibi=None):
+    """Prefill/mixed-batch: the Pallas chunked-prefill (flash) kernel on TPU
+    when the flat layout is tile-aligned (``meta.prefill_tile`` set by the
+    batch packer), else the XLA gather reference. ALiBi prefill always takes
+    the reference path (the prefill kernel does not carry the bias yet)."""
+    tile = meta.prefill_tile
+    T = q.shape[0]
+    use_pallas = (_pallas_enabled() and tile is not None and alibi is None
+                  and T % tile == 0 and T >= tile)
+    if use_pallas:
+        from vllm_ltr_tpu.ops.pallas.prefill_attention import (
+            paged_prefill_attention_pallas)
+        return paged_prefill_attention_pallas(
+            q, kv_cache, jnp.int32(layer), meta.block_tables, meta.token_seq,
+            meta.token_pos, meta.seq_lens, tile=tile,
+            block_size=kv_cache.shape[-2], scale=scale,
+            window=sliding_window)
+    return paged_attention_reference(q, kv_cache, layer, meta.block_tables,
+                                     meta.token_seq, meta.token_pos,
+                                     meta.seq_lens, scale,
+                                     sliding_window=sliding_window,
+                                     alibi=alibi)
+
+
 def paged_attention_reference(
     q: jax.Array,
-    layer_cache: jax.Array,
+    kv_cache: jax.Array,
+    layer,
     block_tables: jax.Array,
     token_seq: jax.Array,
     token_pos: jax.Array,
     seq_lens: jax.Array,
     scale: float,
     sliding_window: Optional[int] = None,
-    kv_scale: float = 1.0,
     alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
+    """XLA reference path (CPU tests + correctness baseline): gather each
+    sequence's pages and run masked softmax attention. O(T*ctx) memory —
+    the Pallas kernels exist precisely to avoid this materialization."""
     T, QH, D = q.shape
-    _, KH, num_blocks_p1, block_size, Dp = layer_cache.shape
+    _, num_blocks_p1, _, KH, block_size, Dp = kv_cache.shape
     S, MB = block_tables.shape
     group = QH // KH  # GQA group size
 
-    # Gather each sequence's pages (the cache head dim may be lane-padded).
-    # The compute dtype is the query dtype; FP8 caches are upcast here
-    # (fused by XLA).
-    k_pages = layer_cache[0][:, block_tables, :, :D]  # [KH, S, MB, Bs, D]
-    v_pages = layer_cache[1][:, block_tables, :, :D]
+    # Gather each sequence's pages: [S, MB, 2, KH, Bs, D] -> [S, ctx, KH, D]
+    # (the cache head dim may be lane-padded; FP8 caches upcast here, fused
+    # by XLA).
+    pages = kv_cache[layer, block_tables]  # [S, MB, 2, KH, Bs, Dp]
     ctx = MB * block_size
-    k = (k_pages.transpose(1, 2, 3, 0, 4).reshape(S, ctx, KH, D).astype(
-        q.dtype) * kv_scale)
-    v = (v_pages.transpose(1, 2, 3, 0, 4).reshape(S, ctx, KH, D).astype(
-        q.dtype) * kv_scale)
+    k = pages[:, :, 0, :, :, :D].transpose(0, 1, 3, 2, 4).reshape(
+        S, ctx, KH, D).astype(q.dtype)
+    v = pages[:, :, 1, :, :, :D].transpose(0, 1, 3, 2, 4).reshape(
+        S, ctx, KH, D).astype(q.dtype)
 
     # Per-token gather of its sequence's K/V: [T, ctx, KH, D].
     safe_seq = jnp.maximum(token_seq, 0)
     k_t = k[safe_seq]
     v_t = v[safe_seq]
 
-    # Scores: [T, QH, ctx] with GQA head mapping.
+    # Scores: [T, KH, group, ctx] with GQA head mapping.
     qh = q.reshape(T, KH, group, D)
     scores = jnp.einsum("tkgd,tckd->tkgc", qh, k_t,
                         preferred_element_type=jnp.float32) * scale
@@ -106,95 +196,21 @@ def paged_attention_reference(
     return out.reshape(T, QH, D)
 
 
-def paged_attention_prefill(
-    q: jax.Array,
-    layer_cache: jax.Array,
-    block_tables: jax.Array,
-    token_seq: jax.Array,
-    token_pos: jax.Array,
-    seq_lens: jax.Array,
-    scale: float,
-    sliding_window: Optional[int] = None,
-    kv_scale: float = 1.0,
-    tile: Optional[int] = None,
-    alibi: Optional[jax.Array] = None,
-) -> jax.Array:
-    """Prefill/mixed-batch dispatcher: the Pallas chunked-prefill (flash)
-    kernel on TPU when the flat layout is tile-aligned (``tile`` set by the
-    batch packer), else the XLA gather reference. ALiBi models always take
-    the reference path (the kernels do not carry the bias yet)."""
-    import os
-    T = q.shape[0]
-    use_pallas = (jax.default_backend() == "tpu" and tile is not None
-                  and alibi is None
-                  and T % tile == 0 and T >= tile
-                  and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
-    if use_pallas:
-        from vllm_ltr_tpu.ops.pallas.prefill_attention import (
-            paged_prefill_attention_pallas)
-        return paged_prefill_attention_pallas(
-            q, layer_cache, block_tables, token_seq, token_pos, seq_lens,
-            tile=tile, block_size=layer_cache.shape[3], scale=scale,
-            kv_scale=kv_scale, window=sliding_window)
-    return paged_attention_reference(q, layer_cache, block_tables, token_seq,
-                                     token_pos, seq_lens, scale,
-                                     sliding_window=sliding_window,
-                                     kv_scale=kv_scale, alibi=alibi)
-
-
 def paged_attention_decode_reference(
     q: jax.Array,
-    layer_cache: jax.Array,
+    kv_cache: jax.Array,
+    layer,
     block_tables: jax.Array,
     seq_lens: jax.Array,
     scale: float,
-    kv_scale: float = 1.0,
     sliding_window: Optional[int] = None,
     alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Decode-only variant: one query per sequence.
-
-    q: [S, QH, D]; returns [S, QH, D]. Equivalent to the reference's
-    paged_attention v1/v2 decode kernels (csrc attention_kernels.cu).
-    """
+    """Decode-only reference: one query per sequence. q: [S, QH, D]."""
     S, QH, D = q.shape
     token_seq = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).squeeze(-1)
     token_pos = jnp.maximum(seq_lens - 1, 0)
-    return paged_attention_reference(q, layer_cache, block_tables, token_seq,
-                                     token_pos, seq_lens, scale,
+    return paged_attention_reference(q, kv_cache, layer, block_tables,
+                                     token_seq, token_pos, seq_lens, scale,
                                      sliding_window=sliding_window,
-                                     kv_scale=kv_scale, alibi=alibi)
-
-
-def paged_attention_decode(
-    q: jax.Array,
-    layer_cache: jax.Array,
-    block_tables: jax.Array,
-    seq_lens: jax.Array,
-    scale: float,
-    kv_scale: float = 1.0,
-    sliding_window: Optional[int] = None,
-    alibi: Optional[jax.Array] = None,
-) -> jax.Array:
-    """Decode-path dispatcher: the Pallas streaming kernel on TPU, the XLA
-    reference elsewhere (or when a feature the kernel lacks is needed)."""
-    import os
-    use_pallas = (jax.default_backend() == "tpu" and alibi is None
-                  and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
-    if use_pallas:
-        from vllm_ltr_tpu.ops.pallas.paged_attention import (
-            paged_attention_decode_pallas)
-        block_size = layer_cache.shape[3]
-        return paged_attention_decode_pallas(q,
-                                             layer_cache,
-                                             block_tables,
-                                             seq_lens,
-                                             block_size=block_size,
-                                             scale=scale,
-                                             kv_scale=kv_scale,
-                                             window=sliding_window or 0)
-    return paged_attention_decode_reference(q, layer_cache, block_tables,
-                                            seq_lens, scale,
-                                            kv_scale=kv_scale,
-                                            sliding_window=sliding_window,
-                                            alibi=alibi)
+                                     alibi=alibi)

@@ -5,14 +5,20 @@ TPU-native counterpart of reference ``csrc/cache_kernels.cu``
 here the scatter/gather are XLA ops on a stacked cache array, fused by the
 compiler; FP8 conversion is a dtype cast on the value path.
 
-Cache layout: ``[num_layers, 2, kv_heads, num_blocks+1, block_size, head_dim]``
-(K at index 0, V at index 1). The head axis leads the block axis so that
-per-(head, block) pages are contiguous [block_size, head_dim] tiles — DMA
-slices in the Pallas decode kernel stay tile-aligned and stream at full HBM
-bandwidth. The cache shards over the kv-head axis of the mesh. Flat "slot"
+Cache layout: ``[num_layers, num_blocks+1, 2, kv_heads, block_size, head_dim]``
+(K at index 0 of the third axis, V at index 1). The layout is PAGE-MAJOR:
+one page ``cache[l, b]`` holds every head's K and V contiguously (typically
+128 KiB), so the fused decode kernel streams a sequence's context with one
+large DMA per page instead of ``2*kv_heads`` 4 KiB latency-bound DMAs, and
+per-(head, page) ``[block_size, head_dim]`` tiles stay contiguous for the
+MXU. The cache shards over the kv-head axis of the mesh. Flat "slot"
 addressing: slot = block_number * block_size + offset, with slot -1 mapping
 to the reserved trash block (the last block), so padded lanes never corrupt
 live cache.
+
+The cache is ONE stacked array for all layers, threaded through the model's
+unrolled layer loop at a constant layer index (never as ``lax.scan`` xs/ys,
+which XLA cannot alias and would copy wholesale every step).
 """
 from __future__ import annotations
 
@@ -39,7 +45,7 @@ def padded_head_dim(head_dim: int) -> int:
 def kv_cache_shape(num_layers: int, num_blocks: int, block_size: int,
                    num_kv_heads: int, head_dim: int) -> Tuple[int, ...]:
     # One extra trash block at the end absorbs writes from padded slots.
-    return (num_layers, 2, num_kv_heads, num_blocks + 1, block_size,
+    return (num_layers, num_blocks + 1, 2, num_kv_heads, block_size,
             padded_head_dim(head_dim))
 
 
@@ -57,31 +63,30 @@ def allocate_kv_cache(num_layers: int,
     return jnp.zeros(shape, dtype=dtype)
 
 
-def write_kv(layer_cache: jax.Array, key: jax.Array, value: jax.Array,
-             slot_mapping: jax.Array, kv_scale=1.0) -> jax.Array:
-    """Scatter new K/V for one layer into the paged cache.
+def write_kv(kv_cache: jax.Array, layer: int, key: jax.Array,
+             value: jax.Array, slot_mapping: jax.Array) -> jax.Array:
+    """Scatter new K/V for one layer into the paged cache (XLA path; the
+    TPU decode fast path writes inside the fused Pallas kernel instead).
 
-    layer_cache: [2, KH, num_blocks+1, block_size, D]
-    key/value:   [T, KH, D] (compute dtype; cast to the cache dtype here)
+    kv_cache:    [L, num_blocks+1, 2, KH, block_size, D] full stacked cache
+    layer:       constant layer index (the unrolled loop's python int), so
+                 XLA keeps the update in place on the donated buffer
+    key/value:   [T, KH, D] (compute dtype; cast to the cache dtype here;
+                 FP8 quantization scales are folded by the caller)
     slot_mapping:[T] flat slots; -1 => trash block.
-    kv_scale:    quantization scale for FP8 caches — values are stored as
-                 x / kv_scale and dequantized as x * kv_scale at read
-                 (reference csrc fp8_e5m2 quant_utils + llama.py kv_scale).
     """
-    _, KH, num_blocks_p1, block_size, Dp = layer_cache.shape
+    _, num_blocks_p1, _, KH, block_size, Dp = kv_cache.shape
     trash = (num_blocks_p1 - 1) * block_size
     slots = jnp.where(slot_mapping < 0, trash, slot_mapping)
     block_idx = slots // block_size
     block_off = slots % block_size
-    # [2, KH, T, D] values scattered at (kv, :, block, offset).
-    kv = jnp.stack([key, value]).transpose(0, 2, 1, 3)
+    # [T, 2, KH, D] rows scattered at (layer, block, :, :, offset).
+    kv = jnp.stack([key, value], axis=1)
     if kv.shape[-1] < Dp:
         kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0),
                           (0, Dp - kv.shape[-1])))
-    if not (isinstance(kv_scale, float) and kv_scale == 1.0):
-        kv = kv / kv_scale
-    kv = kv.astype(layer_cache.dtype)
-    return layer_cache.at[:, :, block_idx, block_off].set(
+    kv = kv.astype(kv_cache.dtype)
+    return kv_cache.at[layer, block_idx, :, :, block_off].set(
         kv, mode="drop", unique_indices=False)
 
 
@@ -89,10 +94,11 @@ def copy_blocks(kv_cache: jax.Array, src: jax.Array,
                 dst: jax.Array) -> jax.Array:
     """Copy whole blocks src[i] -> dst[i] across all layers (CoW commit).
 
-    kv_cache: [L, 2, KH, N+1, Bs, D]; src/dst: [M] block numbers.
+    kv_cache: [L, N+1, 2, KH, Bs, D]; src/dst: [M] block numbers. Pages are
+    contiguous rows of the block axis, so this is a dense-row gather/scatter.
     """
-    data = kv_cache[:, :, :, src]
-    return kv_cache.at[:, :, :, dst].set(data)
+    data = kv_cache[:, src]
+    return kv_cache.at[:, dst].set(data)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, ))
@@ -116,12 +122,12 @@ def run_copy_blocks(kv_cache: jax.Array,
 
 @functools.partial(jax.jit, donate_argnums=(0, ))
 def _swap_in_jit(kv_cache, host_chunk, dst):
-    return kv_cache.at[:, :, :, dst].set(host_chunk.astype(kv_cache.dtype))
+    return kv_cache.at[:, dst].set(host_chunk.astype(kv_cache.dtype))
 
 
 @jax.jit
 def _gather_blocks_jit(kv_cache, src):
-    return kv_cache[:, :, :, src]
+    return kv_cache[:, src]
 
 
 class HostSwapSpace:
@@ -148,7 +154,7 @@ class HostSwapSpace:
         self._np_dtype = np.dtype(
             dtype.dtype if hasattr(dtype, "dtype") else dtype)
         self.buf = np.zeros(
-            (num_layers, 2, num_kv_heads, max(num_cpu_blocks, 1), block_size,
+            (num_layers, max(num_cpu_blocks, 1), 2, num_kv_heads, block_size,
              padded_head_dim(head_dim)),
             dtype=self._np_dtype)
         # In-flight D2H transfers: (device chunk, host block indices),
@@ -167,7 +173,7 @@ class HostSwapSpace:
 
     def _commit_inflight(self) -> None:
         for chunk, dst in self._inflight:
-            self.buf[:, :, :, dst] = self._to_host(chunk)
+            self.buf[:, dst] = self._to_host(chunk)
         self._inflight.clear()
 
     def flush(self) -> None:
@@ -203,5 +209,5 @@ class HostSwapSpace:
             self._commit_inflight()
         src = np.asarray(list(mapping.keys()), np.int64)
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
-        chunk = jnp.asarray(self.buf[:, :, :, src])
+        chunk = jnp.asarray(self.buf[:, src])
         return _swap_in_jit(kv_cache, chunk, dst)

@@ -40,14 +40,14 @@ NEG_INF = -1e30
 
 def _prefill_kernel(
     # scalar prefetch
+    layer_ref,  # [1] i32: layer index into the stacked cache
     tile_seq_ref,  # [NT] i32: sequence row owning each tile (-1 = padding)
     tile_pos_ref,  # [NT] i32: absolute position of the tile's first token
     block_tables_ref,  # [S, MB] i32
     seq_lens_ref,  # [S] i32
     # inputs
     q_ref,  # [1, 1, R, Dp] VMEM (R = tile * G query rows)
-    k_hbm,  # [KH, N+1, Bs, Dp] HBM
-    v_hbm,  # [KH, N+1, Bs, Dp] HBM
+    cache_hbm,  # [L, N+1, 2, KH, Bs, Dp] HBM (page-major, see ops/kv_cache)
     # outputs
     o_ref,  # [1, 1, R, Dp] VMEM
     # scratch
@@ -68,6 +68,7 @@ def _prefill_kernel(
 ):
     t = pl.program_id(0)
     h = pl.program_id(1)
+    lid = layer_ref[0]
     seq = tile_seq_ref[t]
     pos0 = tile_pos_ref[t]
     s = jnp.maximum(seq, 0)
@@ -89,12 +90,12 @@ def _prefill_kernel(
         for j in range(chunk_blocks):
             b = block_tables_ref[s, base + j]
             pltpu.make_async_copy(
-                k_hbm.at[h, b], k_buf.at[slot, pl.ds(j * block_size,
-                                                     block_size)],
+                cache_hbm.at[lid, b, 0, h],
+                k_buf.at[slot, pl.ds(j * block_size, block_size)],
                 sems.at[slot, 0, j]).start()
             pltpu.make_async_copy(
-                v_hbm.at[h, b], v_buf.at[slot, pl.ds(j * block_size,
-                                                     block_size)],
+                cache_hbm.at[lid, b, 1, h],
+                v_buf.at[slot, pl.ds(j * block_size, block_size)],
                 sems.at[slot, 1, j]).start()
 
     def await_fetch(slot, it):
@@ -102,12 +103,12 @@ def _prefill_kernel(
         for j in range(chunk_blocks):
             b = block_tables_ref[s, base + j]
             pltpu.make_async_copy(
-                k_hbm.at[h, b], k_buf.at[slot, pl.ds(j * block_size,
-                                                     block_size)],
+                cache_hbm.at[lid, b, 0, h],
+                k_buf.at[slot, pl.ds(j * block_size, block_size)],
                 sems.at[slot, 0, j]).wait()
             pltpu.make_async_copy(
-                v_hbm.at[h, b], v_buf.at[slot, pl.ds(j * block_size,
-                                                     block_size)],
+                cache_hbm.at[lid, b, 1, h],
+                v_buf.at[slot, pl.ds(j * block_size, block_size)],
                 sems.at[slot, 1, j]).wait()
 
     q = q_ref[0, 0].astype(jnp.float32)  # [R, Dp]
@@ -179,7 +180,8 @@ def prefill_tile_size(group: int) -> int:
                      "interpret"))
 def paged_prefill_attention_pallas(
     q: jax.Array,  # [T, QH, D] tile-aligned flattened prefill tokens
-    layer_cache: jax.Array,  # [2, KH, N+1, Bs, Dp] (this step's KV written)
+    kv_cache: jax.Array,  # [L, N+1, 2, KH, Bs, Dp] (this step's KV written)
+    layer_id: jax.Array,  # [] i32 layer index
     block_tables: jax.Array,  # [S, MB] i32
     token_seq: jax.Array,  # [T] i32 (-1 pad)
     token_pos: jax.Array,  # [T] i32
@@ -193,7 +195,7 @@ def paged_prefill_attention_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     T, QH, D = q.shape
-    _, KH, _, Bs, Dp = layer_cache.shape
+    _, _, _, KH, Bs, Dp = kv_cache.shape
     assert Bs == block_size and T % tile == 0
     G = QH // KH
     NT = T // tile
@@ -218,17 +220,16 @@ def paged_prefill_attention_pallas(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(NT, KH),
         in_specs=[
             pl.BlockSpec((1, 1, R, Dp), lambda t, h, *_: (h, t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, R, Dp), lambda t, h, *_: (h, t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_blocks * Bs, Dp), layer_cache.dtype),
-            pltpu.VMEM((2, chunk_blocks * Bs, Dp), layer_cache.dtype),
+            pltpu.VMEM((2, chunk_blocks * Bs, Dp), kv_cache.dtype),
+            pltpu.VMEM((2, chunk_blocks * Bs, Dp), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, chunk_blocks)),
             pltpu.VMEM((R, Dp), jnp.float32),
             pltpu.VMEM((R, 128), jnp.float32),
@@ -243,13 +244,13 @@ def paged_prefill_attention_pallas(
                                scale=scale,
                                kv_scale=kv_scale,
                                window=window)
+    layer_arr = jnp.asarray(layer_id, jnp.int32).reshape(1)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((KH, NT, R, Dp), q.dtype),
         interpret=interpret,
-    )(tile_seq, tile_pos, block_tables, seq_lens, qg, layer_cache[0],
-      layer_cache[1])
+    )(layer_arr, tile_seq, tile_pos, block_tables, seq_lens, qg, kv_cache)
     # Invert the GQA flattening.
     out = out[..., :D].reshape(KH, NT, tile, G, D)
     return out.transpose(1, 2, 0, 3, 4).reshape(T, QH, D)

@@ -94,9 +94,9 @@ class ShardingLayout:
     # KV cache ----------------------------------------------------------
     @property
     def kv_cache(self) -> NamedSharding:
-        """[layers, 2, kv_heads, num_blocks, block_size, head_dim] sharded
-        over kv heads."""
-        return self._ns(None, None, MODEL_AXIS, None, None, None)
+        """[layers, num_blocks+1, 2, kv_heads, block_size, head_dim]
+        (page-major, ops/kv_cache.py) sharded over kv heads."""
+        return self._ns(None, None, None, MODEL_AXIS, None, None)
 
     # Activations --------------------------------------------------------
     @property
