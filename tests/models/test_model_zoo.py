@@ -271,3 +271,260 @@ def test_deepseek_moe_runs_and_captures():
                                               meta, cfg, capture_layer=1)
     assert np.isfinite(np.asarray(h)).all()
     assert cap.shape == h.shape
+
+
+def test_qwen_matches_converted_llama():
+    """Qwen v1 with zero c_attn bias == an MHA Llama (gate=w2, up=w1)."""
+    from transformers import LlamaConfig, LlamaForCausalLM as HFLlama
+    cfg = LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4, max_position_embeddings=512,
+                      rms_norm_eps=1e-6)
+    torch.manual_seed(7)
+    hf = HFLlama(cfg).eval().float()
+    sd = hf.state_dict()
+    token_ids = list(np.random.RandomState(7).randint(1, 512, size=15))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+
+    qsd = {}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        qsd[f"transformer.h.{i}.attn.c_attn.weight"] = torch.cat([
+            sd[p + "self_attn.q_proj.weight"],
+            sd[p + "self_attn.k_proj.weight"],
+            sd[p + "self_attn.v_proj.weight"],
+        ])
+        qsd[f"transformer.h.{i}.attn.c_attn.bias"] = torch.zeros(3 * 64)
+        qsd[f"transformer.h.{i}.attn.c_proj.weight"] = sd[
+            p + "self_attn.o_proj.weight"]
+        qsd[f"transformer.h.{i}.mlp.w2.weight"] = sd[p + "mlp.gate_proj"
+                                                     ".weight"]
+        qsd[f"transformer.h.{i}.mlp.w1.weight"] = sd[p + "mlp.up_proj"
+                                                     ".weight"]
+        qsd[f"transformer.h.{i}.mlp.c_proj.weight"] = sd[p + "mlp.down_proj"
+                                                         ".weight"]
+        qsd[f"transformer.h.{i}.ln_1.weight"] = sd[p + "input_layernorm"
+                                                   ".weight"]
+        qsd[f"transformer.h.{i}.ln_2.weight"] = sd[
+            p + "post_attention_layernorm.weight"]
+    qsd["transformer.wte.weight"] = sd["model.embed_tokens.weight"]
+    qsd["transformer.ln_f.weight"] = sd["model.norm.weight"]
+    qsd["lm_head.weight"] = sd.get("lm_head.weight",
+                                   sd["model.embed_tokens.weight"])
+
+    from vllm_ltr_tpu.models.qwen import QWenLMHeadModel
+    qcfg = get_hf_config("test-qwen-tiny")
+    ours, _, _, _ = run_ours(QWenLMHeadModel, qcfg, qsd, token_ids, 2, 4, 16)
+    np.testing.assert_allclose(ours, hf_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_orion_matches_layernormed_llama():
+    """Orion = Llama with biased LayerNorm: swap the norms on an HF Llama
+    instance and compare."""
+    from transformers import LlamaConfig, LlamaForCausalLM as HFLlama
+    cfg = LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512,
+                      rms_norm_eps=1e-5)
+    torch.manual_seed(8)
+    hf = HFLlama(cfg).eval().float()
+    gen = torch.Generator().manual_seed(8)
+    for mod in [hf.model.layers[i] for i in range(2)]:
+        for name in ("input_layernorm", "post_attention_layernorm"):
+            ln = torch.nn.LayerNorm(64, eps=1e-5)
+            with torch.no_grad():
+                ln.weight.copy_(torch.rand(64, generator=gen) + 0.5)
+                ln.bias.copy_(torch.rand(64, generator=gen) - 0.5)
+            setattr(mod, name, ln)
+    ln_f = torch.nn.LayerNorm(64, eps=1e-5)
+    with torch.no_grad():
+        ln_f.weight.copy_(torch.rand(64, generator=gen) + 0.5)
+        ln_f.bias.copy_(torch.rand(64, generator=gen) - 0.5)
+    hf.model.norm = ln_f
+
+    token_ids = list(np.random.RandomState(8).randint(1, 512, size=15))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+
+    sd = hf.state_dict()
+    if "lm_head.weight" not in sd:
+        sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+    from vllm_ltr_tpu.models.orion import OrionForCausalLM
+    ocfg = get_hf_config("test-orion-tiny")
+    ours, _, _, _ = run_ours(OrionForCausalLM, ocfg, sd, token_ids, 2, 2, 16)
+    np.testing.assert_allclose(ours, hf_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_minicpm_dense_neutral_scales_matches_llama():
+    """MiniCPM with scale_emb=1, scale_depth=sqrt(L), dim_model_base=H and
+    no experts is exactly Llama."""
+    import math
+    cfg, sd, token_ids, hf_logits = _llama_reference(seed=9)
+    from vllm_ltr_tpu.models.minicpm import MiniCPMForCausalLM
+    from vllm_ltr_tpu.transformers_utils.config import _shim_config
+    mcfg = _shim_config(model_type="minicpm",
+                        architectures=["MiniCPMForCausalLM"],
+                        vocab_size=512, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        rms_norm_eps=1e-6, max_position_embeddings=512,
+                        scale_emb=1.0, scale_depth=math.sqrt(2),
+                        dim_model_base=64, tie_word_embeddings=False)
+    msd = dict(sd)
+    if "lm_head.weight" not in msd:
+        msd["lm_head.weight"] = msd["model.embed_tokens.weight"]
+    ours, _, _, _ = run_ours(MiniCPMForCausalLM, mcfg, msd, token_ids, 2, 2,
+                             16)
+    np.testing.assert_allclose(ours, hf_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_minicpm_moe_with_scales_is_finite():
+    import jax
+    import jax.numpy as jnp
+    from vllm_ltr_tpu.models.minicpm import MiniCPMForCausalLM
+    from vllm_ltr_tpu.ops.kv_cache import allocate_kv_cache
+    from .test_vs_hf import make_prefill_meta
+
+    cfg = get_hf_config("test-minicpm-tiny")
+    params = MiniCPMForCausalLM.init_params(cfg, jax.random.PRNGKey(0),
+                                            jnp.float32)
+    T = 12
+    kv = allocate_kv_cache(2, 4, BLOCK, 2, 16, dtype=jnp.float32)
+    meta = make_prefill_meta(T, 4)
+    tokens = jnp.arange(1, T + 1, dtype=jnp.int32)
+    h, _ = MiniCPMForCausalLM.forward(params, tokens,
+                                      jnp.arange(T, dtype=jnp.int32), kv,
+                                      meta, cfg)
+    logits = MiniCPMForCausalLM.compute_logits(params, h, cfg)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_jais_learned_positions_matches_gpt2():
+    """Jais with learned positions, gelu activation, and unit scales is
+    exactly GPT-2 (same state dict)."""
+    from transformers import GPT2LMHeadModel as HFGPT2
+    cfg = get_hf_config("test-gpt2-tiny")
+    torch.manual_seed(10)
+    hf = HFGPT2(cfg).eval().float()
+    token_ids = list(np.random.RandomState(10).randint(1, cfg.vocab_size,
+                                                       size=15))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+
+    cfg.position_embedding_type = "learned"
+    cfg.activation_function = "gelu_new"
+    from vllm_ltr_tpu.models.jais import JAISLMHeadModel
+    NH = cfg.num_attention_heads
+    D = cfg.hidden_size // NH
+    ours, _, _, _ = run_ours(JAISLMHeadModel, cfg, hf.state_dict(),
+                             token_ids, cfg.num_hidden_layers, NH, D)
+    np.testing.assert_allclose(ours, hf_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_jais_alibi_swiglu_mup_is_finite():
+    import jax
+    import jax.numpy as jnp
+    from vllm_ltr_tpu.models.jais import JAISLMHeadModel
+    from vllm_ltr_tpu.ops.kv_cache import allocate_kv_cache
+    from .test_vs_hf import make_prefill_meta
+
+    cfg = get_hf_config("test-jais-tiny")
+    params = JAISLMHeadModel.init_params(cfg, jax.random.PRNGKey(1),
+                                         jnp.float32)
+    assert "wpe" not in params  # alibi mode has no learned positions
+    T = 12
+    kv = allocate_kv_cache(2, 4, BLOCK, 4, 16, dtype=jnp.float32)
+    meta = make_prefill_meta(T, 4)
+    tokens = jnp.arange(1, T + 1, dtype=jnp.int32)
+    h, _ = JAISLMHeadModel.forward(params, tokens,
+                                   jnp.arange(T, dtype=jnp.int32), kv, meta,
+                                   cfg)
+    logits = JAISLMHeadModel.compute_logits(params, h, cfg)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_decilm_variable_gqa_matches_hf():
+    """DeciLM's per-layer KV head degrouping is exact: an HF Llama whose
+    layer-1 K/V heads come in duplicated pairs equals our DeciLM loaded
+    from the deduplicated (variable-GQA) checkpoint."""
+    from transformers import LlamaConfig, LlamaForCausalLM as HFLlama
+    cfg = LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4, max_position_embeddings=512,
+                      rms_norm_eps=1e-6)
+    torch.manual_seed(11)
+    hf = HFLlama(cfg).eval().float()
+    # Duplicate layer 1's K/V head pairs: rows become [h0, h0, h2, h2].
+    D = 16
+    with torch.no_grad():
+        for name in ("k_proj", "v_proj"):
+            w = getattr(hf.model.layers[1].self_attn, name).weight
+            w4 = w.view(4, D, 64)
+            w.copy_(torch.stack([w4[0], w4[0], w4[2], w4[2]]).view(64, 64))
+    token_ids = list(np.random.RandomState(11).randint(1, 512, size=15))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+
+    # DeciLM checkpoint: layer 0 keeps 4 KV heads, layer 1 stores only the
+    # two distinct heads.
+    sd = dict(hf.state_dict())
+    for name in ("k_proj", "v_proj"):
+        w = sd[f"model.layers.1.self_attn.{name}.weight"].view(4, D, 64)
+        sd[f"model.layers.1.self_attn.{name}.weight"] = torch.cat(
+            [w[0], w[2]])
+    if "lm_head.weight" not in sd:
+        sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+
+    from vllm_ltr_tpu.models.decilm import DeciLMForCausalLM
+    dcfg = get_hf_config("test-decilm-tiny")
+    ours, _, _, _ = run_ours(DeciLMForCausalLM, dcfg, sd, token_ids, 2, 4,
+                             16)
+    np.testing.assert_allclose(ours, hf_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_llava_matches_hf():
+    """LLaVA: CLIP tower + projector + Llama with image-token merging must
+    match HF LlavaForConditionalGeneration on pixel inputs."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import LlavaForConditionalGeneration as HFLlava
+    from vllm_ltr_tpu.models.llava import LlavaForConditionalGeneration
+    from vllm_ltr_tpu.ops.kv_cache import allocate_kv_cache
+    from .test_vs_hf import make_prefill_meta
+
+    cfg = get_hf_config("test-llava-tiny")
+    torch.manual_seed(12)
+    hf = HFLlava(cfg).eval().float()
+
+    rng = np.random.RandomState(12)
+    n_img_tokens = 16  # (32 / 8)^2
+    text = list(rng.randint(1, 120, size=7))
+    token_ids = [cfg.image_token_index] * n_img_tokens + text
+    pixels = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        hf_logits = hf(input_ids=torch.tensor([token_ids]),
+                       pixel_values=torch.tensor(pixels),
+                       attention_mask=torch.ones(1, len(token_ids),
+                                                 dtype=torch.long),
+                       ).logits[0].numpy()
+
+    params = LlavaForConditionalGeneration.params_from_torch(
+        cfg, hf.state_dict(), jnp.float32)
+    feats = LlavaForConditionalGeneration.encode_images(
+        params, jnp.asarray(pixels), cfg)  # [1, 16, 64]
+    T = len(token_ids)
+    image_embeds = np.zeros((T, 64), np.float32)
+    image_embeds[:n_img_tokens] = np.asarray(feats[0])
+
+    max_blocks = (T + BLOCK - 1) // BLOCK
+    kv = allocate_kv_cache(2, max_blocks, BLOCK, 2, 16, dtype=jnp.float32)
+    meta = make_prefill_meta(T, max_blocks)
+    hidden, _ = LlavaForConditionalGeneration.forward(
+        params, jnp.asarray(token_ids, jnp.int32),
+        jnp.arange(T, dtype=jnp.int32), kv, meta, cfg,
+        image_embeds=jnp.asarray(image_embeds))
+    ours = np.asarray(
+        LlavaForConditionalGeneration.compute_logits(params, hidden, cfg),
+        dtype=np.float32)
+    np.testing.assert_allclose(ours, hf_logits, rtol=1e-3, atol=1e-3)

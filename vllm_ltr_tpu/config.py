@@ -299,7 +299,9 @@ class ModelConfig:
         self.hf_config = hf_config
         self.dtype = _resolve_dtype(getattr(hf_config, "torch_dtype", None),
                                     dtype)
-        self.max_model_len = _get_and_verify_max_len(hf_config, max_model_len)
+        self.max_model_len = _get_and_verify_max_len(
+            getattr(hf_config, "text_config", None) or hf_config,
+            max_model_len)
 
     # -- architecture helpers ------------------------------------------------
 
@@ -307,17 +309,23 @@ class ModelConfig:
     def architectures(self) -> List[str]:
         return getattr(self.hf_config, "architectures", []) or []
 
+    @property
+    def hf_text_config(self):
+        """The language-model sub-config for composite (VLM) configs —
+        reference vllm/config.py hf_text_config."""
+        return getattr(self.hf_config, "text_config", None) or self.hf_config
+
     def get_hidden_size(self) -> int:
-        return self.hf_config.hidden_size
+        return self.hf_text_config.hidden_size
 
     def get_head_size(self) -> int:
-        if hasattr(self.hf_config, "head_dim") and self.hf_config.head_dim:
-            return self.hf_config.head_dim
-        return (self.hf_config.hidden_size //
-                self.hf_config.num_attention_heads)
+        cfg = self.hf_text_config
+        if hasattr(cfg, "head_dim") and cfg.head_dim:
+            return cfg.head_dim
+        return cfg.hidden_size // cfg.num_attention_heads
 
     def get_total_num_kv_heads(self) -> int:
-        cfg = self.hf_config
+        cfg = self.hf_text_config
         if getattr(cfg, "model_type", "") == "falcon":
             # Falcon: num_kv_heads only applies to the new decoder
             # architecture; the classic 7B architecture is multi-query.
@@ -325,6 +333,10 @@ class ModelConfig:
                 return cfg.num_kv_heads
             return 1 if getattr(cfg, "multi_query", False) else (
                 cfg.num_attention_heads)
+        if getattr(cfg, "num_key_value_heads_per_layer", None):
+            # DeciLM variable GQA: weights degroup to the max at load time
+            # (models/decilm.py), so the cache uses the max everywhere.
+            return max(cfg.num_key_value_heads_per_layer)
         for attr in ("num_key_value_heads", "num_kv_heads", "n_head_kv",
                      "multi_query_group_num"):
             if getattr(cfg, attr, None) is not None:
@@ -338,21 +350,21 @@ class ModelConfig:
 
     def get_num_attention_heads(self,
                                 parallel_config: "ParallelConfig") -> int:
-        return (self.hf_config.num_attention_heads //
+        return (self.hf_text_config.num_attention_heads //
                 parallel_config.tensor_parallel_size)
 
     def get_num_layers(self, parallel_config: "ParallelConfig") -> int:
-        total = self.hf_config.num_hidden_layers
+        total = self.hf_text_config.num_hidden_layers
         return total // parallel_config.pipeline_parallel_size
 
     def get_sliding_window(self) -> Optional[int]:
-        if (hasattr(self.hf_config, "use_sliding_window")
-                and not self.hf_config.use_sliding_window):
+        if (hasattr(self.hf_text_config, "use_sliding_window")
+                and not self.hf_text_config.use_sliding_window):
             return None
-        return getattr(self.hf_config, "sliding_window", None)
+        return getattr(self.hf_text_config, "sliding_window", None)
 
     def get_vocab_size(self) -> int:
-        return self.hf_config.vocab_size
+        return self.hf_text_config.vocab_size
 
     def verify_with_parallel_config(self,
                                     parallel_config: "ParallelConfig") -> None:
@@ -362,7 +374,7 @@ class ModelConfig:
             raise ValueError(
                 f"Total number of KV heads ({total_kv}) must divide (or be "
                 f"divided by) tensor parallel size ({tp}).")
-        total_layers = self.hf_config.num_hidden_layers
+        total_layers = self.hf_text_config.num_hidden_layers
         pp = parallel_config.pipeline_parallel_size
         if total_layers % pp != 0:
             raise ValueError(

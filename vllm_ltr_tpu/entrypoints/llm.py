@@ -55,6 +55,7 @@ class LLM:
         prompt_token_ids: Optional[List[List[int]]] = None,
         use_tqdm: bool = True,
         lora_request=None,
+        multi_modal_data=None,
     ) -> List[RequestOutput]:
         if prompts is None and prompt_token_ids is None:
             raise ValueError(
@@ -69,13 +70,17 @@ class LLM:
         params = _broadcast(sampling_params or SamplingParams(), n,
                             "sampling_params")
         loras = _broadcast(lora_request, n, "lora_request")
+        mm: Sequence = (multi_modal_data
+                        if isinstance(multi_modal_data, list) else
+                        [multi_modal_data] * n)
 
-        for text, tok_ids, sp, lr in zip(texts, ids, params, loras):
+        for text, tok_ids, sp, lr, md in zip(texts, ids, params, loras, mm):
             self.llm_engine.add_request(str(next(self.request_counter)),
                                         text,
                                         sp,
                                         prompt_token_ids=tok_ids,
-                                        lora_request=lr)
+                                        lora_request=lr,
+                                        multi_modal_data=md)
         return self._drain(use_tqdm)
 
     def _drain(self, use_tqdm: bool) -> List[RequestOutput]:

@@ -142,10 +142,14 @@ class TPUExecutor:
                          getattr(jnp, kv_dtype_name))
 
         # Model dims (per full model; sharding splits heads across devices).
-        self.num_layers = self.hf_config.num_hidden_layers
+        # VLM composite configs (LLaVA) keep the LM dims in text_config.
+        text_config = model_config.hf_text_config
+        self.is_vlm = hasattr(self.model_cls, "encode_images")
+        self._encode_images_fn = None
+        self.num_layers = text_config.num_hidden_layers
         self.num_kv_heads = model_config.get_total_num_kv_heads()
         self.head_dim = model_config.get_head_size()
-        self.vocab_size = self.hf_config.vocab_size
+        self.vocab_size = text_config.vocab_size
         self.block_size = cache_config.block_size
         self.max_model_len = model_config.max_model_len
         self.max_blocks_per_seq = cdiv(self.max_model_len, self.block_size)
@@ -153,7 +157,7 @@ class TPUExecutor:
         # packer aligns prefill rows to it).
         from vllm_ltr_tpu.ops.pallas.prefill_attention import (
             prefill_tile_size)
-        num_q_heads = self.hf_config.num_attention_heads
+        num_q_heads = text_config.num_attention_heads
         self.prefill_tile = prefill_tile_size(
             max(num_q_heads // self.num_kv_heads, 1))
 
@@ -374,7 +378,7 @@ class TPUExecutor:
                     block_tables, token_counts, rng,
                     use_penalties: bool, decode_mode: bool,
                     capture_layer=None, has_lora: bool = False,
-                    prefill_tile=None):
+                    prefill_tile=None, image_embeds=None):
             # Packed host buffers (4 H2D transfers per step instead of ~17;
             # the per-step dispatch latency is the serving bottleneck).
             tokens, positions, token_seq, slot_mapping = (i32_t[0], i32_t[1],
@@ -393,19 +397,22 @@ class TPUExecutor:
                                      lora_slots=lora_slots,
                                      prefill_tile=prefill_tile)
             pred_scores = jnp.zeros(sample_idx.shape, jnp.float32)
+            vlm_kwargs = ({} if image_embeds is None else
+                          {"image_embeds": image_embeds})
             if capture_layer is not None:
                 from vllm_ltr_tpu.layers.embedded_predictor import (
                     predictor_score)
                 hidden, kv_cache, captured = model_cls.forward(
                     params, tokens, positions, kv_cache, meta, cfg,
-                    decode_mode=decode_mode, capture_layer=capture_layer)
+                    decode_mode=decode_mode, capture_layer=capture_layer,
+                    **vlm_kwargs)
                 pred_scores = predictor_score(pred_params,
                                               captured[sample_idx],
                                               pred_config)
             else:
                 hidden, kv_cache = model_cls.forward(
                     params, tokens, positions, kv_cache, meta, cfg,
-                    decode_mode=decode_mode)
+                    decode_mode=decode_mode, **vlm_kwargs)
             sel = hidden[sample_idx]  # [S, H] last-token hidden states
             logits = model_cls.compute_logits(params, sel, cfg)
             st = SamplingTensors(temperature=temperature,
@@ -568,7 +575,13 @@ class TPUExecutor:
         step_tile = (self.prefill_tile
                      if batch.prefill_aligned and not batch.decode_only
                      else None)
+        image_embeds = None
+        if self.is_vlm and not batch.decode_only:
+            image_embeds = self._build_image_embeds(seq_group_metadata_list,
+                                                    batch)
         if self.multihost:
+            assert image_embeds is None, (
+                "multi-host VLM serving is not wired yet")
             self._mh_broadcast_step(i32_t, i32_s, f32_s, block_tables,
                                     token_counts, step_key, use_penalties,
                                     batch.decode_only, capture_layer,
@@ -576,7 +589,8 @@ class TPUExecutor:
         self.kv_cache, out_i32, out_f32 = self._step_fn(
             params, self.pred_params, self.kv_cache, i32_t, i32_s, f32_s,
             block_tables, token_counts, step_key, use_penalties,
-            batch.decode_only, capture_layer, has_lora, step_tile)
+            batch.decode_only, capture_layer, has_lora, step_tile,
+            image_embeds)
         out_i32 = self._fetch(out_i32)
         out_f32 = self._fetch(out_f32)
 
@@ -585,6 +599,62 @@ class TPUExecutor:
                                       out_i32[:, 1:], out_f32[:, 2:],
                                       out_f32[:, 1]
                                       if capture_layer is not None else None)
+
+    def _build_image_embeds(self, seq_group_metadata_list,
+                            batch: "PreparedBatch"):
+        """VLM prefill: run the vision tower over each group's images and
+        scatter the projected features into a [T, H] buffer aligned with
+        the flat token layout — rows where the token is image_token_index
+        get features in order of appearance (reference llava.py
+        _merge_vision_embeddings). Returns None when no group carries
+        image data (keeps the text-only jit signature)."""
+        has_images = any(
+            getattr(m, "multi_modal_data", None) is not None
+            and m.is_prompt for m in seq_group_metadata_list)
+        if not has_images:
+            return None
+        if self._encode_images_fn is None:
+            cfg = self.hf_config
+            self._encode_images_fn = jax.jit(
+                lambda p, px: self.model_cls.encode_images(p, px, cfg))
+        image_token = self.hf_config.image_token_index
+        T = len(batch.tokens)
+        H = self.config.model_config.get_hidden_size()
+        buf = np.zeros((T, H), np.float32)
+        # Map each group index to its seq row(s) in the flat layout.
+        group_rows: Dict[int, List[int]] = {}
+        for row, (g_idx, _) in enumerate(batch.row_owners):
+            group_rows.setdefault(g_idx, []).append(row)
+        for g_idx, meta in enumerate(seq_group_metadata_list):
+            data = getattr(meta, "multi_modal_data", None)
+            if data is None or not meta.is_prompt:
+                continue
+            if isinstance(data, dict) and "image_features" in data:
+                feats = np.asarray(data["image_features"], np.float32)
+            else:
+                pixels = (data["pixel_values"]
+                          if isinstance(data, dict) else data)
+                pixels = np.asarray(pixels, np.float32)
+                if pixels.ndim == 3:
+                    pixels = pixels[None]
+                feats = np.asarray(
+                    self._encode_images_fn(self.params, jnp.asarray(pixels)),
+                    np.float32)
+            feats = feats.reshape(-1, feats.shape[-1])  # [n_img*patches, H]
+            rows = set(group_rows.get(g_idx, ()))
+            positions = [
+                t for t in range(T)
+                if batch.token_seq[t] in rows and batch.tokens[t] ==
+                image_token
+            ]
+            if len(positions) > len(feats):
+                raise ValueError(
+                    f"request has {len(positions)} image tokens but only "
+                    f"{len(feats)} image feature rows (chunked-prefill "
+                    "image splitting is not supported)")
+            for j, t in enumerate(positions):
+                buf[t] = feats[j]
+        return jnp.asarray(buf, self.dtype)
 
     def _assemble_outputs(self, seq_group_metadata_list, batch: PreparedBatch,
                           tokens, logprobs, topk_ids, topk_logprobs,

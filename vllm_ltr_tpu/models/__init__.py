@@ -59,6 +59,19 @@ _MODEL_REGISTRY: Dict[str, tuple] = {
     "CohereForCausalLM": ("vllm_ltr_tpu.models.commandr",
                           "CohereForCausalLM"),
     "DbrxForCausalLM": ("vllm_ltr_tpu.models.dbrx", "DbrxForCausalLM"),
+    "OrionForCausalLM": ("vllm_ltr_tpu.models.orion", "OrionForCausalLM"),
+    "QWenLMHeadModel": ("vllm_ltr_tpu.models.qwen", "QWenLMHeadModel"),
+    "MiniCPMForCausalLM": ("vllm_ltr_tpu.models.minicpm",
+                           "MiniCPMForCausalLM"),
+    "JAISLMHeadModel": ("vllm_ltr_tpu.models.jais", "JAISLMHeadModel"),
+    "DeciLMForCausalLM": ("vllm_ltr_tpu.models.decilm",
+                          "DeciLMForCausalLM"),
+    # XVERSE is structurally Llama (same weight names, RMSNorm + SwiGLU +
+    # rotary GQA; reference xverse.py differs from llama.py only in class
+    # names), so it maps onto the Llama implementation directly.
+    "XverseForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
+    "LlavaForConditionalGeneration": ("vllm_ltr_tpu.models.llava",
+                                      "LlavaForConditionalGeneration"),
 }
 
 

@@ -151,7 +151,8 @@ class LlamaForCausalLM:
     @staticmethod
     def forward(params, tokens: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttentionMetadata,
-                cfg, decode_mode: bool = False, capture_layer=None):
+                cfg, decode_mode: bool = False, capture_layer=None,
+                inputs_embeds=None):
         """decode_mode (static): every token is one decode step of the
         same-index sequence row; attention runs the streaming Pallas decode
         kernel instead of the mixed-batch reference path.
@@ -172,7 +173,9 @@ class LlamaForCausalLM:
         eps = getattr(cfg, "rms_norm_eps", 1e-6)
         sliding_window = getattr(cfg, "sliding_window", None)
 
-        h = params["embed_tokens"][tokens]
+        # inputs_embeds: pre-merged embeddings (the LLaVA vision path).
+        h = (inputs_embeds if inputs_embeds is not None else
+             params["embed_tokens"][tokens])
         lora_scalings = params.get("lora_scalings")
         lora_slots = meta.lora_slots
 
