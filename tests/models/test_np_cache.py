@@ -1,0 +1,57 @@
+"""npcache streamed weight loading: first load converts + caches, second
+load streams without torch and produces identical params and generations
+(reference np_cache / tensorizer fast-reload behavior)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from vllm_ltr_tpu.models.weights import (load_np_cache, load_params,
+                                         save_np_cache)
+from vllm_ltr_tpu.transformers_utils.config import get_hf_config
+
+
+def _llama_dir(tmp_path):
+    from transformers import LlamaForCausalLM as HFLlama
+    cfg = get_hf_config("test-llama-tiny")
+    torch.manual_seed(0)
+    hf = HFLlama(cfg).eval()
+    d = tmp_path / "model"
+    hf.save_pretrained(d)
+    return str(d), cfg
+
+
+def test_np_cache_roundtrip_identical(tmp_path):
+    from vllm_ltr_tpu.models.llama import LlamaForCausalLM
+    d, cfg = _llama_dir(tmp_path)
+    first = load_params(LlamaForCausalLM, d, cfg, jnp.bfloat16,
+                        load_format="npcache")
+    second = load_params(LlamaForCausalLM, d, cfg, jnp.bfloat16,
+                         load_format="npcache")
+    flat1 = jax.tree_util.tree_leaves_with_path(first)
+    flat2 = jax.tree_util.tree_leaves_with_path(second)
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(flat1, flat2):
+        assert p1 == p2
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a).view(np.uint8),
+                                      np.asarray(b).view(np.uint8))
+
+
+def test_np_cache_preserves_fp8_and_int_leaves(tmp_path):
+    params = {
+        "w": jnp.asarray(np.arange(8, dtype=np.float32)),
+        "fp8": jnp.asarray(np.linspace(-2, 2, 8), jnp.float8_e5m2),
+        "nested": {"ids": jnp.asarray(np.arange(6, dtype=np.int32))},
+    }
+    d = str(tmp_path / "cache")
+    save_np_cache(params, d)
+    back = load_np_cache(d)
+    for name in ("w",):
+        np.testing.assert_array_equal(np.asarray(back[name]),
+                                      np.asarray(params[name]))
+    np.testing.assert_array_equal(
+        np.asarray(back["fp8"]).view(np.uint8),
+        np.asarray(params["fp8"]).view(np.uint8))
+    np.testing.assert_array_equal(np.asarray(back["nested"]["ids"]),
+                                  np.asarray(params["nested"]["ids"]))

@@ -265,6 +265,7 @@ class ModelConfig:
         max_context_len_to_capture: Optional[int] = None,
         max_logprobs: int = 5,
         skip_tokenizer_init: bool = False,
+        tokenizer_pool_size: int = 0,
         predictor_model_config: Optional[Union[str, PredictorConfig]] = None,
         prefill_predictor_model_config: Optional[Union[
             str, PrefillPredictorConfig]] = None,
@@ -272,6 +273,8 @@ class ModelConfig:
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer or model
+        # Reference TokenizerPoolConfig: 0 = inline tokenization.
+        self.tokenizer_pool_size = tokenizer_pool_size
         self.tokenizer_mode = tokenizer_mode
         self.trust_remote_code = trust_remote_code
         self.seed = seed

@@ -1,13 +1,20 @@
 """Paged KV-cache accounting: block pools + per-sequence tables.
 
-Behavioral counterpart of reference vllm/core/block_manager_v1.py (+ the
-LTR fork's fake allocation, block_manager_v1.py:268-281,566-570), built
-differently: blocks are plain integers.  All per-block state (refcounts,
-content hashes, computed flags, access times) lives in parallel structures
-inside a :class:`BlockPool`, one pool per memory tier (device HBM, host
-swap mirror).  There are no block objects, no separate evictor class —
-prefix-cache eviction is a lazy min-heap over (last_access,
--hashed_tokens) inside the pool.
+Behavioral counterpart of BOTH reference block managers — the default
+vllm/core/block_manager_v1.py (+ the LTR fork's fake allocation,
+block_manager_v1.py:268-281,566-570) and the composable v2 stack
+(vllm/core/block_manager_v2.py + core/block/prefix_caching_block.py +
+core/block/cpu_gpu_block_allocator.py, 1,788 LoC) — built differently:
+blocks are plain integers.  All per-block state (refcounts, content
+hashes, computed flags, access times) lives in parallel structures inside
+a :class:`BlockPool`, one pool per memory tier (device HBM, host swap
+mirror — the CpuGpuBlockAllocator split).  v2's content-hash prefix reuse
+is :meth:`BlockPool.acquire_hashed` / :meth:`BlockPool.bind_hash`: a full
+block's hash chains the previous block's hash with its tokens (exactly
+PrefixCachingBlock.content_hash), a hash hit revives the cached block and
+bumps its refcount instead of copying.  There are no block objects, no
+separate evictor class — prefix-cache eviction is a lazy min-heap over
+(last_access, -hashed_tokens) inside the pool (the v1 evictor.py policy).
 
 The executor consumes only integers: per-seq tables ``List[int]`` and the
 swap / copy mappings ``Dict[int, int]`` / ``Dict[int, List[int]]``.

@@ -25,6 +25,7 @@ class EngineArgs:
     tokenizer: Optional[str] = None
     tokenizer_mode: str = "auto"
     skip_tokenizer_init: bool = False
+    tokenizer_pool_size: int = 0
     trust_remote_code: bool = False
     download_dir: Optional[str] = None
     load_format: str = "auto"
@@ -90,6 +91,7 @@ class EngineArgs:
             enforce_eager=self.enforce_eager,
             max_logprobs=self.max_logprobs,
             skip_tokenizer_init=self.skip_tokenizer_init,
+            tokenizer_pool_size=self.tokenizer_pool_size,
             predictor_model_config=self.predictor_model_config,
             prefill_predictor_model_config=(
                 self.prefill_predictor_model_config),

@@ -80,6 +80,19 @@ class AsyncLLMEngine:
         self.log_requests, self.max_log_len = log_requests, max_log_len
         self._autostart = start_engine_loop
 
+        # Tokenizer pool (reference TokenizerPoolConfig /
+        # RayTokenizerGroupPool): prompts encode off the event loop so
+        # tokenization never stalls the serving step at high QPS.
+        from vllm_ltr_tpu.transformers_utils.tokenizer_pool import (
+            TokenizerPool)
+        mc = engine_config.model_config
+        # No max_input_length: the engine truncates over-long prompts
+        # itself (add_request), matching the sync path.
+        self.tokenizer_pool = (TokenizerPool(self.engine.tokenizer,
+                                             mc.tokenizer_pool_size)
+                               if self.engine.tokenizer is not None else
+                               None)
+
         self._feeds: Dict[str, _OutputFeed] = {}
         self._inbox: List[dict] = []
         self._cancelled: Set[str] = set()
@@ -221,6 +234,10 @@ class AsyncLLMEngine:
         self._ensure_driver()
         if request_id in self._feeds:
             raise KeyError(f"request {request_id} already in flight")
+
+        if (prompt_token_ids is None and prompt is not None
+                and self.tokenizer_pool is not None):
+            prompt_token_ids = await self.tokenizer_pool.encode_async(prompt)
 
         feed = _OutputFeed(request_id)
         self._feeds[request_id] = feed

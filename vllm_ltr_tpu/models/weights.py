@@ -6,22 +6,86 @@ Counterpart of reference ``vllm/model_executor/model_loader/`` (936 LoC):
 * local HF directory (safetensors / pytorch_bin iterators, like
   DefaultModelLoader, loader.py:200-243),
 * ``dummy`` / built-in test configs -> random init (DummyModelLoader,
-  loader.py:246-268).
+  loader.py:246-268),
+* ``npcache``: a streamed native cache of the CONVERTED params tree — the
+  first load converts from torch and writes one memory-mappable .npy per
+  leaf plus a manifest; later loads stream leaves straight into jnp arrays
+  with no torch, no transposes, and near-zero peak host memory. This is
+  the TPU equivalent of the reference's np_cache format AND its tensorizer
+  fast-reload path (model_loader/tensorizer.py) in one mechanism.
 
 Sharded placement happens at the executor via NamedShardings.
 """
 from __future__ import annotations
 
 import glob
+import json
 import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vllm_ltr_tpu.logger import init_logger
 
 logger = init_logger(__name__)
+
+_NP_CACHE_DIR = "np_cache_tpu"
+
+
+def _flatten_with_names(params):
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        out.append((name, leaf))
+    return out
+
+
+def save_np_cache(params, cache_dir: str) -> None:
+    """Write the converted params tree as per-leaf .npy files + manifest.
+    bfloat16/fp8 leaves store as raw uint8/16 views (np.save cannot
+    round-trip ml_dtypes descrs through mmap)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    manifest = {}
+    for i, (name, leaf) in enumerate(_flatten_with_names(params)):
+        arr = np.asarray(leaf)
+        dtype_name = arr.dtype.name
+        if arr.dtype.itemsize == 2 and dtype_name == "bfloat16":
+            stored = arr.view(np.uint16)
+        elif dtype_name.startswith("float8"):
+            stored = arr.view(np.uint8)
+        else:
+            stored = arr
+        fname = f"leaf_{i:05d}.npy"
+        np.save(os.path.join(cache_dir, fname), stored)
+        manifest[name] = {"file": fname, "dtype": dtype_name,
+                          "shape": list(arr.shape)}
+    with open(os.path.join(cache_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def load_np_cache(cache_dir: str) -> Dict[str, Any]:
+    """Stream the cached leaves back into a nested params dict."""
+    import ml_dtypes
+    with open(os.path.join(cache_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    params: Dict[str, Any] = {}
+    for name, info in manifest.items():
+        raw = np.load(os.path.join(cache_dir, info["file"]), mmap_mode="r")
+        dtype = getattr(jnp, info["dtype"], None) or getattr(
+            ml_dtypes, info["dtype"])
+        if raw.dtype.kind == "u" and info["dtype"] != raw.dtype.name:
+            raw = raw.view(np.dtype(dtype))
+        leaf = jnp.asarray(raw).reshape(info["shape"])
+        node = params
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return params
 
 
 def load_hf_state_dict(model_dir: str) -> Dict[str, Any]:
@@ -61,6 +125,11 @@ def load_params(model_cls, model_source: str, hf_config, dtype,
         rng = jax.random.PRNGKey(seed)
         params = model_cls.init_params(hf_config, rng, dtype)
         return maybe_quantize_params(params, quantization)
+    cache_dir = os.path.join(model_source, _NP_CACHE_DIR)
+    if load_format == "npcache" and os.path.exists(
+            os.path.join(cache_dir, "manifest.json")):
+        logger.info("Streaming native weight cache from %s", cache_dir)
+        return load_np_cache(cache_dir)
     logger.info("Loading weights from %s", model_source)
     state_dict = load_hf_state_dict(model_source)
     ckpt_method = detect_checkpoint_quantization(hf_config)
@@ -76,4 +145,8 @@ def load_params(model_cls, model_source: str, hf_config, dtype,
                 "checkpoints yet.")
         return converter(hf_config, state_dict, dtype, ckpt_method)
     params = model_cls.params_from_torch(hf_config, state_dict, dtype)
-    return maybe_quantize_params(params, quantization)
+    params = maybe_quantize_params(params, quantization)
+    if load_format == "npcache":
+        logger.info("Writing native weight cache to %s", cache_dir)
+        save_np_cache(params, cache_dir)
+    return params
