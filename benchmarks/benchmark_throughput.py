@@ -128,6 +128,7 @@ def main(args):
         enable_starvation_prevent=args.enable_starvation_prevent,
         prefill_predictor_model_config=args.prefill_predictor_model_config,
         gpu_memory_utilization=args.gpu_memory_utilization,
+        decode_steps_per_dispatch=args.decode_steps_per_dispatch,
     )
     outputs, elapsed = run_benchmark(llm, requests,
                                      args.use_oracle_est_tokens)
@@ -164,6 +165,8 @@ if __name__ == "__main__":
     parser.add_argument("--est-tokens-field", type=str, default=None,
                         help="read est_tokens from this trace field (e.g. "
                         "po_est_tokens from append_dataset_po.py)")
+    parser.add_argument("--decode-steps-per-dispatch", type=int, default=1,
+                        help="fused decode iterations per host dispatch")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save-result", type=str, default=None)
     parser.add_argument("--platform", type=str, default=None)
