@@ -26,6 +26,10 @@ class AuxScorer:
         self.config = prefill_predictor_config
         self.total_scored = 0
         self.total_time = 0.0
+        # Per-call durations since the last stats drain: aux scoring runs
+        # inside schedule() on the critical path (reference SURVEY §3.2
+        # boundary note), so its latency is a first-class serving metric.
+        self._recent: List[float] = []
 
     def obtain_aux_scores(self,
                           seq_groups: List[SequenceGroup]) -> List[float]:
@@ -37,7 +41,12 @@ class AuxScorer:
         dt = time.time() - t0
         self.total_scored += len(seq_groups)
         self.total_time += dt
+        self._recent.append(dt)
         if int(os.environ.get("OPT_TIME", "0")):
             # Reference's ad-hoc scoring timer (scheduler.py:977-982).
             print("OPT-TIME: ", dt)
         return [float(s) for s in scores]
+
+    def drain_recent_times(self) -> List[float]:
+        out, self._recent = self._recent, []
+        return out

@@ -289,6 +289,9 @@ class LLMEngine:
                     time_e2e_requests.append(now -
                                              group.metrics.arrival_time)
 
+        aux = getattr(self.scheduler, "aux_model", None)
+        aux_times = (aux.drain_recent_times()
+                     if hasattr(aux, "drain_recent_times") else [])
         return Stats(
             now=now,
             num_running=len(self.scheduler.running),
@@ -301,6 +304,7 @@ class LLMEngine:
             time_to_first_tokens=time_to_first_tokens,
             time_per_output_tokens=time_per_output_tokens,
             time_e2e_requests=time_e2e_requests,
+            aux_score_times=aux_times,
         )
 
     def do_log_stats(self) -> None:

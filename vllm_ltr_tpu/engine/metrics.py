@@ -39,6 +39,10 @@ class Stats:
     time_to_first_tokens: List[float] = field(default_factory=list)
     time_per_output_tokens: List[float] = field(default_factory=list)
     time_e2e_requests: List[float] = field(default_factory=list)
+    # AUX predictor scoring calls completed this interval (seconds each);
+    # scoring runs inside schedule() so this is scheduler-critical-path
+    # latency.
+    aux_score_times: List[float] = field(default_factory=list)
 
 
 # Collector specs: (metric name, help text, Stats attribute).
@@ -69,6 +73,9 @@ _HISTOGRAM_SPECS = [
     ("e2e_request_latency_seconds", "End-to-end request latency.",
      "time_e2e_requests",
      (1.0, 2.5, 5.0, 10.0, 15.0, 20.0, 30.0, 40.0, 50.0, 60.0)),
+    ("aux_score_seconds", "AUX predictor scoring latency per call "
+     "(inside schedule(), critical path).", "aux_score_times",
+     (0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0)),
 ]
 _PREFIX = "ltr_tpu:"
 

@@ -167,11 +167,6 @@ def prepare_batch(
 
     align = 1 if decode_only else max(prefill_tile, 1)
     out_start_np, num_padded_tokens = dest_offsets(align)
-    if align > 1 and num_padded_tokens > token_buckets[-1]:
-        # Alignment waste would overflow the largest bucket (many tiny
-        # prefills): fall back to the contiguous layout + XLA path.
-        align = 1
-        out_start_np, num_padded_tokens = dest_offsets(align)
 
     S = pad_to_bucket(max(num_real_seqs, 1), seq_buckets)
     if decode_only:
@@ -179,12 +174,24 @@ def prepare_batch(
         # streaming decode kernel can treat q as [S, ...].
         T = S
     else:
-        T = pad_to_bucket(max(num_padded_tokens, 1), token_buckets)
-        if align > 1:
+        if align > 1 and num_padded_tokens > token_buckets[-1]:
+            # Alignment waste overflows the largest bucket (many small
+            # prefills in one step). NEVER fall back to the contiguous XLA
+            # layout here — its per-token context gather is O(T*ctx) and
+            # OOMs at serving shapes. Pad T up in coarse 512-token steps
+            # above the bucket list instead (a handful of extra compiles,
+            # bounded by budget + max_seqs * tile alignment waste).
+            T = -(-num_padded_tokens // 512) * 512
             T = max(T, align)
-            if T % align:  # non-power-of-two bucket tail
-                align = 1
-                out_start_np, num_padded_tokens = dest_offsets(align)
+            if T % align:
+                T = -(-T // align) * align
+        else:
+            T = pad_to_bucket(max(num_padded_tokens, 1), token_buckets)
+            if align > 1:
+                T = max(T, align)
+                if T % align:  # non-power-of-two bucket tail
+                    align = 1
+                    out_start_np, num_padded_tokens = dest_offsets(align)
     prefill_aligned = (not decode_only) and align > 1
     assert num_padded_tokens <= T and num_real_seqs <= S, (
         f"batch exceeds buckets: {num_padded_tokens}>{T} or "

@@ -59,6 +59,10 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
                                                        quantized_linear)
     if isinstance(w, QuantizedWeight):
         return quantized_linear(x, w, b)
+    from vllm_ltr_tpu.layers.quantization.squeezellm import (
+        SqueezeLLMWeight, squeezellm_linear)
+    if isinstance(w, SqueezeLLMWeight):
+        return squeezellm_linear(x, w, b)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b

@@ -149,9 +149,41 @@ def paged_attention_reference(
     sliding_window: Optional[int] = None,
     alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """XLA reference path (CPU tests + correctness baseline): gather each
-    sequence's pages and run masked softmax attention. O(T*ctx) memory —
-    the Pallas kernels exist precisely to avoid this materialization."""
+    """XLA reference path (CPU tests, ALiBi prefill, odd shapes): gather
+    each token's context and run masked softmax attention. The per-token
+    gather is O(T*ctx); to keep the fallback usable at serving shapes the
+    token axis processes in fixed 128-token chunks under ``lax.map``, so
+    peak memory is O(128 * ctx) regardless of batch size."""
+    CHUNK = 128
+    T = q.shape[0]
+    if T > CHUNK:
+        Tp = -(-T // CHUNK) * CHUNK
+        pad = Tp - T
+        qp = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        seqp = jnp.pad(token_seq, (0, pad), constant_values=-1)
+        posp = jnp.pad(token_pos, (0, pad))
+        n = Tp // CHUNK
+
+        def one_chunk(args):
+            qc, sc, pc = args
+            return _paged_attention_reference_chunk(
+                qc, kv_cache, layer, block_tables, sc, pc, seq_lens, scale,
+                sliding_window, alibi)
+
+        out = jax.lax.map(one_chunk,
+                          (qp.reshape(n, CHUNK, *q.shape[1:]),
+                           seqp.reshape(n, CHUNK), posp.reshape(n, CHUNK)))
+        return out.reshape(Tp, *out.shape[2:])[:T]
+    return _paged_attention_reference_chunk(q, kv_cache, layer,
+                                            block_tables, token_seq,
+                                            token_pos, seq_lens, scale,
+                                            sliding_window, alibi)
+
+
+def _paged_attention_reference_chunk(
+    q, kv_cache, layer, block_tables, token_seq, token_pos, seq_lens,
+    scale, sliding_window=None, alibi=None,
+) -> jax.Array:
     T, QH, D = q.shape
     _, num_blocks_p1, _, KH, block_size, Dp = kv_cache.shape
     S, MB = block_tables.shape
