@@ -133,6 +133,10 @@ def main(args):
     outputs, elapsed = run_benchmark(llm, requests,
                                      args.use_oracle_est_tokens)
     result = report(requests, outputs, elapsed)
+    stats = getattr(llm.llm_engine.model_executor, "dispatch_stats", None)
+    if stats:
+        print(f"dispatch_stats: {stats}")
+        result["dispatch_stats"] = dict(stats)
     if args.save_result:
         result["args"] = {
             k: v

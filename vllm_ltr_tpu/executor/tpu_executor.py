@@ -111,6 +111,35 @@ def shard_params(params, mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+_COMPILE_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (counterpart of the reference's
+    CUDA-graph capture reuse, model_runner.py:974): serving processes are
+    short-lived relative to compile time on a tunneled TPU, so executables
+    are cached on disk and reused across processes. Opt out with
+    LTR_TPU_COMPILE_CACHE=0 or redirect with LTR_TPU_COMPILE_CACHE=<dir>."""
+    global _COMPILE_CACHE_ENABLED
+    if _COMPILE_CACHE_ENABLED:
+        return
+    import os
+    setting = os.environ.get("LTR_TPU_COMPILE_CACHE", "1")
+    if setting == "0":
+        return
+    cache_dir = (setting if setting not in ("", "1") else
+                 os.path.expanduser("~/.cache/vllm_ltr_tpu/xla_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # cache is best-effort
+        logger.warning("compilation cache disabled: %s", exc)
+        return
+    _COMPILE_CACHE_ENABLED = True
+    logger.info("XLA compilation cache at %s", cache_dir)
+
+
 class TPUExecutor:
     """Single-controller executor over a (data, model) device mesh."""
 
@@ -120,6 +149,8 @@ class TPUExecutor:
         parallel_config = engine_config.parallel_config
         cache_config = engine_config.cache_config
         scheduler_config = engine_config.scheduler_config
+
+        _enable_compilation_cache()
 
         # Multi-host: join the jax.distributed runtime first so the mesh
         # spans every host's chips (reference worker.py:283-320 equivalent).
@@ -269,6 +300,20 @@ class TPUExecutor:
         self.aux_model_cls = None
         self.aux_hf_config = None
         self.aux_prefill_config = None
+
+        # Dispatch accounting (counterpart of the reference's nsight/
+        # OPT_TIME ad-hoc timing, SURVEY §5): how many device dispatches of
+        # each kind this executor issued, and how many tokens each kind
+        # produced. Read by benchmarks to attribute throughput.
+        self.dispatch_stats: Dict[str, int] = {
+            "steps": 0,
+            "mixed_steps": 0,
+            "prefill_dispatches": 0,
+            "prefill_tokens": 0,
+            "decode_fused_dispatches": 0,
+            "decode_single_dispatches": 0,
+            "decode_tokens": 0,
+        }
 
     # ------------------------------------------------------------------
     # KV cache sizing (counterpart of Worker.determine_num_available_blocks,
@@ -494,7 +539,9 @@ class TPUExecutor:
         # the paged kernel within one step (model_runner BatchType.MIXED).
         has_prefill = any(m.is_prompt for m in seq_group_metadata_list)
         has_decode = any(not m.is_prompt for m in seq_group_metadata_list)
+        self.dispatch_stats["steps"] += 1
         if has_prefill and has_decode:
+            self.dispatch_stats["mixed_steps"] += 1
             prefill_idx = [
                 i for i, m in enumerate(seq_group_metadata_list)
                 if m.is_prompt
@@ -531,7 +578,16 @@ class TPUExecutor:
         if (self._multi_step_fn is not None and batch.decode_only
                 and self.draft_params is None
                 and self._multi_step_eligible(seq_group_metadata_list)):
+            self.dispatch_stats["decode_fused_dispatches"] += 1
+            self.dispatch_stats["decode_tokens"] += (
+                len(batch.row_owners) * self.decode_steps)
             return self._execute_multi_step(seq_group_metadata_list, batch)
+        if batch.decode_only:
+            self.dispatch_stats["decode_single_dispatches"] += 1
+            self.dispatch_stats["decode_tokens"] += len(batch.row_owners)
+        else:
+            self.dispatch_stats["prefill_dispatches"] += 1
+            self.dispatch_stats["prefill_tokens"] += batch.num_real_tokens
 
         # Pack host buffers once: [Kt, T] ints, [4, S] ints, [6, S] floats.
         has_lora = batch.lora_slots is not None
