@@ -103,6 +103,27 @@ def test_llm_random_sampling_seeded_runs(tiny_llm):
         assert len(out.outputs[0].token_ids) == 6
 
 
+def test_dispatch_stats_populate(tiny_llm):
+    """The executor accounts every device dispatch by kind; benchmarks
+    rely on these counters to attribute throughput between policies."""
+    ex = tiny_llm.llm_engine.model_executor
+    before = dict(ex.dispatch_stats)
+    params = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    tiny_llm.generate(prompt_token_ids=[[5, 6, 7], [8, 9, 10]],
+                      sampling_params=params,
+                      use_tqdm=False)
+    after = ex.dispatch_stats
+    assert after["steps"] > before["steps"]
+    assert after["prefill_dispatches"] > before["prefill_dispatches"]
+    assert after["prefill_tokens"] >= before["prefill_tokens"] + 6
+    new_decode = (after["decode_fused_dispatches"] +
+                  after["decode_single_dispatches"] -
+                  before["decode_fused_dispatches"] -
+                  before["decode_single_dispatches"])
+    assert new_decode > 0
+    assert after["decode_tokens"] >= before["decode_tokens"] + 6
+
+
 def test_llm_opt_policy_end_to_end(tiny_llama_dir, tmp_path):
     """Ranked scheduling with a real (random-weight) OPT classifier
     predictor wired through prefill_predictor_model_config."""
