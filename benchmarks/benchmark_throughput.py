@@ -135,8 +135,16 @@ def main(args):
     result = report(requests, outputs, elapsed)
     stats = getattr(llm.llm_engine.model_executor, "dispatch_stats", None)
     if stats:
+        stats = {k: round(v, 3) if isinstance(v, float) else v
+                 for k, v in stats.items()}
         print(f"dispatch_stats: {stats}")
-        result["dispatch_stats"] = dict(stats)
+        result["dispatch_stats"] = stats
+    step_times = getattr(llm.llm_engine, "step_times", None)
+    if step_times:
+        step_times = {k: round(v, 3) if isinstance(v, float) else v
+                      for k, v in step_times.items()}
+        print(f"step_times: {step_times}")
+        result["step_times"] = step_times
     if args.save_result:
         result["args"] = {
             k: v

@@ -55,6 +55,11 @@ class LLMEngine:
             self.parallel_config.tensor_parallel_size)
 
         self.seq_counter = Counter()
+        # Cumulative wall time per step phase (host scheduling vs device
+        # execution vs output processing) — benchmark attribution.
+        self.step_times: Dict[str, float] = {
+            "schedule_s": 0.0, "execute_s": 0.0, "process_s": 0.0,
+            "steps": 0}
         if self.model_config.skip_tokenizer_init:
             self.tokenizer = None
         else:
@@ -188,7 +193,9 @@ class LLMEngine:
     # ------------------------------------------------------------------
 
     def step(self) -> List[RequestOutput]:
+        t0 = time.perf_counter()
         seq_group_metadata_list, scheduler_outputs = self.scheduler.schedule()
+        t1 = time.perf_counter()
 
         if not scheduler_outputs.is_empty():
             sampler_outputs = self.model_executor.execute_model(
@@ -199,9 +206,17 @@ class LLMEngine:
                 scheduler_outputs.num_lookahead_slots)
         else:
             sampler_outputs = []
+        t2 = time.perf_counter()
 
-        return self._process_model_outputs(sampler_outputs,
-                                           scheduler_outputs)
+        outputs = self._process_model_outputs(sampler_outputs,
+                                              scheduler_outputs)
+        t3 = time.perf_counter()
+        st = self.step_times
+        st["schedule_s"] += t1 - t0
+        st["execute_s"] += t2 - t1
+        st["process_s"] += t3 - t2
+        st["steps"] += 1
+        return outputs
 
     def _process_model_outputs(
             self, sampler_outputs: List[SamplerOutput],

@@ -305,7 +305,7 @@ class TPUExecutor:
         # OPT_TIME ad-hoc timing, SURVEY §5): how many device dispatches of
         # each kind this executor issued, and how many tokens each kind
         # produced. Read by benchmarks to attribute throughput.
-        self.dispatch_stats: Dict[str, int] = {
+        self.dispatch_stats: Dict[str, float] = {
             "steps": 0,
             "mixed_steps": 0,
             "prefill_dispatches": 0,
@@ -313,6 +313,11 @@ class TPUExecutor:
             "decode_fused_dispatches": 0,
             "decode_single_dispatches": 0,
             "decode_tokens": 0,
+            "prefill_s": 0.0,
+            "decode_fused_s": 0.0,
+            "decode_single_s": 0.0,
+            "aux_dispatches": 0,
+            "aux_s": 0.0,
         }
 
     # ------------------------------------------------------------------
@@ -575,19 +580,34 @@ class TPUExecutor:
 
         # Fused multi-step decode: K chained decode iterations in one
         # dispatch (spec decode takes precedence when configured).
+        stats = self.dispatch_stats
         if (self._multi_step_fn is not None and batch.decode_only
                 and self.draft_params is None
                 and self._multi_step_eligible(seq_group_metadata_list)):
-            self.dispatch_stats["decode_fused_dispatches"] += 1
-            self.dispatch_stats["decode_tokens"] += (
-                len(batch.row_owners) * self.decode_steps)
-            return self._execute_multi_step(seq_group_metadata_list, batch)
+            stats["decode_fused_dispatches"] += 1
+            stats["decode_tokens"] += (len(batch.row_owners) *
+                                       self.decode_steps)
+            t0 = time.perf_counter()
+            out = self._execute_multi_step(seq_group_metadata_list, batch)
+            stats["decode_fused_s"] += time.perf_counter() - t0
+            return out
         if batch.decode_only:
-            self.dispatch_stats["decode_single_dispatches"] += 1
-            self.dispatch_stats["decode_tokens"] += len(batch.row_owners)
+            kind = "decode_single"
+            stats["decode_tokens"] += len(batch.row_owners)
         else:
-            self.dispatch_stats["prefill_dispatches"] += 1
-            self.dispatch_stats["prefill_tokens"] += batch.num_real_tokens
+            kind = "prefill"
+            stats["prefill_tokens"] += batch.num_real_tokens
+        stats[kind + "_dispatches"] += 1
+        t0 = time.perf_counter()
+        try:
+            return self._execute_single_dispatch(seq_group_metadata_list,
+                                                 batch)
+        finally:
+            stats[kind + "_s"] += time.perf_counter() - t0
+
+    def _execute_single_dispatch(
+            self, seq_group_metadata_list: List[SequenceGroupMetadata],
+            batch: PreparedBatch) -> List[SamplerOutput]:
 
         # Pack host buffers once: [Kt, T] ints, [4, S] ints, [6, S] floats.
         has_lora = batch.lora_slots is not None
@@ -845,6 +865,7 @@ class TPUExecutor:
         max_len = cfg.max_length
         bs = cfg.max_batch_size
         scores: List[float] = []
+        t_start = time.perf_counter()
         for i in range(0, len(prompts_token_ids), bs):
             chunk = prompts_token_ids[i:i + bs]
             trunc = [t[:max_len] for t in chunk]
@@ -874,6 +895,8 @@ class TPUExecutor:
                 scores.extend(float(s) for s in out[:B, 0])
             else:
                 scores.extend(-float(s) for s in np.argmax(out[:B], axis=1))
+            self.dispatch_stats["aux_dispatches"] += 1
+        self.dispatch_stats["aux_s"] += time.perf_counter() - t_start
         return scores
 
     # ------------------------------------------------------------------
