@@ -555,10 +555,18 @@ class TPUExecutor:
                 i for i, m in enumerate(seq_group_metadata_list)
                 if not m.is_prompt
             ]
-            out_p = self._execute_batch(
-                [seq_group_metadata_list[i] for i in prefill_idx])
-            out_d = self._execute_batch(
-                [seq_group_metadata_list[i] for i in decode_idx])
+            # Dispatch both programs before fetching either: they queue
+            # back-to-back on device (disjoint KV pages), so the prefill's
+            # D2H readback overlaps the decode's execution — one host
+            # round trip per mixed step instead of two.
+            fin_p = self._execute_batch(
+                [seq_group_metadata_list[i] for i in prefill_idx],
+                defer=True)
+            fin_d = self._execute_batch(
+                [seq_group_metadata_list[i] for i in decode_idx],
+                defer=True)
+            out_p = fin_p()
+            out_d = fin_d()
             merged = [None] * len(seq_group_metadata_list)
             for j, i in enumerate(prefill_idx):
                 merged[i] = out_p[0].outputs[j]
@@ -567,9 +575,16 @@ class TPUExecutor:
             return [SamplerOutput(outputs=merged)]
         return self._execute_batch(seq_group_metadata_list)
 
-    def _execute_batch(
-        self, seq_group_metadata_list: List[SequenceGroupMetadata]
-    ) -> List[SamplerOutput]:
+    def _execute_batch(self,
+                       seq_group_metadata_list: List[SequenceGroupMetadata],
+                       defer: bool = False):
+        """Run one uniform (all-prefill or all-decode) sub-batch.
+
+        With ``defer=True`` the device program is dispatched and a
+        zero-argument ``finish()`` closure is returned; calling it fetches
+        the results and assembles the SamplerOutputs.  Mixed steps use
+        this to enqueue both sub-batch programs before blocking on either.
+        """
         batch = prepare_batch(
             seq_group_metadata_list, self.block_size,
             self.max_blocks_per_seq, self.token_buckets, self.seq_buckets,
@@ -584,30 +599,37 @@ class TPUExecutor:
         if (self._multi_step_fn is not None and batch.decode_only
                 and self.draft_params is None
                 and self._multi_step_eligible(seq_group_metadata_list)):
-            stats["decode_fused_dispatches"] += 1
+            kind = "decode_fused"
             stats["decode_tokens"] += (len(batch.row_owners) *
                                        self.decode_steps)
-            t0 = time.perf_counter()
-            out = self._execute_multi_step(seq_group_metadata_list, batch)
-            stats["decode_fused_s"] += time.perf_counter() - t0
-            return out
-        if batch.decode_only:
-            kind = "decode_single"
-            stats["decode_tokens"] += len(batch.row_owners)
+            dispatch = self._execute_multi_step
         else:
-            kind = "prefill"
-            stats["prefill_tokens"] += batch.num_real_tokens
+            if batch.decode_only:
+                kind = "decode_single"
+                stats["decode_tokens"] += len(batch.row_owners)
+            else:
+                kind = "prefill"
+                stats["prefill_tokens"] += batch.num_real_tokens
+            dispatch = self._execute_single_dispatch
         stats[kind + "_dispatches"] += 1
+
         t0 = time.perf_counter()
-        try:
-            return self._execute_single_dispatch(seq_group_metadata_list,
-                                                 batch)
-        finally:
-            stats[kind + "_s"] += time.perf_counter() - t0
+        finish = dispatch(seq_group_metadata_list, batch)
+        stats[kind + "_s"] += time.perf_counter() - t0
+
+        def timed_finish():
+            t1 = time.perf_counter()
+            out = finish()
+            stats[kind + "_s"] += time.perf_counter() - t1
+            return out
+
+        return timed_finish if defer else timed_finish()
 
     def _execute_single_dispatch(
             self, seq_group_metadata_list: List[SequenceGroupMetadata],
-            batch: PreparedBatch) -> List[SamplerOutput]:
+            batch: PreparedBatch):
+        """Dispatch one uniform batch; returns a finish() closure that
+        fetches device results and assembles SamplerOutputs."""
 
         # Pack host buffers once: [Kt, T] ints, [4, S] ints, [6, S] floats.
         has_lora = batch.lora_slots is not None
@@ -632,8 +654,9 @@ class TPUExecutor:
         if self.spec_config is not None and self.draft_params is not None:
             if (batch.decode_only
                     and self._spec_eligible(seq_group_metadata_list)):
-                return self._execute_spec_decode(seq_group_metadata_list,
-                                                 batch)
+                out = self._execute_spec_decode(seq_group_metadata_list,
+                                                batch)
+                return lambda: out
             # Keep the draft cache in sync: mirror this (prefill/mixed or
             # ineligible-decode) step through the draft model.
             self.draft_kv_cache = self._draft_prefill_fn(
@@ -667,14 +690,16 @@ class TPUExecutor:
             block_tables, token_counts, step_key, use_penalties,
             batch.decode_only, capture_layer, has_lora, step_tile,
             image_embeds)
-        out_i32 = self._fetch(out_i32)
-        out_f32 = self._fetch(out_f32)
 
-        return self._assemble_outputs(seq_group_metadata_list, batch,
-                                      out_i32[:, 0], out_f32[:, 0],
-                                      out_i32[:, 1:], out_f32[:, 2:],
-                                      out_f32[:, 1]
-                                      if capture_layer is not None else None)
+        def finish():
+            h_i32 = self._fetch(out_i32)
+            h_f32 = self._fetch(out_f32)
+            return self._assemble_outputs(
+                seq_group_metadata_list, batch, h_i32[:, 0], h_f32[:, 0],
+                h_i32[:, 1:], h_f32[:, 2:],
+                h_f32[:, 1] if capture_layer is not None else None)
+
+        return finish
 
     def _build_image_embeds(self, seq_group_metadata_list,
                             batch: "PreparedBatch"):
@@ -956,34 +981,37 @@ class TPUExecutor:
             jnp.asarray(base_pos), jnp.asarray(batch.block_tables),
             jnp.asarray(slots), jnp.asarray(i32_s), jnp.asarray(f32_s),
             token_counts, lora_slots, step_key, use_penalties, has_lora)
-        out_i32 = self._fetch(out_i32)  # [S, K, 1+L]
-        out_f32 = self._fetch(out_f32)
 
-        group_samples: Dict[int, List[SequenceOutput]] = {
-            i: []
-            for i in range(len(seq_group_metadata_list))
-        }
-        for row, (g_idx, seq_id) in enumerate(batch.row_owners):
-            sp = seq_group_metadata_list[g_idx].sampling_params
-            num_lp = sp.logprobs or 0
-            for j in range(K):
-                token = int(out_i32[row, j, 0])
-                lp_dict = {token: Logprob(float(out_f32[row, j, 0]))}
-                for k in range(min(num_lp, out_i32.shape[2] - 1)):
-                    tid = int(out_i32[row, j, 1 + k])
-                    lp_dict.setdefault(
-                        tid, Logprob(float(out_f32[row, j, 1 + k]),
-                                     rank=k + 1))
-                group_samples[g_idx].append(
-                    SequenceOutput(parent_seq_id=seq_id,
-                                   output_token=token,
-                                   logprobs=lp_dict))
-        outputs = [
-            SequenceGroupOutput(samples=group_samples[i],
-                                prompt_logprobs=None)
-            for i in range(len(seq_group_metadata_list))
-        ]
-        return [SamplerOutput(outputs=outputs)]
+        def finish():
+            h_i32 = self._fetch(out_i32)  # [S, K, 1+L]
+            h_f32 = self._fetch(out_f32)
+            group_samples: Dict[int, List[SequenceOutput]] = {
+                i: []
+                for i in range(len(seq_group_metadata_list))
+            }
+            for row, (g_idx, seq_id) in enumerate(batch.row_owners):
+                sp = seq_group_metadata_list[g_idx].sampling_params
+                num_lp = sp.logprobs or 0
+                for j in range(K):
+                    token = int(h_i32[row, j, 0])
+                    lp_dict = {token: Logprob(float(h_f32[row, j, 0]))}
+                    for k in range(min(num_lp, h_i32.shape[2] - 1)):
+                        tid = int(h_i32[row, j, 1 + k])
+                        lp_dict.setdefault(
+                            tid, Logprob(float(h_f32[row, j, 1 + k]),
+                                         rank=k + 1))
+                    group_samples[g_idx].append(
+                        SequenceOutput(parent_seq_id=seq_id,
+                                       output_token=token,
+                                       logprobs=lp_dict))
+            outputs = [
+                SequenceGroupOutput(samples=group_samples[i],
+                                    prompt_logprobs=None)
+                for i in range(len(seq_group_metadata_list))
+            ]
+            return [SamplerOutput(outputs=outputs)]
+
+        return finish
 
     def _mh_broadcast_multi_step(self, last_tokens, base_pos, block_tables,
                                  slots, i32_s, f32_s, token_counts,
