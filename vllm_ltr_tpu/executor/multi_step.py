@@ -53,10 +53,12 @@ def build_multi_step_fn(model_cls, cfg, mesh, num_steps: int):
 
     @functools.partial(jax.jit,
                        donate_argnums=(1, ),
-                       static_argnames=("use_penalties", "has_lora"))
+                       static_argnames=("use_penalties", "has_lora",
+                                        "exact_sampling"))
     def multi_step(params, kv_cache, last_tokens, base_pos, block_tables,
                    step_slots, i32_s, f32_s, token_counts, lora_slots, rng,
-                   use_penalties: bool, has_lora: bool = False):
+                   use_penalties: bool, has_lora: bool = False,
+                   exact_sampling: bool = True):
         S = last_tokens.shape[0]
         st = SamplingTensors(temperature=f32_s[0],
                              top_p=f32_s[1],
@@ -86,7 +88,8 @@ def build_multi_step_fn(model_cls, cfg, mesh, num_steps: int):
             logits = model_cls.compute_logits(params, hidden, cfg)
             key, sub = jax.random.split(key)
             res = sample(logits, st, sub,
-                         token_counts=counts if use_penalties else None)
+                         token_counts=counts if use_penalties else None,
+                         exact=exact_sampling)
             if use_penalties:
                 counts = update_token_counts(counts, rows, res.tokens)
             return (kv, res.tokens, counts, key), (res.tokens, res.logprobs,

@@ -423,12 +423,14 @@ class TPUExecutor:
             jax.jit,
             donate_argnums=(1, ),
             static_argnames=("use_penalties", "decode_mode",
-                             "capture_layer", "has_lora", "prefill_tile"))
+                             "capture_layer", "has_lora", "prefill_tile",
+                             "exact_sampling"))
         def step_fn(params, pred_params, kv_cache, i32_t, i32_s, f32_s,
                     block_tables, token_counts, rng,
                     use_penalties: bool, decode_mode: bool,
                     capture_layer=None, has_lora: bool = False,
-                    prefill_tile=None, image_embeds=None):
+                    prefill_tile=None, image_embeds=None,
+                    exact_sampling: bool = True):
             # Packed host buffers (4 H2D transfers per step instead of ~17;
             # the per-step dispatch latency is the serving bottleneck).
             tokens, positions, token_seq, slot_mapping = (i32_t[0], i32_t[1],
@@ -476,7 +478,8 @@ class TPUExecutor:
             res = sample(logits,
                          st,
                          rng,
-                         token_counts=token_counts if use_penalties else None)
+                         token_counts=token_counts if use_penalties else None,
+                         exact=exact_sampling)
             # Pack outputs: 2 D2H transfers per step. Outputs are pinned
             # fully-replicated so every host can read its local copy
             # without a collective (multi-host leader fetch).
@@ -678,18 +681,19 @@ class TPUExecutor:
         if self.is_vlm and not batch.decode_only:
             image_embeds = self._build_image_embeds(seq_group_metadata_list,
                                                     batch)
+        exact_sampling = self._needs_exact_sampling(batch)
         if self.multihost:
             assert image_embeds is None, (
                 "multi-host VLM serving is not wired yet")
             self._mh_broadcast_step(i32_t, i32_s, f32_s, block_tables,
                                     token_counts, step_key, use_penalties,
                                     batch.decode_only, capture_layer,
-                                    step_tile)
+                                    step_tile, exact_sampling)
         self.kv_cache, out_i32, out_f32 = self._step_fn(
             params, self.pred_params, self.kv_cache, i32_t, i32_s, f32_s,
             block_tables, token_counts, step_key, use_penalties,
             batch.decode_only, capture_layer, has_lora, step_tile,
-            image_embeds)
+            image_embeds, exact_sampling=exact_sampling)
 
         def finish():
             h_i32 = self._fetch(out_i32)
@@ -928,6 +932,13 @@ class TPUExecutor:
     # Fused multi-step decode (executor/multi_step.py)
     # ------------------------------------------------------------------
 
+    def _needs_exact_sampling(self, batch: PreparedBatch) -> bool:
+        """True when any row uses a top-p / top-k / min-p filter; such
+        batches take the sampler's full-vocab-sort path, everything else
+        takes the sort-free Gumbel-argmax fast path (layers/sampler.py)."""
+        return bool((batch.top_p < 1.0).any() or (batch.min_p > 0.0).any()
+                    or (batch.top_k < self.vocab_size).any())
+
     @staticmethod
     def _multi_step_eligible(seq_group_metadata_list) -> bool:
         """Beam search needs a host-side selection step after every token,
@@ -971,16 +982,19 @@ class TPUExecutor:
         params = self._params_with_lora(batch)
         self._rng, step_key = jax.random.split(self._rng)
 
+        exact_sampling = self._needs_exact_sampling(batch)
         if self.multihost:
             self._mh_broadcast_multi_step(last_tokens, base_pos,
                                           batch.block_tables, slots, i32_s,
                                           f32_s, token_counts, lora_slots,
-                                          step_key, use_penalties, has_lora)
+                                          step_key, use_penalties, has_lora,
+                                          exact_sampling)
         self.kv_cache, out_i32, out_f32 = self._multi_step_fn(
             params, self.kv_cache, jnp.asarray(last_tokens),
             jnp.asarray(base_pos), jnp.asarray(batch.block_tables),
             jnp.asarray(slots), jnp.asarray(i32_s), jnp.asarray(f32_s),
-            token_counts, lora_slots, step_key, use_penalties, has_lora)
+            token_counts, lora_slots, step_key, use_penalties, has_lora,
+            exact_sampling=exact_sampling)
 
         def finish():
             h_i32 = self._fetch(out_i32)  # [S, K, 1+L]
@@ -1016,7 +1030,7 @@ class TPUExecutor:
     def _mh_broadcast_multi_step(self, last_tokens, base_pos, block_tables,
                                  slots, i32_s, f32_s, token_counts,
                                  lora_slots, step_key, use_penalties,
-                                 has_lora) -> None:
+                                 has_lora, exact_sampling) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
         header[0] = dist.OP_MULTI_STEP
         header[1] = int(use_penalties)
@@ -1024,6 +1038,7 @@ class TPUExecutor:
         header[3], header[4] = block_tables.shape  # S, MB
         header[5] = slots.shape[1]  # K
         header[6] = token_counts.shape[1]  # vocab (or 1)
+        header[7] = int(exact_sampling)
         dist.broadcast_header(header)
         for arr, dt in ((last_tokens, np.int32), (base_pos, np.int32),
                         (block_tables, np.int32), (slots, np.int32),
@@ -1198,7 +1213,8 @@ class TPUExecutor:
 
     def _mh_broadcast_step(self, i32_t, i32_s, f32_s, block_tables,
                            token_counts, step_key, use_penalties,
-                           decode_mode, capture_layer, step_tile) -> None:
+                           decode_mode, capture_layer, step_tile,
+                           exact_sampling) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
         header[0] = dist.OP_STEP
         header[1] = int(use_penalties)
@@ -1208,6 +1224,7 @@ class TPUExecutor:
         header[5], header[6] = i32_t.shape  # Kt, T
         header[7], header[8] = i32_s.shape[1], block_tables.shape[1]  # S, MB
         header[9] = token_counts.shape[1]  # vocab (or 1)
+        header[10] = int(exact_sampling)
         dist.broadcast_header(header)
         for arr, dt in ((i32_t, np.int32), (i32_s, np.int32),
                         (f32_s, np.float32), (block_tables, np.int32),
@@ -1283,7 +1300,7 @@ class TPUExecutor:
                     self.params, self.pred_params, self.kv_cache, i32_t,
                     i32_s, f32_s, block_tables, token_counts, step_key,
                     use_penalties, decode_mode, capture_layer, has_lora,
-                    step_tile)
+                    step_tile, exact_sampling=bool(header[10]))
             elif op == dist.OP_MULTI_STEP:
                 use_penalties = bool(header[1])
                 has_lora = bool(header[2])
@@ -1312,7 +1329,8 @@ class TPUExecutor:
                 self.kv_cache, _, _ = self._multi_step_fn(
                     self.params, self.kv_cache, last_tokens, base_pos,
                     block_tables, slots, i32_s, f32_s, token_counts,
-                    lora_slots, step_key, use_penalties, has_lora)
+                    lora_slots, step_key, use_penalties, has_lora,
+                    exact_sampling=bool(header[7]))
             elif op == dist.OP_AUX_SCORE:
                 B, L = int(header[1]), int(header[2])
                 tokens = jnp.asarray(

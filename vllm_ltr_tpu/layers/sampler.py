@@ -66,7 +66,13 @@ def sample(
     key: jax.Array,  # PRNG key
     token_counts: Optional[jax.Array] = None,  # u8[S, V]
     num_logprobs: int = 8,
+    exact: bool = True,
 ) -> SampleResult:
+    """``exact=False`` (static, host-chosen) selects the fast path for
+    batches with no top-p / top-k / min-p filters: Gumbel-argmax over the
+    raw distribution needs only O(V) reductions instead of the full
+    descending vocab sort (the sort is the single most expensive sampler
+    op at 32k+ vocabs). Identical semantics for such batches."""
     S, V = logits.shape
     logits = logits.astype(jnp.float32)
 
@@ -77,6 +83,22 @@ def sample(
 
     temp = jnp.maximum(t.temperature, 1e-5)[:, None]
     scaled = logits / temp
+    L = min(num_logprobs, V)
+
+    if not exact:
+        u = jax.random.uniform(key, (S, V), minval=1e-10, maxval=1.0)
+        noise = jnp.where(t.greedy[:, None], 0.0, -jnp.log(-jnp.log(u)))
+        tokens = jnp.argmax(scaled + noise, axis=-1).astype(jnp.int32)
+        sampled_logprobs = jnp.take_along_axis(raw_logprobs, tokens[:, None],
+                                               axis=1).squeeze(-1)
+        topk_logprobs, topk_ids = jax.lax.top_k(raw_logprobs, L)
+        picked = jnp.take_along_axis(scaled, tokens[:, None], axis=1)
+        ranks = jnp.sum(scaled > picked, axis=-1).astype(jnp.int32)
+        return SampleResult(tokens=tokens,
+                            logprobs=sampled_logprobs,
+                            topk_ids=topk_ids,
+                            topk_logprobs=topk_logprobs,
+                            sampled_ranks=ranks)
 
     # One descending sort serves top-k / top-p / min-p / top-logprobs.
     sorted_logits, sorted_idx = jax.lax.top_k(scaled, V)
@@ -105,7 +127,6 @@ def sample(
 
     # Top-L logprobs come from the same sort (of raw logits order; ranks by
     # probability are identical since softmax is monotonic in logits/T).
-    L = min(num_logprobs, V)
     topk_ids = sorted_idx[:, :L]
     topk_logprobs = jnp.take_along_axis(raw_logprobs, topk_ids, axis=1)
     return SampleResult(tokens=tokens,
