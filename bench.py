@@ -56,6 +56,19 @@ CONFIGS = {
                      max_num_batched_tokens=2048,
                      num_gpu_blocks_override=1536,
                      vocab=32000),
+    # FP8 KV cache variant: same model, E5M2 paged cache (the fused decode
+    # kernel dequantizes inline) — halves the per-step KV read traffic,
+    # which the decode profile shows is the largest per-step cost beyond
+    # the bf16 weight stream.
+    "llama-1b-fp8kv": dict(model="test-llama-1b",
+                           num_requests=32,
+                           prompt_len=512,
+                           max_tokens=64,
+                           max_model_len=1024,
+                           max_num_batched_tokens=2048,
+                           num_gpu_blocks_override=1536,
+                           vocab=32000,
+                           kv_cache_dtype="fp8"),
     # Round-1 toy config, kept for regression tracking.
     "toy": dict(model="bench-llama-s",
                 num_requests=32,
@@ -102,6 +115,8 @@ def main():
 
     cfg = CONFIGS[args.config]
     extra = {"decode_steps_per_dispatch": args.decode_steps_per_dispatch}
+    if cfg.get("kv_cache_dtype"):
+        extra["kv_cache_dtype"] = cfg["kv_cache_dtype"]
     llm = LLM(model=cfg["model"],
               skip_tokenizer_init=True,
               dtype="bfloat16",
