@@ -41,8 +41,8 @@ def build_multi_step_fn(model_cls, cfg, mesh, num_steps: int):
     multi_step(params, kv_cache, last_tokens [S], base_pos [S],
                block_tables [S, MB], step_slots [S, K], i32_s [4, S],
                f32_s [6, S], token_counts, lora_slots, rng,
-               use_penalties, has_lora)
-        -> (kv_cache, out_i32 [S, K, 1+L], out_f32 [S, K, 1+L])
+               use_penalties, has_lora, exact_sampling)
+        -> (kv_cache, out_i32 [S, K, 1+L], out_f32 [S, K, 1+L], next_rng)
 
     out_i32[s, j] = (token, topk ids); out_f32[s, j] = (logprob,
     topk logprobs) for sequence s at fused step j.
@@ -96,7 +96,7 @@ def build_multi_step_fn(model_cls, cfg, mesh, num_steps: int):
                                                    res.topk_ids,
                                                    res.topk_logprobs)
 
-        (kv_cache, _, _, _), ys = jax.lax.scan(
+        (kv_cache, _, _, next_rng), ys = jax.lax.scan(
             body, (kv_cache, last_tokens, token_counts, rng),
             jnp.arange(K, dtype=jnp.int32))
         tokens, logprobs, topk_ids, topk_lp = ys  # [K, S], .., [K, S, L]
@@ -112,6 +112,6 @@ def build_multi_step_fn(model_cls, cfg, mesh, num_steps: int):
             jnp.concatenate(
                 [logprobs.T[:, :, None],
                  jnp.transpose(topk_lp, (1, 0, 2))], axis=2), rep)
-        return kv_cache, out_i32, out_f32
+        return kv_cache, out_i32, out_f32, next_rng
 
     return multi_step

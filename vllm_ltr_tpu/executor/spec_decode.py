@@ -38,7 +38,9 @@ from vllm_ltr_tpu.models.common import AttentionMetadata
 def build_spec_step_fn(target_cls, target_cfg, draft_cls, draft_cfg,
                        num_spec_tokens: int):
     """Returns a jitted spec_step(params, draft_params, kv, draft_kv, ...)
-    -> (kv, draft_kv, tokens [S, k+1], counts [S], logprobs [S, k+1])."""
+    -> (kv, draft_kv, tokens [S, k+1], counts [S], logprobs [S, k+1],
+    next_rng). The PRNG key is split on device and threaded back — an
+    eager host-side split costs a relay round trip per step."""
     k = num_spec_tokens
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
@@ -56,6 +58,7 @@ def build_spec_step_fn(target_cls, target_cfg, draft_cls, draft_cfg,
         greedy,  # bool[S]
         rng,
     ):
+        rng, next_rng = jax.random.split(rng)
         S = last_tokens.shape[0]
         temp = jnp.maximum(temperature, 1e-5)[:, None]
 
@@ -125,6 +128,6 @@ def build_spec_step_fn(target_cls, target_cfg, draft_cls, draft_cfg,
         logprobs = jnp.log(
             jnp.take_along_axis(target_probs, safe[:, :, None],
                                 axis=2).squeeze(-1) + 1e-10)
-        return kv_cache, draft_kv_cache, tokens, counts, logprobs
+        return kv_cache, draft_kv_cache, tokens, counts, logprobs, next_rng
 
     return spec_step

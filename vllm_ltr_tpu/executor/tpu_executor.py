@@ -431,6 +431,10 @@ class TPUExecutor:
                     capture_layer=None, has_lora: bool = False,
                     prefill_tile=None, image_embeds=None,
                     exact_sampling: bool = True):
+            # The PRNG key lives on device: split here and thread the next
+            # key back through the return value — an eager host-side
+            # jax.random.split costs a full relay round trip per step.
+            rng, next_rng = jax.random.split(rng)
             # Packed host buffers (4 H2D transfers per step instead of ~17;
             # the per-step dispatch latency is the serving bottleneck).
             tokens, positions, token_seq, slot_mapping = (i32_t[0], i32_t[1],
@@ -492,7 +496,7 @@ class TPUExecutor:
                     res.logprobs[:, None], pred_scores[:, None],
                     res.topk_logprobs
                 ], axis=1), rep)
-            return kv_cache, out_i32, out_f32
+            return kv_cache, out_i32, out_f32, next_rng
 
         return step_fn
 
@@ -665,7 +669,6 @@ class TPUExecutor:
             self.draft_kv_cache = self._draft_prefill_fn(
                 self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
                 i32_t[2], i32_t[3], block_tables, i32_s[0])
-        self._rng, step_key = jax.random.split(self._rng)
         use_penalties = batch.token_counts is not None
         token_counts = (jnp.asarray(batch.token_counts) if use_penalties else
                         jnp.zeros((1, 1), jnp.uint8))
@@ -685,13 +688,15 @@ class TPUExecutor:
         if self.multihost:
             assert image_embeds is None, (
                 "multi-host VLM serving is not wired yet")
+            # Followers keep their own device-resident PRNG key in sync by
+            # replaying the identical split sequence — no key broadcast.
             self._mh_broadcast_step(i32_t, i32_s, f32_s, block_tables,
-                                    token_counts, step_key, use_penalties,
+                                    token_counts, use_penalties,
                                     batch.decode_only, capture_layer,
                                     step_tile, exact_sampling)
-        self.kv_cache, out_i32, out_f32 = self._step_fn(
+        self.kv_cache, out_i32, out_f32, self._rng = self._step_fn(
             params, self.pred_params, self.kv_cache, i32_t, i32_s, f32_s,
-            block_tables, token_counts, step_key, use_penalties,
+            block_tables, token_counts, self._rng, use_penalties,
             batch.decode_only, capture_layer, has_lora, step_tile,
             image_embeds, exact_sampling=exact_sampling)
 
@@ -980,20 +985,19 @@ class TPUExecutor:
         lora_slots = jnp.asarray(batch.lora_slots[:S] if has_lora else np.
                                  zeros((S, ), np.int32))
         params = self._params_with_lora(batch)
-        self._rng, step_key = jax.random.split(self._rng)
 
         exact_sampling = self._needs_exact_sampling(batch)
         if self.multihost:
             self._mh_broadcast_multi_step(last_tokens, base_pos,
                                           batch.block_tables, slots, i32_s,
                                           f32_s, token_counts, lora_slots,
-                                          step_key, use_penalties, has_lora,
+                                          use_penalties, has_lora,
                                           exact_sampling)
-        self.kv_cache, out_i32, out_f32 = self._multi_step_fn(
+        self.kv_cache, out_i32, out_f32, self._rng = self._multi_step_fn(
             params, self.kv_cache, jnp.asarray(last_tokens),
             jnp.asarray(base_pos), jnp.asarray(batch.block_tables),
             jnp.asarray(slots), jnp.asarray(i32_s), jnp.asarray(f32_s),
-            token_counts, lora_slots, step_key, use_penalties, has_lora,
+            token_counts, lora_slots, self._rng, use_penalties, has_lora,
             exact_sampling=exact_sampling)
 
         def finish():
@@ -1029,7 +1033,7 @@ class TPUExecutor:
 
     def _mh_broadcast_multi_step(self, last_tokens, base_pos, block_tables,
                                  slots, i32_s, f32_s, token_counts,
-                                 lora_slots, step_key, use_penalties,
+                                 lora_slots, use_penalties,
                                  has_lora, exact_sampling) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
         header[0] = dist.OP_MULTI_STEP
@@ -1045,7 +1049,6 @@ class TPUExecutor:
                         (i32_s, np.int32), (f32_s, np.float32),
                         (token_counts, np.uint8), (lora_slots, np.int32)):
             dist.broadcast_array(np.asarray(arr), arr.shape, dt)
-        dist.broadcast_array(np.asarray(step_key), step_key.shape, np.uint32)
 
     # ------------------------------------------------------------------
     # Speculative decoding helpers
@@ -1100,15 +1103,14 @@ class TPUExecutor:
         # Padded rows write to the trash slot.
         slots[seq_lens == 0] = -1
 
-        self._rng, step_key = jax.random.split(self._rng)
         (self.kv_cache, self.draft_kv_cache, tokens, counts,
-         logprobs) = self._spec_fn(
+         logprobs, self._rng) = self._spec_fn(
              self.params, self.draft_params, self.kv_cache,
              self.draft_kv_cache, jnp.asarray(last_tokens),
              jnp.asarray(base_pos), jnp.asarray(batch.block_tables),
              jnp.asarray(seq_lens), jnp.asarray(slots),
              jnp.asarray(batch.temperature), jnp.asarray(batch.greedy),
-             step_key)
+             self._rng)
         tokens = np.asarray(tokens)
         counts = np.asarray(counts)
         logprobs = np.asarray(logprobs)
@@ -1212,7 +1214,7 @@ class TPUExecutor:
         dist.broadcast_array(arr, arr.shape, np.int32)
 
     def _mh_broadcast_step(self, i32_t, i32_s, f32_s, block_tables,
-                           token_counts, step_key, use_penalties,
+                           token_counts, use_penalties,
                            decode_mode, capture_layer, step_tile,
                            exact_sampling) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
@@ -1230,8 +1232,6 @@ class TPUExecutor:
                         (f32_s, np.float32), (block_tables, np.int32),
                         (token_counts, np.uint8)):
             dist.broadcast_array(np.asarray(arr), arr.shape, dt)
-        dist.broadcast_array(np.asarray(step_key), step_key.shape,
-                             np.uint32)
 
     def _mh_broadcast_aux(self, tokens, positions, mask) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
@@ -1293,12 +1293,10 @@ class TPUExecutor:
                 tc_shape = (S, V) if use_penalties else (1, V)
                 token_counts = jnp.asarray(
                     dist.broadcast_array(None, tc_shape, np.uint8))
-                step_key = jnp.asarray(
-                    dist.broadcast_array(None, (2, ), np.uint32))
                 has_lora = Kt > 4
-                self.kv_cache, _, _ = self._step_fn(
+                self.kv_cache, _, _, self._rng = self._step_fn(
                     self.params, self.pred_params, self.kv_cache, i32_t,
-                    i32_s, f32_s, block_tables, token_counts, step_key,
+                    i32_s, f32_s, block_tables, token_counts, self._rng,
                     use_penalties, decode_mode, capture_layer, has_lora,
                     step_tile, exact_sampling=bool(header[10]))
             elif op == dist.OP_MULTI_STEP:
@@ -1324,12 +1322,10 @@ class TPUExecutor:
                     dist.broadcast_array(None, tc_shape, np.uint8))
                 lora_slots = jnp.asarray(
                     dist.broadcast_array(None, (S, ), np.int32))
-                step_key = jnp.asarray(
-                    dist.broadcast_array(None, (2, ), np.uint32))
-                self.kv_cache, _, _ = self._multi_step_fn(
+                self.kv_cache, _, _, self._rng = self._multi_step_fn(
                     self.params, self.kv_cache, last_tokens, base_pos,
                     block_tables, slots, i32_s, f32_s, token_counts,
-                    lora_slots, step_key, use_penalties, has_lora,
+                    lora_slots, self._rng, use_penalties, has_lora,
                     exact_sampling=bool(header[7]))
             elif op == dist.OP_AUX_SCORE:
                 B, L = int(header[1]), int(header[2])
