@@ -375,14 +375,13 @@ class ModelConfig:
         tp = parallel_config.tensor_parallel_size
         if total_kv % tp != 0 and tp % total_kv != 0:
             raise ValueError(
-                f"Total number of KV heads ({total_kv}) must divide (or be "
-                f"divided by) tensor parallel size ({tp}).")
+                f"{total_kv} KV heads cannot shard evenly over tp={tp} "
+                "(one must divide the other; small-KV models replicate)")
         total_layers = self.hf_text_config.num_hidden_layers
         pp = parallel_config.pipeline_parallel_size
         if total_layers % pp != 0:
-            raise ValueError(
-                f"Total number of hidden layers ({total_layers}) must be "
-                f"divisible by pipeline parallel size ({pp}).")
+            raise ValueError(f"{total_layers} layers do not split evenly "
+                             f"into pp={pp} pipeline stages")
 
 
 def _resolve_dtype(config_dtype: Any, dtype_arg: str) -> str:
@@ -405,14 +404,8 @@ def _resolve_dtype(config_dtype: Any, dtype_arg: str) -> str:
     raise ValueError(f"Unknown dtype: {name}")
 
 
-_MAX_LEN_KEYS = [
-    "max_position_embeddings",
-    "n_positions",
-    "max_seq_len",
-    "seq_length",
-    "max_sequence_length",
-    "model_max_length",
-]
+_MAX_LEN_KEYS = ("max_position_embeddings", "n_positions", "max_seq_len",
+                 "seq_length", "max_sequence_length", "model_max_length")
 
 
 def _get_and_verify_max_len(hf_config: Any,
@@ -433,9 +426,8 @@ def _get_and_verify_max_len(hf_config: Any,
         max_model_len = int(derived)
     elif max_model_len > derived:
         raise ValueError(
-            f"User-specified max_model_len ({max_model_len}) is greater than "
-            f"the derived max_model_len ({int(derived)}) from the model "
-            "config.")
+            f"requested max_model_len={max_model_len} exceeds the "
+            f"{int(derived)}-token limit derived from the checkpoint config")
     return int(max_model_len)
 
 
@@ -464,22 +456,21 @@ class CacheConfig:
         self.num_device_blocks_override = num_device_blocks_override
         self.sliding_window = sliding_window
         self.enable_prefix_caching = enable_prefix_caching
-        self._verify_args()
-        self._verify_cache_dtype()
+        self._check()
 
         # Set after memory profiling.
         self.num_gpu_blocks: Optional[int] = None  # device (HBM) blocks
         self.num_cpu_blocks: Optional[int] = None  # host (swap) blocks
 
-    def _verify_args(self) -> None:
+    def _check(self) -> None:
         if self.hbm_utilization > 1.0:
             raise ValueError(
-                "HBM memory utilization must be less than 1.0. Got "
-                f"{self.hbm_utilization}.")
-
-    def _verify_cache_dtype(self) -> None:
+                f"hbm_utilization={self.hbm_utilization} — a fraction "
+                "of device memory, must be <= 1.0")
         if self.cache_dtype not in STR_DTYPE_TO_KV_DTYPE:
-            raise ValueError(f"Unknown kv cache dtype: {self.cache_dtype}")
+            raise ValueError(
+                f"kv cache dtype {self.cache_dtype!r} not in "
+                f"{sorted(STR_DTYPE_TO_KV_DTYPE)}")
         if self.cache_dtype.startswith("fp8"):
             logger.info(
                 "Using FP8 KV cache (%s). It reduces the HBM footprint and "
@@ -495,13 +486,12 @@ class CacheConfig:
         # One swap mirror per host; all local devices share it.
         num_local = max(1, parallel_config.tensor_parallel_size)
         swap = self.swap_space_bytes * num_local
-        msg = (f"{swap / _GB:.2f} GiB out of "
-               f"{total_host_memory / _GB:.2f} GiB host memory is allocated "
-               "for the swap space.")
+        msg = (f"swap mirror wants {swap / _GB:.2f} GiB of the host's "
+               f"{total_host_memory / _GB:.2f} GiB RAM")
         if swap > 0.7 * total_host_memory:
-            raise ValueError("Too large swap space. " + msg)
+            raise ValueError(msg + " (>70% — refusing)")
         elif swap > 0.4 * total_host_memory:
-            logger.warning("Possibly too large swap space. %s", msg)
+            logger.warning("%s (>40%% — may starve the engine)", msg)
 
 
 def _total_host_memory_bytes() -> int:
@@ -542,12 +532,11 @@ class ParallelConfig:
         self.distributed_process_id = distributed_process_id
         self.world_size = (pipeline_parallel_size * tensor_parallel_size *
                            data_parallel_size)
-        self._verify_args()
-
-    def _verify_args(self) -> None:
-        if self.pipeline_parallel_size > 1:
+        if pipeline_parallel_size > 1:
+            # Matches the reference, which also rejects PP>1 (config.py:525).
             raise NotImplementedError(
-                "Pipeline parallelism is not supported yet.")
+                "pipeline parallelism is declared but not implemented; "
+                "use tensor_parallel_size / data_parallel_size")
 
 
 class SchedulerConfig:
@@ -568,14 +557,12 @@ class SchedulerConfig:
         fake_allocate: bool = False,
         decode_steps_per_dispatch: int = 1,
     ) -> None:
-        if max_num_batched_tokens is not None:
-            self.max_num_batched_tokens = max_num_batched_tokens
-        else:
-            if enable_chunked_prefill:
-                # Chunked prefill decouples batch size from max_model_len.
-                self.max_num_batched_tokens = 768
-            else:
-                self.max_num_batched_tokens = max(max_model_len, 2048)
+        if max_num_batched_tokens is None:
+            # Chunked prefill decouples the token budget from max_model_len;
+            # otherwise the budget must admit a full-length prompt.
+            max_num_batched_tokens = (768 if enable_chunked_prefill else
+                                      max(max_model_len, 2048))
+        self.max_num_batched_tokens = max_num_batched_tokens
         self.max_num_seqs = max_num_seqs
         self.max_model_len = max_model_len
         self.use_v2_block_manager = use_v2_block_manager
@@ -590,36 +577,30 @@ class SchedulerConfig:
         else:
             self.schedule_spec = ScheduleSpec.parse(schedule_type,
                                                     enable_starvation_prevent)
-        self._verify_args()
+        self._check()
 
     @property
     def schedule_type(self) -> str:
         return self.schedule_spec.to_schedule_type()
 
-    def _verify_args(self) -> None:
-        if (self.max_num_batched_tokens < self.max_model_len
-                and not self.chunked_prefill_enabled):
+    def _check(self) -> None:
+        budget, mml = self.max_num_batched_tokens, self.max_model_len
+        if budget < mml and not self.chunked_prefill_enabled:
             raise ValueError(
-                f"max_num_batched_tokens ({self.max_num_batched_tokens}) is "
-                f"smaller than max_model_len ({self.max_model_len}). "
-                "This effectively limits the maximum sequence length to "
-                "max_num_batched_tokens and makes the scheduler reject "
-                "longer sequences. Please increase max_num_batched_tokens or "
-                "decrease max_model_len.")
-        if self.max_num_batched_tokens < self.max_num_seqs:
+                f"token budget {budget} < max_model_len {mml}: without "
+                "chunked prefill a full-length prompt could never be "
+                "admitted — raise max_num_batched_tokens, lower "
+                "max_model_len, or enable chunked prefill")
+        if budget < self.max_num_seqs:
             raise ValueError(
-                f"max_num_batched_tokens ({self.max_num_batched_tokens}) must "
-                "be greater than or equal to max_num_seqs "
-                f"({self.max_num_seqs}).")
+                f"token budget {budget} cannot cover one decode token for "
+                f"each of max_num_seqs={self.max_num_seqs} sequences")
         if self.num_lookahead_slots < 0:
-            raise ValueError(
-                "num_lookahead_slots "
-                f"({self.num_lookahead_slots}) must be greater than or "
-                "equal to 0.")
+            raise ValueError("num_lookahead_slots cannot be negative "
+                             f"(got {self.num_lookahead_slots})")
         if self.decode_steps_per_dispatch < 1:
-            raise ValueError(
-                "decode_steps_per_dispatch "
-                f"({self.decode_steps_per_dispatch}) must be >= 1.")
+            raise ValueError("decode_steps_per_dispatch is a fusion depth; "
+                             f"needs >= 1, got {self.decode_steps_per_dispatch}")
 
 
 class DeviceConfig:

@@ -54,7 +54,7 @@ class LLMEngine:
             self.model_config.dtype, self.scheduler_config.schedule_type,
             self.parallel_config.tensor_parallel_size)
 
-        self.seq_counter = Counter()
+        self.seq_ids = Counter()  # monotonically allocates Sequence ids
         # Cumulative wall time per step phase (host scheduling vs device
         # execution vs output processing) — benchmark attribution.
         self.step_times: Dict[str, float] = {
@@ -70,7 +70,7 @@ class LLMEngine:
                 self.model_config.revision)
 
         self.model_executor = executor or TPUExecutor(cfg)
-        self._initialize_kv_caches()
+        self._provision_kv_cache()
 
         # Scheduler: MLFQ or the generalized/stock Scheduler.
         spec = self.scheduler_config.schedule_spec
@@ -103,29 +103,29 @@ class LLMEngine:
             StopChecker(self.model_config.max_model_len, eos_token_id),
             free_seq_fn=self.scheduler.free_seq,
             fork_seq_fn=self.scheduler.fork_seq,
-            seq_counter=self.seq_counter)
+            seq_counter=self.seq_ids)
 
-        self.stat_logger = StatLogger(
-            local_interval=_LOCAL_LOGGING_INTERVAL_SEC,
-            labels=dict(model_name=self.model_config.model)) \
-            if log_stats else None
+        self.stat_logger = None
+        if log_stats:
+            self.stat_logger = StatLogger(
+                local_interval=_LOCAL_LOGGING_INTERVAL_SEC,
+                labels=dict(model_name=self.model_config.model))
 
     # ------------------------------------------------------------------
 
-    def _initialize_kv_caches(self) -> None:
+    def _provision_kv_cache(self) -> None:
         if self.scheduler_config.fake_allocate:
             self.model_executor.initialize_cache_empty()
             return
-        num_gpu_blocks, num_cpu_blocks = (
+        n_device, n_host = (
             self.model_executor.determine_num_available_blocks())
-        self.model_executor.initialize_cache(num_gpu_blocks, num_cpu_blocks)
+        self.model_executor.initialize_cache(n_device, n_host)
         logger.info("# device blocks: %d, # host swap blocks: %d",
-                    num_gpu_blocks, num_cpu_blocks)
+                    n_device, n_host)
 
     @classmethod
     def from_engine_args(cls, engine_args, **kwargs) -> "LLMEngine":
-        engine_config = engine_args.create_engine_config()
-        return cls(engine_config,
+        return cls(engine_args.create_engine_config(),
                    log_stats=not engine_args.disable_log_stats,
                    **kwargs)
 
@@ -135,13 +135,13 @@ class LLMEngine:
 
     def encode_request(self, prompt: Optional[str],
                        prompt_token_ids: Optional[List[int]]) -> List[int]:
-        if prompt_token_ids is None:
-            assert prompt is not None
-            assert self.tokenizer is not None, (
-                "No tokenizer available: pass prompt_token_ids "
-                "(skip_tokenizer_init mode)")
-            prompt_token_ids = self.tokenizer.encode(prompt)
-        return prompt_token_ids
+        if prompt_token_ids is not None:
+            return prompt_token_ids
+        assert prompt is not None
+        assert self.tokenizer is not None, (
+            "No tokenizer available: pass prompt_token_ids "
+            "(skip_tokenizer_init mode)")
+        return self.tokenizer.encode(prompt)
 
     def add_request(
         self,
@@ -153,31 +153,23 @@ class LLMEngine:
         lora_request=None,
         multi_modal_data=None,
     ) -> None:
-        if arrival_time is None:
-            arrival_time = time.time()
-        if sampling_params is None:
-            sampling_params = SamplingParams()
-        prompt_token_ids = self.encode_request(prompt, prompt_token_ids)
-        max_len = self.model_config.max_model_len
-        if len(prompt_token_ids) > max_len:
-            # Leave ignoring/aborting decisions to the scheduler path.
-            prompt_token_ids = prompt_token_ids[:max_len]
+        born = time.time() if arrival_time is None else arrival_time
+        params = (sampling_params or SamplingParams()).clone()
+        token_ids = self.encode_request(prompt, prompt_token_ids)
+        # Leave ignoring/aborting decisions to the scheduler path.
+        token_ids = token_ids[:self.model_config.max_model_len]
 
-        block_size = self.cache_config.block_size
-        seq_id = next(self.seq_counter)
-        seq = Sequence(seq_id, prompt, prompt_token_ids, block_size,
-                       self.eos_token_id, lora_request)
         # NOTE: EOS handling stays on the ignore_eos-gated path in the stop
         # checker; adding EOS to stop_token_ids here would defeat ignore_eos.
-        sampling_params = sampling_params.clone()
-
+        root = Sequence(next(self.seq_ids), prompt, token_ids,
+                        self.cache_config.block_size, self.eos_token_id,
+                        lora_request)
         # best_of > 1 (parallel sampling): children fork at prefill
         # completion (reference single-step output processor behavior);
         # the scheduler reserves capacity via get_max_num_running_seqs.
-        seq_group = SequenceGroup(request_id, [seq], sampling_params,
-                                  arrival_time, lora_request,
-                                  multi_modal_data)
-        self.scheduler.add_seq_group(seq_group)
+        self.scheduler.add_seq_group(
+            SequenceGroup(request_id, [root], params, born, lora_request,
+                          multi_modal_data))
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
         self.scheduler.abort_seq_group(request_id)
@@ -194,22 +186,19 @@ class LLMEngine:
 
     def step(self) -> List[RequestOutput]:
         t0 = time.perf_counter()
-        seq_group_metadata_list, scheduler_outputs = self.scheduler.schedule()
+        metadata_list, plan = self.scheduler.schedule()
         t1 = time.perf_counter()
 
-        if not scheduler_outputs.is_empty():
-            sampler_outputs = self.model_executor.execute_model(
-                seq_group_metadata_list,
-                scheduler_outputs.blocks_to_swap_in,
-                scheduler_outputs.blocks_to_swap_out,
-                scheduler_outputs.blocks_to_copy,
-                scheduler_outputs.num_lookahead_slots)
-        else:
+        if plan.is_empty():
             sampler_outputs = []
+        else:
+            sampler_outputs = self.model_executor.execute_model(
+                metadata_list, plan.blocks_to_swap_in,
+                plan.blocks_to_swap_out, plan.blocks_to_copy,
+                plan.num_lookahead_slots)
         t2 = time.perf_counter()
 
-        outputs = self._process_model_outputs(sampler_outputs,
-                                              scheduler_outputs)
+        outputs = self._process_model_outputs(sampler_outputs, plan)
         t3 = time.perf_counter()
         st = self.step_times
         st["schedule_s"] += t1 - t0
@@ -220,106 +209,95 @@ class LLMEngine:
 
     def _process_model_outputs(
             self, sampler_outputs: List[SamplerOutput],
-            scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
+            plan: SchedulerOutputs) -> List[RequestOutput]:
         now = time.time()
-        request_outputs: List[RequestOutput] = []
+        scheduled = plan.scheduled_seq_groups
 
         if sampler_outputs:
-            output = sampler_outputs[0]
-            scheduled = scheduler_outputs.scheduled_seq_groups
-            assert len(output.outputs) == len(scheduled)
-            for scheduled_group, group_output in zip(scheduled,
-                                                     output.outputs):
-                seq_group = scheduled_group.seq_group
-                seq_group.update_num_computed_tokens(
-                    scheduled_group.token_chunk_size)
-                self.output_processor.process_outputs(seq_group,
-                                                      group_output)
-                if not seq_group.is_prefill():
-                    seq_group.maybe_set_first_token_time(now)
-        else:
-            scheduled = scheduler_outputs.scheduled_seq_groups
+            step_out = sampler_outputs[0]
+            assert len(step_out.outputs) == len(scheduled)
+            for sg, group_out in zip(scheduled, step_out.outputs):
+                group = sg.seq_group
+                group.update_num_computed_tokens(sg.token_chunk_size)
+                self.output_processor.process_outputs(group, group_out)
+                if not group.is_prefill():
+                    group.maybe_set_first_token_time(now)
 
         self.scheduler.free_finished_seq_groups()
 
-        for scheduled_group in scheduler_outputs.scheduled_seq_groups:
-            seq_group = scheduled_group.seq_group
-            request_outputs.append(RequestOutput.from_seq_group(seq_group))
-        for seq_group in scheduler_outputs.ignored_seq_groups:
-            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+        results = [RequestOutput.from_seq_group(sg.seq_group)
+                   for sg in scheduled]
+        results.extend(RequestOutput.from_seq_group(g)
+                       for g in plan.ignored_seq_groups)
 
         if self.stat_logger is not None:
-            self.stat_logger.log(self._get_stats(scheduler_outputs))
-        return request_outputs
+            self.stat_logger.log(self._get_stats(plan))
+        return results
 
     # ------------------------------------------------------------------
     # Stats (counterpart of llm_engine._get_stats :596-668)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _pool_usage(total: Optional[int], free_fn) -> float:
+        """Fraction of a block pool in use (0.0 for an unconfigured pool)."""
+        if not total:
+            return 0.0
+        return 1.0 - free_fn() / total
+
     def _get_stats(self, scheduler_outputs: Optional[SchedulerOutputs]
                    ) -> Stats:
         now = time.time()
-        num_total_gpu = self.cache_config.num_gpu_blocks or 0
-        num_free_gpu = (self.scheduler.block_manager.get_num_free_gpu_blocks()
-                        if num_total_gpu else 0)
-        gpu_cache_usage = (1.0 - num_free_gpu / num_total_gpu
-                           if num_total_gpu > 0 else 0.0)
-        num_total_cpu = self.cache_config.num_cpu_blocks or 0
-        num_free_cpu = (self.scheduler.block_manager.get_num_free_cpu_blocks()
-                        if num_total_cpu else 0)
-        cpu_cache_usage = (1.0 - num_free_cpu / num_total_cpu
-                           if num_total_cpu > 0 else 0.0)
-
-        num_prompt_tokens = 0
-        num_generation_tokens = 0
-        time_to_first_tokens = []
-        time_per_output_tokens = []
-        time_e2e_requests = []
-        if scheduler_outputs is not None:
-            for sg in scheduler_outputs.scheduled_seq_groups:
-                group = sg.seq_group
-                if group.is_prefill():
-                    # Mid-prefill (chunked): count the chunk, no token yet.
-                    num_prompt_tokens += sg.token_chunk_size
-                    continue
-                num_generation_tokens += group.num_seqs(
-                    status=SequenceStatus.RUNNING) or group.num_seqs()
-                first = group.metrics.first_token_time
-                produced = group.get_seqs()[0].get_output_len()
-                # Advance the inter-token clock every decode step; the
-                # first token of a request reports TTFT instead of TPOT
-                # (chunked prefill makes this a per-group, not per-step,
-                # distinction).
-                gap = group.get_last_latency(now)
-                if produced <= 1:
-                    if sg.token_chunk_size > 1:
-                        # Prefill completed this step.
-                        num_prompt_tokens += sg.token_chunk_size
-                    if first is not None:
-                        time_to_first_tokens.append(
-                            first - group.metrics.arrival_time)
-                else:
-                    time_per_output_tokens.append(gap)
-                if group.is_finished():
-                    time_e2e_requests.append(now -
-                                             group.metrics.arrival_time)
+        bm = self.scheduler.block_manager
+        prompt_toks = 0
+        decode_toks = 0
+        ttft_samples: List[float] = []
+        tpot_samples: List[float] = []
+        e2e_samples: List[float] = []
+        for sg in (scheduler_outputs.scheduled_seq_groups
+                   if scheduler_outputs is not None else ()):
+            group = sg.seq_group
+            if group.is_prefill():
+                # Mid-prefill (chunked): count the chunk, no token yet.
+                prompt_toks += sg.token_chunk_size
+                continue
+            decode_toks += (group.num_seqs(status=SequenceStatus.RUNNING)
+                            or group.num_seqs())
+            born = group.metrics.arrival_time
+            first = group.metrics.first_token_time
+            # Advance the inter-token clock every decode step; a request's
+            # first token reports TTFT instead of TPOT (chunked prefill
+            # makes this a per-group, not per-step, distinction).
+            gap = group.get_last_latency(now)
+            if group.get_seqs()[0].get_output_len() <= 1:
+                if sg.token_chunk_size > 1:  # prefill finished this step
+                    prompt_toks += sg.token_chunk_size
+                if first is not None:
+                    ttft_samples.append(first - born)
+            else:
+                tpot_samples.append(gap)
+            if group.is_finished():
+                e2e_samples.append(now - born)
 
         aux = getattr(self.scheduler, "aux_model", None)
-        aux_times = (aux.drain_recent_times()
-                     if hasattr(aux, "drain_recent_times") else [])
         return Stats(
             now=now,
             num_running=len(self.scheduler.running),
             num_swapped=len(self.scheduler.swapped),
             num_waiting=len(self.scheduler.waiting),
-            gpu_cache_usage=gpu_cache_usage,
-            cpu_cache_usage=cpu_cache_usage,
-            num_prompt_tokens=num_prompt_tokens,
-            num_generation_tokens=num_generation_tokens,
-            time_to_first_tokens=time_to_first_tokens,
-            time_per_output_tokens=time_per_output_tokens,
-            time_e2e_requests=time_e2e_requests,
-            aux_score_times=aux_times,
+            gpu_cache_usage=self._pool_usage(
+                self.cache_config.num_gpu_blocks,
+                bm.get_num_free_gpu_blocks),
+            cpu_cache_usage=self._pool_usage(
+                self.cache_config.num_cpu_blocks,
+                bm.get_num_free_cpu_blocks),
+            num_prompt_tokens=prompt_toks,
+            num_generation_tokens=decode_toks,
+            time_to_first_tokens=ttft_samples,
+            time_per_output_tokens=tpot_samples,
+            time_e2e_requests=e2e_samples,
+            aux_score_times=(aux.drain_recent_times()
+                             if hasattr(aux, "drain_recent_times") else []),
         )
 
     def do_log_stats(self) -> None:
