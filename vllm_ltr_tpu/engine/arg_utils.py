@@ -160,10 +160,12 @@ class EngineArgs:
                      ) -> argparse.ArgumentParser:
         for field in dataclasses.fields(cls):
             name = "--" + field.name.replace("_", "-")
+            help_ = field.metadata.get("help")
             if field.type == "bool" or field.type is bool:
                 parser.add_argument(name,
                                     action="store_true",
-                                    default=field.default)
+                                    default=field.default,
+                                    help=help_)
             else:
                 ftype = {
                     "int": int,
@@ -173,7 +175,8 @@ class EngineArgs:
                     ftype = int
                 elif "Optional[float]" in str(field.type):
                     ftype = float
-                parser.add_argument(name, type=ftype, default=field.default)
+                parser.add_argument(name, type=ftype, default=field.default,
+                                    help=help_)
         return parser
 
     @classmethod
