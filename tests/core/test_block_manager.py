@@ -1,44 +1,55 @@
-"""Block manager unit tests (style follows reference tests/core/test_block_manager.py)."""
+"""Block pool + block-space manager unit tests (no model, no device).
+
+Covers the reference block-manager behaviors (vllm/core/block_manager_v1.py
++ the v2 content-hash allocator): watermark admission, slot appends, CoW
+forks, swap round-trips, LRU prefix reuse, fake allocation, reset.
+"""
 import pytest
 
 from vllm_ltr_tpu.core.block_manager import (AllocStatus, BlockPool,
                                              BlockSpaceManager)
-from vllm_ltr_tpu.sequence import Logprob, SequenceStatus
+from vllm_ltr_tpu.sampling_params import SamplingParams
+from vllm_ltr_tpu.sequence import Logprob, SequenceGroup, SequenceStatus
 
 from .utils import create_dummy_prompt
 
+BS = 4  # block size used throughout
 
-def test_block_pool_acquire():
+
+def make_bm(gpu=4, cpu=4, watermark=0.0, **kw) -> BlockSpaceManager:
+    return BlockSpaceManager(BS, gpu, cpu, watermark=watermark, **kw)
+
+
+def grow(seq, n, start=5):
+    for t in range(start, start + n):
+        seq.append_token_id(t, {t: Logprob(0.0)})
+
+
+# ---------------------------------------------------------------------------
+# BlockPool
+# ---------------------------------------------------------------------------
+
+
+def test_pool_exhaustion_and_uniqueness():
     pool = BlockPool(4)
-
-    num_free = 4
-    assert pool.free_count() == num_free
-    taken = set()
-    for _ in range(4):
-        bid = pool.acquire()
-        num_free -= 1
-        assert bid not in taken
-        taken.add(bid)
-        assert pool.free_count() == num_free
-
+    handed_out = {pool.acquire() for _ in range(4)}
+    assert len(handed_out) == 4
+    assert pool.free_count() == 0
     with pytest.raises(ValueError):
         pool.acquire()
 
 
-def test_block_pool_release():
+def test_pool_release_and_double_free():
     pool = BlockPool(4)
-
-    blocks = [pool.acquire() for _ in range(4)]
-    for bid in blocks:
+    ids = [pool.acquire() for _ in range(4)]
+    for bid in ids:
         pool.release(bid)
-
     assert pool.free_count() == 4
-    # Double free raises.
     with pytest.raises(ValueError):
-        pool.release(blocks[0])
+        pool.release(ids[0])
 
 
-def test_block_pool_content_reuse():
+def test_pool_content_hash_revival_and_lru_eviction():
     """Cached pool: refcount-0 hashed blocks are revivable by hash until
     their slot is reclaimed LRU-first."""
     pool = BlockPool(2, caching=True)
@@ -51,207 +62,146 @@ def test_block_pool_content_reuse():
     pool.release(b)
     # Both resident + evictable: a hash lookup revives without copying.
     assert pool.free_count() == 2
-    a2 = pool.acquire_hashed(111)
-    assert a2 == a
+    assert pool.acquire_hashed(111) == a
     # A fresh (hashless) acquisition reclaims the LRU victim (b).
-    c = pool.acquire()
-    assert c == b
+    assert pool.acquire() == b
     assert pool.find(222) is None
 
 
-def test_allocate():
-    block_size = 4
-    num_cpu_blocks = 4
-    num_gpu_blocks = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_gpu_blocks,
-                                      num_cpu_blocks,
-                                      watermark=0)
-
-    # Allocate same sequence group to all available gpu blocks.
-    for i in range(num_gpu_blocks):
-        _, seq_group = create_dummy_prompt(str(i), block_size)
-        assert block_manager.can_allocate(seq_group) == AllocStatus.OK
-        block_manager.allocate(seq_group)
-    assert block_manager.can_allocate(seq_group) != AllocStatus.OK
+# ---------------------------------------------------------------------------
+# Allocation + watermark
+# ---------------------------------------------------------------------------
 
 
-def test_allocate_watermark():
-    block_size = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_gpu_blocks=4,
-                                      num_cpu_blocks=0,
-                                      watermark=0.5)
-    # 2 watermark blocks: a 3-block prompt must wait, NEVER if over capacity.
-    _, g1 = create_dummy_prompt("1", block_size * 2, block_size=block_size)
-    assert block_manager.can_allocate(g1) == AllocStatus.OK
-    block_manager.allocate(g1)
-    _, g2 = create_dummy_prompt("2", block_size, block_size=block_size)
-    assert block_manager.can_allocate(g2) == AllocStatus.LATER
-    _, g3 = create_dummy_prompt("3", block_size * 3, block_size=block_size)
-    assert block_manager.can_allocate(g3) == AllocStatus.NEVER
+def test_allocate_until_full():
+    bm = make_bm(watermark=0)
+    group = None
+    for i in range(4):  # each 1-block prompt takes one of the 4 gpu blocks
+        _, group = create_dummy_prompt(str(i), BS)
+        assert bm.can_allocate(group) == AllocStatus.OK
+        bm.allocate(group)
+    assert bm.can_allocate(group) != AllocStatus.OK
 
 
-def test_append_slot_single_seq():
-    block_size = 4
-    num_cpu_blocks = 4
-    num_gpu_blocks = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_gpu_blocks,
-                                      num_cpu_blocks,
-                                      watermark=0)
-
-    # Allocate single seq to gpu block.
-    prompt, seq_group = create_dummy_prompt("1", block_size)
-    block_manager.allocate(seq_group)
-
-    # Nothing to append. Sequence has no new logical blocks.
-    assert block_manager.can_append_slots(seq_group)
-    before_blocks = block_manager.get_num_free_gpu_blocks()
-    assert not block_manager.append_slots(prompt)
-    after_blocks = block_manager.get_num_free_gpu_blocks()
-    assert before_blocks == after_blocks
-
-    # Add block_size number of new tokens and append slot.
-    for i in range(block_size):
-        token_id = i + 5
-        prompt.append_token_id(token_id, {token_id: Logprob(0.0)})
-
-    assert block_manager.can_append_slots(seq_group)
-    before_blocks = block_manager.get_num_free_gpu_blocks()
-    assert not block_manager.append_slots(prompt)
-    after_blocks = block_manager.get_num_free_gpu_blocks()
-    assert before_blocks - after_blocks == 1
+def test_watermark_defers_or_rejects():
+    bm = make_bm(gpu=4, cpu=0, watermark=0.5)  # 2 blocks held back
+    _, big = create_dummy_prompt("1", BS * 2, block_size=BS)
+    assert bm.can_allocate(big) == AllocStatus.OK
+    bm.allocate(big)
+    # One block left above the watermark -> a 1-block prompt must wait...
+    _, waiting = create_dummy_prompt("2", BS, block_size=BS)
+    assert bm.can_allocate(waiting) == AllocStatus.LATER
+    # ...and a prompt bigger than the whole pool can never run.
+    _, huge = create_dummy_prompt("3", BS * 3, block_size=BS)
+    assert bm.can_allocate(huge) == AllocStatus.NEVER
 
 
-def test_append_slot_cow():
-    block_size = 4
-    block_manager = BlockSpaceManager(block_size=block_size,
-                                      num_cpu_blocks=4,
-                                      num_gpu_blocks=4,
-                                      watermark=0)
-
-    # Allocate prompt to gpu block. There is one slot left in the block.
-    prompt = create_dummy_prompt("1", block_size - 1,
-                                 block_size=block_size)[0]
-
-    # Fork the sequence: the child shares the parent's physical block.
-    child = prompt.fork(new_seq_id=2)
-    token_id = 4
-    child.append_token_id(token_id, {token_id: Logprob(0.0)})
-    from vllm_ltr_tpu.sampling_params import SamplingParams
-    from vllm_ltr_tpu.sequence import SequenceGroup
-    seq_group = SequenceGroup(request_id="1",
-                              seqs=[prompt, child],
-                              sampling_params=SamplingParams(),
-                              arrival_time=0.0)
-    block_manager.allocate(seq_group)
-
-    # Append a token to the child; the shared block triggers copy-on-write.
-    free_blocks_before = block_manager.get_num_free_gpu_blocks()
-    cows = block_manager.append_slots(child)
-    assert cows
-    for src, dsts in cows.items():
-        assert src != dsts[0]
-    free_blocks_after = block_manager.get_num_free_gpu_blocks()
-    assert free_blocks_before - free_blocks_after == 1
+# ---------------------------------------------------------------------------
+# Decode growth (append_slots) + copy-on-write
+# ---------------------------------------------------------------------------
 
 
-def test_swap():
-    block_size = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_cpu_blocks=4,
-                                      num_gpu_blocks=4,
-                                      watermark=0)
+def test_append_within_block_then_new_block():
+    bm = make_bm(watermark=0)
+    seq, group = create_dummy_prompt("1", BS)
+    bm.allocate(group)
 
-    prompt, seq_group = create_dummy_prompt("1", prompt_length=block_size - 1)
-    prompt.status = SequenceStatus.WAITING
-    block_manager.allocate(seq_group)
+    # No new logical block yet: appending costs nothing.
+    assert bm.can_append_slots(group)
+    free0 = bm.get_num_free_gpu_blocks()
+    assert not bm.append_slots(seq)
+    assert bm.get_num_free_gpu_blocks() == free0
 
-    # Emulate a forward pass by appending a single token.
-    # The block manager then knows how many unprocessed tokens will be written
-    # in the next forward pass.
-    token_id = 0
-    prompt.status = SequenceStatus.RUNNING
-    prompt.append_token_id(token_id, {token_id: Logprob(0.0)})
-
-    # Swap seq group from GPU -> CPU.
-    gpu_blocks = block_manager.get_block_table(prompt)
-    assert block_manager.can_swap_out(seq_group)
-    before_cpu_blocks = block_manager.get_num_free_cpu_blocks()
-    before_gpu_blocks = block_manager.get_num_free_gpu_blocks()
-    mapping = block_manager.swap_out(seq_group)
-    assert list(mapping.keys()) == gpu_blocks
-    after_cpu_blocks = block_manager.get_num_free_cpu_blocks()
-    after_gpu_blocks = block_manager.get_num_free_gpu_blocks()
-    assert before_cpu_blocks == after_cpu_blocks + len(gpu_blocks)
-    assert after_gpu_blocks == before_gpu_blocks + len(gpu_blocks)
-    prompt.status = SequenceStatus.SWAPPED
-
-    # Swap seq group from CPU -> GPU.
-    cpu_blocks = block_manager.get_block_table(prompt)
-    assert block_manager.can_swap_in(seq_group)
-    before_cpu_blocks = block_manager.get_num_free_cpu_blocks()
-    before_gpu_blocks = block_manager.get_num_free_gpu_blocks()
-    mapping = block_manager.swap_in(seq_group)
-    assert list(mapping.keys()) == cpu_blocks
-    after_cpu_blocks = block_manager.get_num_free_cpu_blocks()
-    after_gpu_blocks = block_manager.get_num_free_gpu_blocks()
-    assert after_cpu_blocks == before_cpu_blocks + len(cpu_blocks)
-    assert before_gpu_blocks == after_gpu_blocks + len(cpu_blocks)
+    # A full block of fresh tokens crosses the boundary: exactly one new
+    # physical block is consumed.
+    grow(seq, BS)
+    assert bm.can_append_slots(group)
+    assert not bm.append_slots(seq)
+    assert free0 - bm.get_num_free_gpu_blocks() == 1
 
 
-def test_free():
-    block_size = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_cpu_blocks=4,
-                                      num_gpu_blocks=4,
-                                      watermark=0)
+def test_fork_append_triggers_cow():
+    bm = make_bm(watermark=0)
+    # Parent leaves one slot open in its last block; the fork shares it.
+    parent = create_dummy_prompt("1", BS - 1, block_size=BS)[0]
+    child = parent.fork(new_seq_id=2)
+    grow(child, 1)
+    family = SequenceGroup(request_id="1", seqs=[parent, child],
+                           sampling_params=SamplingParams(),
+                           arrival_time=0.0)
+    bm.allocate(family)
 
-    prompt, seq_group = create_dummy_prompt("1", block_size)
-    block_manager.allocate(seq_group)
+    free0 = bm.get_num_free_gpu_blocks()
+    cow_map = bm.append_slots(child)
+    assert cow_map, "shared last block must copy-on-write"
+    assert all(src != dst[0] for src, dst in cow_map.items())
+    assert free0 - bm.get_num_free_gpu_blocks() == 1
 
-    # Free allocated seq.
-    prompt_blocks = len(block_manager.get_block_table(prompt))
-    before_blocks = block_manager.get_num_free_gpu_blocks()
-    block_manager.free(prompt)
-    after_blocks = block_manager.get_num_free_gpu_blocks()
-    assert after_blocks == before_blocks + prompt_blocks
 
-    # Block table for freed seq is deleted.
+# ---------------------------------------------------------------------------
+# Swap out / swap in
+# ---------------------------------------------------------------------------
+
+
+def test_swap_round_trip_moves_every_block():
+    bm = make_bm(watermark=0)
+    seq, group = create_dummy_prompt("1", prompt_length=BS - 1)
+    seq.status = SequenceStatus.WAITING
+    bm.allocate(group)
+    seq.status = SequenceStatus.RUNNING
+    grow(seq, 1)  # one generated token, so swap has unprocessed state
+
+    device_table = bm.get_block_table(seq)
+    assert bm.can_swap_out(group)
+    free_cpu0, free_gpu0 = (bm.get_num_free_cpu_blocks(),
+                            bm.get_num_free_gpu_blocks())
+    out_map = bm.swap_out(group)
+    assert list(out_map) == device_table
+    assert free_cpu0 - bm.get_num_free_cpu_blocks() == len(device_table)
+    assert bm.get_num_free_gpu_blocks() - free_gpu0 == len(device_table)
+    seq.status = SequenceStatus.SWAPPED
+
+    host_table = bm.get_block_table(seq)
+    assert bm.can_swap_in(group)
+    free_cpu1, free_gpu1 = (bm.get_num_free_cpu_blocks(),
+                            bm.get_num_free_gpu_blocks())
+    in_map = bm.swap_in(group)
+    assert list(in_map) == host_table
+    assert bm.get_num_free_cpu_blocks() - free_cpu1 == len(host_table)
+    assert free_gpu1 - bm.get_num_free_gpu_blocks() == len(host_table)
+
+
+# ---------------------------------------------------------------------------
+# Free / fake-allocate / reset
+# ---------------------------------------------------------------------------
+
+
+def test_free_returns_blocks_and_forgets_table():
+    bm = make_bm(watermark=0)
+    seq, group = create_dummy_prompt("1", BS)
+    bm.allocate(group)
+    owned = len(bm.get_block_table(seq))
+    free0 = bm.get_num_free_gpu_blocks()
+    bm.free(seq)
+    assert bm.get_num_free_gpu_blocks() == free0 + owned
     with pytest.raises(KeyError):
-        block_manager.get_block_table(prompt)
+        bm.get_block_table(seq)
 
 
-def test_fake_allocate():
+def test_fake_allocate_is_blockless():
     """LTR AUX path: fake allocation never touches real blocks."""
-    block_size = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_cpu_blocks=0,
-                                      num_gpu_blocks=0,
-                                      watermark=0)
-    prompt, seq_group = create_dummy_prompt("1", 3 * block_size,
-                                            block_size=block_size)
-    block_manager.fake_allocate(seq_group)
-    table = block_manager.get_fake_block_table_and_delete(prompt)
-    assert table == [-1, -1, -1]
-    assert prompt.seq_id not in block_manager.block_tables
+    bm = make_bm(gpu=0, cpu=0, watermark=0)
+    seq, group = create_dummy_prompt("1", 3 * BS, block_size=BS)
+    bm.fake_allocate(group)
+    assert bm.get_fake_block_table_and_delete(seq) == [-1, -1, -1]
+    assert seq.seq_id not in bm.block_tables
 
 
-def test_reset():
-    block_size = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_cpu_blocks=4,
-                                      num_gpu_blocks=4,
-                                      watermark=0)
-
-    # Allocate same seq group on all available gpu blocks.
-    original_blocks = block_manager.get_num_free_gpu_blocks()
+def test_reset_reclaims_everything():
+    bm = make_bm(watermark=0)
+    capacity = bm.get_num_free_gpu_blocks()
     for i in range(4):
-        _, seq_group = create_dummy_prompt(str(i), block_size)
-        block_manager.allocate(seq_group)
-    assert block_manager.get_num_free_gpu_blocks() == 0
-
-    # Resetting block manager frees all allocated blocks.
-    block_manager.reset()
-    assert block_manager.get_num_free_gpu_blocks() == original_blocks
+        bm.allocate(create_dummy_prompt(str(i), BS)[1])
+    assert bm.get_num_free_gpu_blocks() == 0
+    bm.reset()
+    assert bm.get_num_free_gpu_blocks() == capacity

@@ -1,7 +1,11 @@
-"""Logging for vllm_ltr_tpu.
+"""Logging + opt-in function-call tracing.
 
-Behavioral counterpart of the reference's ``vllm/logger.py`` (env-configurable
-logging plus an opt-in function-call tracer), re-implemented for this codebase.
+Behavioral counterpart of the reference's ``vllm/logger.py``: a
+package-scoped console logger configured from the environment
+(``LTR_TPU_LOG_LEVEL``, ``LTR_TPU_CONFIGURE_LOGGING=0`` to opt out), and a
+``sys.settrace`` call/return tracer (``LTR_TPU_TRACE_FUNCTION=1``,
+reference vllm/logger.py:99-119) that writes one log per pid/thread under
+``LTR_TPU_TRACE_DIR``.
 """
 import datetime
 import logging
@@ -10,95 +14,88 @@ import sys
 import threading
 from functools import lru_cache
 
-_FORMAT = "%(levelname)s %(asctime)s %(filename)s:%(lineno)d] %(message)s"
-_DATE_FORMAT = "%m-%d %H:%M:%S"
-
-_LOG_LEVEL = os.environ.get("LTR_TPU_LOG_LEVEL", "INFO").upper()
-_DISABLE_LOGGING = os.environ.get("LTR_TPU_CONFIGURE_LOGGING", "1") == "0"
+_PACKAGE = "vllm_ltr_tpu"
+_LEVEL = os.environ.get("LTR_TPU_LOG_LEVEL", "INFO").upper()
 
 
-class _NewLineFormatter(logging.Formatter):
-    """Adds logging prefix to newlines to align multi-line messages."""
+class _AlignedFormatter(logging.Formatter):
+    """Continuation lines of a multi-line message get the same prefix as
+    the first line, so block output (tables, tracebacks we emit on
+    purpose) stays visually attached to its log record."""
 
     def format(self, record):
-        msg = super().format(record)
-        if record.message != "":
-            parts = msg.split(record.message)
-            msg = msg.replace("\n", "\r\n" + parts[0])
-        return msg
+        rendered = super().format(record)
+        body = record.getMessage()
+        if "\n" not in body:
+            return rendered
+        head = rendered.split(body, 1)[0]
+        return rendered.replace("\n", "\r\n" + head)
 
 
-_root_logger = logging.getLogger("vllm_ltr_tpu")
-_default_handler = None
+def _console_handler() -> logging.Handler:
+    h = logging.StreamHandler(sys.stdout)
+    h.flush = sys.stdout.flush  # type: ignore[method-assign]
+    h.setLevel(_LEVEL)
+    h.setFormatter(_AlignedFormatter(
+        "%(levelname)s %(asctime)s %(filename)s:%(lineno)d] %(message)s",
+        datefmt="%m-%d %H:%M:%S"))
+    return h
 
 
-def _setup_logger():
-    _root_logger.setLevel(logging.DEBUG)
-    global _default_handler
-    if _default_handler is None:
-        _default_handler = logging.StreamHandler(sys.stdout)
-        _default_handler.flush = sys.stdout.flush  # type: ignore
-        _default_handler.setLevel(_LOG_LEVEL)
-        _root_logger.addHandler(_default_handler)
-    fmt = _NewLineFormatter(_FORMAT, datefmt=_DATE_FORMAT)
-    _default_handler.setFormatter(fmt)
-    _root_logger.propagate = False
-
-
-if not _DISABLE_LOGGING:
-    _setup_logger()
+@lru_cache(maxsize=1)
+def _bootstrap() -> logging.Handler:
+    root = logging.getLogger(_PACKAGE)
+    root.setLevel(logging.DEBUG)
+    root.propagate = False
+    handler = _console_handler()
+    root.addHandler(handler)
+    return handler
 
 
 def init_logger(name: str) -> logging.Logger:
-    logger = logging.getLogger(name)
-    logger.setLevel(_LOG_LEVEL)
-    if _default_handler is not None and not logger.handlers:
-        logger.addHandler(_default_handler)
-    logger.propagate = False
-    return logger
+    """Module logger wired to the package console handler."""
+    log = logging.getLogger(name)
+    if os.environ.get("LTR_TPU_CONFIGURE_LOGGING", "1") != "0":
+        handler = _bootstrap()
+        log.setLevel(_LEVEL)
+        if not log.handlers:
+            log.addHandler(handler)
+        log.propagate = False
+    return log
 
 
 # ---------------------------------------------------------------------------
-# Function-call tracing (analogue of VLLM_TRACE_FUNCTION, reference
-# vllm/logger.py:99-119). Enabled with LTR_TPU_TRACE_FUNCTION=1.
+# Function-call tracing (LTR_TPU_TRACE_FUNCTION=1)
 # ---------------------------------------------------------------------------
 
 _TRACE_DIR = os.environ.get(
     "LTR_TPU_TRACE_DIR",
     os.path.join(
-        os.environ.get("TMPDIR", "/tmp"),
-        "ltr_tpu",
-        datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S"),
-    ),
-)
+        os.environ.get("TMPDIR", "/tmp"), "ltr_tpu",
+        datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")))
 
 
 @lru_cache(maxsize=None)
-def _trace_file_for_thread() -> str:
+def _trace_sink() -> str:
     os.makedirs(_TRACE_DIR, exist_ok=True)
     return os.path.join(
         _TRACE_DIR,
-        f"trace_pid-{os.getpid()}_thread-{threading.get_ident()}.log",
-    )
+        f"trace_pid-{os.getpid()}_thread-{threading.get_ident()}.log")
 
 
 def _trace_calls(frame, event, arg=None):
-    if event not in ("call", "return"):
-        return _trace_calls
-    try:
-        code = frame.f_code
-        last = frame.f_back
-        where = ""
-        if last is not None:
-            where = f" <- {last.f_code.co_filename}:{last.f_lineno}"
-        with open(_trace_file_for_thread(), "a") as f:
-            ts = datetime.datetime.now().strftime("%H:%M:%S.%f")
-            f.write(
-                f"{ts} {event} {code.co_name} "
-                f"{code.co_filename}:{frame.f_lineno}{where}\n")
-    except NameError:
-        # Interpreter shutting down.
-        pass
+    if event in ("call", "return"):
+        try:
+            code = frame.f_code
+            caller = frame.f_back
+            origin = (f" <- {caller.f_code.co_filename}:{caller.f_lineno}"
+                      if caller is not None else "")
+            stamp = datetime.datetime.now().strftime("%H:%M:%S.%f")
+            with open(_trace_sink(), "a") as sink:
+                sink.write(f"{stamp} {event} {code.co_name} "
+                           f"{code.co_filename}:{frame.f_lineno}{origin}\n")
+        except NameError:
+            pass  # interpreter shutdown
     return _trace_calls
 
 
