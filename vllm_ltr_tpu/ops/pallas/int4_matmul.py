@@ -46,6 +46,13 @@ PLANES = 8
 # Per-grid-cell tile caps: acc f32[TM, 8, TN8] stays <= 2 MiB.
 MAX_TM = 256
 MAX_TN8 = 256
+# Prefill (dequant-tile) kernel caps: tall/narrow tiles amortize the
+# per-tile weight dequant over more activation rows.  v5e sweep at
+# 7B-MLP shapes (docs/BENCHMARKS.md): (512, 128) reaches bf16 parity at
+# M=512 (221us vs 218us) and 0.79x at M=2048; (256, 256) trails at
+# 0.68-0.73x; (1024, 128) exceeds VMEM.
+PREFILL_TM = 512
+PREFILL_TN8 = 128
 
 
 def plane_major_shapes(K: int, N: int, group_size: int):
@@ -115,6 +122,42 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _int4_dequant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
+                                *, group_size: int, n_k_tiles: int):
+    """Prefill-regime variant: dequantize the weight tile to the activation
+    dtype once per (m, n, k) cell and run ONE [TM, TK] x [TK, TN8] matmul
+    per plane, instead of the factored raw-nibble form's 64 group-sliced
+    matmuls + rank-1 corrections.  At large M the MXU passes dominate and
+    the per-group ALU of the factored form is what made INT4 prefill
+    0.26-0.34x of bf16 (docs/BENCHMARKS.md round-2 table); here the
+    dequant cost is 2 VPU ops per weight element, amortized over all TM
+    activation rows."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[...]  # [TK, TN8] int32
+    x = x_ref[...]  # [TM, TK]
+    tn8 = words.shape[1]
+    for j in range(PLANES):
+        qj = (jax.lax.shift_right_logical(words, 4 * j)
+              & 0xF).astype(jnp.float32)
+        # Per-group scale/zero: group g covers rows [g*G, (g+1)*G).
+        qg = qj.reshape(PLANES, group_size, tn8)
+        s = s_ref[:, j, :][:, None, :]  # [8, 1, TN8]
+        z = z_ref[:, j, :][:, None, :]
+        wj = ((qg - z) * s).reshape(words.shape).astype(x.dtype)
+        acc_ref[:, j, :] += jax.lax.dot_general(
+            x, wj, (((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k_tiles - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "logical_n", "interpret"))
 def int4_matmul_plane_major(
@@ -133,11 +176,12 @@ def int4_matmul_plane_major(
     TK = PLANES * group_size
     n_k_tiles = Kp // TK
 
-    TM = min(max(round_up(M, 8), 8), MAX_TM)
+    prefill = M > 64  # dequant-tile kernel regime
+    TM = min(max(round_up(M, 8), 8), PREFILL_TM if prefill else MAX_TM)
     Mp = round_up(max(M, 1), TM)
     # Small-M (decode) tiles afford wider N tiles: fewer grid cells, better
-    # DMA pipelining, same VMEM budget.
-    tn_cap = MAX_TN8 if TM > 64 else 2 * MAX_TN8
+    # DMA pipelining, same VMEM budget.  Prefill uses tall/narrow tiles.
+    tn_cap = PREFILL_TN8 if prefill else 2 * MAX_TN8
     TN8 = min(N8p, tn_cap)
     n_m_tiles = Mp // TM
     n_n_tiles = cdiv(N8p, TN8)
@@ -151,8 +195,13 @@ def int4_matmul_plane_major(
                          constant_values=1.0)
         zeros = jnp.pad(zeros, ((0, 0), (0, 0), (0, N8pp - N8p)))
 
+    # Decode (small M, memory-bound): factored raw-nibble kernel — no
+    # dequantized tile is ever materialized.  Prefill (large M, MXU-bound):
+    # dequant-tile kernel — 8 large matmuls per cell.
+    kernel_fn = (_int4_dequant_matmul_kernel if prefill else
+                 _int4_matmul_kernel)
     out = pl.pallas_call(
-        functools.partial(_int4_matmul_kernel,
+        functools.partial(kernel_fn,
                           group_size=group_size,
                           n_k_tiles=n_k_tiles),
         grid=(n_m_tiles, n_n_tiles, n_k_tiles),
