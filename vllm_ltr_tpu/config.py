@@ -556,6 +556,7 @@ class SchedulerConfig:
         enable_starvation_prevent: bool = False,
         fake_allocate: bool = False,
         decode_steps_per_dispatch: int = 1,
+        precompile_shapes: bool = False,
     ) -> None:
         if max_num_batched_tokens is None:
             # Chunked prefill decouples the token budget from max_model_len;
@@ -572,6 +573,10 @@ class SchedulerConfig:
         self.enable_starvation_prevent = enable_starvation_prevent
         self.fake_allocate = fake_allocate
         self.decode_steps_per_dispatch = decode_steps_per_dispatch
+        # Walk the jit shape ladder at init (serving: pay all compiles up
+        # front; LTR_TPU_PRECOMPILE=1 forces it on).
+        self.precompile_shapes = (precompile_shapes or os.environ.get(
+            "LTR_TPU_PRECOMPILE", "0") == "1")
         if isinstance(schedule_type, ScheduleSpec):
             self.schedule_spec = schedule_type
         else:

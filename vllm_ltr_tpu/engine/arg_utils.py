@@ -87,6 +87,9 @@ class EngineArgs:
     num_speculative_tokens: int = _flag(0, "draft tokens proposed per step")
     decode_steps_per_dispatch: int = _flag(
         1, "fused multi-step decode depth K (executor/multi_step.py)")
+    precompile_shapes: bool = _flag(
+        False, "compile every step-shape bucket at startup so no request "
+        "ever waits on a jit compile (recommended for servers)")
 
     def create_engine_config(self) -> EngineConfig:
         mcfg = ModelConfig(
@@ -138,7 +141,8 @@ class EngineArgs:
             schedule_type=self.schedule_type,
             enable_starvation_prevent=self.enable_starvation_prevent,
             fake_allocate=self.fake_allocate,
-            decode_steps_per_dispatch=self.decode_steps_per_dispatch)
+            decode_steps_per_dispatch=self.decode_steps_per_dispatch,
+            precompile_shapes=self.precompile_shapes)
 
         speccfg = None
         if self.speculative_model is not None:

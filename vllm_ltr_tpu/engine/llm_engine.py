@@ -72,6 +72,23 @@ class LLMEngine:
         self.model_executor = executor or TPUExecutor(cfg)
         self._provision_kv_cache()
 
+        from vllm_ltr_tpu.usage.usage_lib import report_usage
+        report_usage(
+            (self.model_config.architectures or ["unknown"])[0],
+            usage_context="LLM_ENGINE",
+            extra_kvs={
+                "dtype": self.model_config.dtype,
+                "kv_cache_dtype": self.cache_config.cache_dtype,
+                "tensor_parallel_size":
+                    self.parallel_config.tensor_parallel_size,
+                "block_size": self.cache_config.block_size,
+                "quantization": self.model_config.quantization,
+                "schedule_type": self.scheduler_config.schedule_type,
+                "max_num_seqs": self.scheduler_config.max_num_seqs,
+                "enable_chunked_prefill":
+                    self.scheduler_config.chunked_prefill_enabled,
+            })
+
         # Scheduler: MLFQ or the generalized/stock Scheduler.
         spec = self.scheduler_config.schedule_spec
         if spec.is_mlfq:
@@ -122,6 +139,8 @@ class LLMEngine:
         self.model_executor.initialize_cache(n_device, n_host)
         logger.info("# device blocks: %d, # host swap blocks: %d",
                     n_device, n_host)
+        if self.scheduler_config.precompile_shapes:
+            self.model_executor.precompile_shapes()
 
     @classmethod
     def from_engine_args(cls, engine_args, **kwargs) -> "LLMEngine":

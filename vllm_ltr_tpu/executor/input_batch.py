@@ -168,10 +168,10 @@ def prepare_batch(
     align = 1 if decode_only else max(prefill_tile, 1)
     out_start_np, num_padded_tokens = dest_offsets(align)
 
-    S = pad_to_bucket(max(num_real_seqs, 1), seq_buckets)
     if decode_only:
         # Decode-only steps keep token row i == sequence row i so the
         # streaming decode kernel can treat q as [S, ...].
+        S = pad_to_bucket(max(num_real_seqs, 1), seq_buckets)
         T = S
     else:
         if align > 1 and num_padded_tokens > token_buckets[-1]:
@@ -192,6 +192,13 @@ def prepare_batch(
                 if T % align:  # non-power-of-two bucket tail
                     align = 1
                     out_start_np, num_padded_tokens = dest_offsets(align)
+        # Pin the prefill seq dim to ONE value per token bucket (a prompt
+        # has >= 1 token, so T always covers the rows): the jit shape space
+        # collapses from |token_buckets| x |seq_buckets| to |token_buckets|,
+        # which kills the online compile storm (each fresh shape costs
+        # 20-140 s through the remote-compile relay). The cost is sampler/
+        # logits padding up to max_num_seqs rows — noise next to a prefill.
+        S = min(seq_buckets[-1], T)
     prefill_aligned = (not decode_only) and align > 1
     assert num_padded_tokens <= T and num_real_seqs <= S, (
         f"batch exceeds buckets: {num_padded_tokens}>{T} or "

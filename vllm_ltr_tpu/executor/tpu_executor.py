@@ -222,6 +222,7 @@ class TPUExecutor:
         self.kv_cache: Optional[jax.Array] = None
         self.swap_space: Optional[HostSwapSpace] = None
         self._rng = jax.random.PRNGKey(model_config.seed)
+        self._last_health_probe = 0.0
 
         # Embedded mid-layer predictor (reference predictor.py + the
         # --predictor-model-config graft, model_loader/loader.py:234-241).
@@ -407,6 +408,97 @@ class TPUExecutor:
         ray_gpu_executor.py:384-400). The dense scorer needs none."""
         self.config.cache_config.num_gpu_blocks = 0
         self.config.cache_config.num_cpu_blocks = 0
+
+    # ------------------------------------------------------------------
+    # Shape warmup
+    # ------------------------------------------------------------------
+
+    def precompile_shapes(self) -> None:
+        """Walk the step function's jit shape ladder once with dummy
+        batches, so serving never compiles in a request's critical path.
+
+        Counterpart of the reference's CUDA-graph capture warmup
+        (model_runner.py capture_model :974, one graph per batch size).
+        Here a shape is (token bucket) for prefill — the seq dim is pinned
+        per bucket by prepare_batch — plus (seq bucket) for decode.  Each
+        fresh shape costs 20-140 s through the remote-compile relay, so
+        serving without warmup pays that inside the first unlucky request
+        (measured: 15 cold prefill shapes = 510 s of a 535 s online run).
+        The dummy writes land in low-numbered KV blocks before any request
+        exists; real allocations overwrite them.
+        """
+        from vllm_ltr_tpu.sampling_params import SamplingParams
+        from vllm_ltr_tpu.sequence import (Logprob, Sequence,
+                                           SequenceGroupMetadata)
+        assert self.kv_cache is not None, "initialize_cache first"
+        t0 = time.time()
+        n_shapes = 0
+        greedy = SamplingParams(temperature=0.0, max_tokens=1,
+                                ignore_eos=True)
+        n_blocks = self.config.cache_config.num_gpu_blocks or 1
+        max_len = min(self.config.model_config.max_model_len,
+                      self.max_blocks_per_seq * self.block_size)
+        tile = max(self.prefill_tile, 1)
+        max_seqs = self.seq_buckets[-1]
+
+        def meta_for_prompt(rid: int, length: int, first_block: int):
+            seq = Sequence(rid, None, [1] * length, self.block_size)
+            blocks = [(first_block + i) % n_blocks
+                      for i in range(seq.num_blocks())]
+            return SequenceGroupMetadata(
+                request_id=f"warmup-{rid}", is_prompt=True,
+                seq_data={rid: seq}, sampling_params=greedy,
+                block_tables={rid: blocks}), first_block + len(blocks)
+
+        # Prefill: one dummy batch per reachable token bucket (padded
+        # batches are always tile-aligned, so buckets below one tile and
+        # non-tile-multiples never occur).
+        reachable = sorted({
+            b for b in self.token_buckets if b >= tile and b % tile == 0})
+        for bucket in reachable:
+            row_len = min(max_len, bucket)
+            row_len -= row_len % tile
+            if row_len <= 0:  # tiny max_model_len test configs
+                row_len = min(max_len, bucket)
+            lens = [row_len] * (bucket // row_len)
+            if sum(lens) < bucket:
+                lens.append(bucket - sum(lens))
+            if len(lens) > max_seqs:
+                continue  # bucket unreachable under max_num_seqs
+            metas, nb = [], 0
+            for i, ln in enumerate(lens):
+                m, nb = meta_for_prompt(i, ln, nb)
+                metas.append(m)
+            n_shapes += self._warm_one(metas)
+
+        # Decode: one dummy batch per seq bucket (takes the fused
+        # multi-step path when enabled, the single-step path otherwise).
+        for bucket in self.seq_buckets:
+            metas = []
+            for i in range(bucket):
+                seq = Sequence(i, None, [1] * (self.block_size - 1),
+                               self.block_size)
+                seq.update_num_computed_tokens(self.block_size - 1)
+                seq.append_token_id(1, {1: Logprob(0.0)})
+                metas.append(
+                    SequenceGroupMetadata(
+                        request_id=f"warmup-d{i}", is_prompt=False,
+                        seq_data={i: seq}, sampling_params=greedy,
+                        block_tables={i: [i % n_blocks]}))
+            n_shapes += self._warm_one(metas)
+        logger.info("Precompiled %d step shapes in %.1fs", n_shapes,
+                    time.time() - t0)
+
+    def _warm_one(self, metas) -> int:
+        """Best-effort: a failed warmup shape just compiles lazily later
+        (remote-compile relays can drop a connection mid-startup)."""
+        try:
+            self.execute_model(metas, {}, {}, {})
+            return 1
+        except Exception as e:  # noqa: BLE001 - warmup must never be fatal
+            logger.warning("Shape warmup failed (%s rows): %s", len(metas),
+                           str(e)[:200])
+            return 0
 
     # ------------------------------------------------------------------
     # The jitted step
@@ -1342,5 +1434,21 @@ class TPUExecutor:
     # ------------------------------------------------------------------
 
     def check_health(self) -> None:
+        """Liveness: the device must still be attached AND able to run a
+        program (a wedged runtime enumerates fine but never completes).
+        Counterpart of the reference's Ray actor liveness poll
+        (ray_gpu_executor.py:628-643), strengthened with an execution
+        probe; throttled so per-request /health polls stay cheap."""
         if not jax.devices():
             raise RuntimeError("No devices available")
+        now = time.time()
+        if now - self._last_health_probe < 10.0:
+            return
+        self._last_health_probe = now
+        try:
+            probe = jax.jit(lambda v: v + 1)(
+                jnp.zeros((8, ), jnp.int32))
+            if int(np.asarray(probe)[0]) != 1:
+                raise RuntimeError("device probe returned wrong result")
+        except Exception as e:
+            raise RuntimeError(f"device execution probe failed: {e}") from e
