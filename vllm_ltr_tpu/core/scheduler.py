@@ -53,11 +53,25 @@ class SchedulingBudget:
     twice is a no-op and a charge can be refunded exactly once.
     """
 
-    def __init__(self, token_budget: int, max_num_seqs: int) -> None:
+    def __init__(self, token_budget: int, max_num_seqs: int,
+                 prefill_align: int = 1) -> None:
         self.token_budget = token_budget
         self.max_num_seqs = max_num_seqs
+        # Prefill chunks are charged rounded up to this many tokens: the
+        # executor tile-aligns each prefill row in the flat token layout
+        # (input_batch.py dest_offsets), so the PADDED step size is what
+        # must stay inside the largest compiled bucket — otherwise a step
+        # overflows into an unwarmed coarse jit shape and pays a compile
+        # in the serving critical path.
+        self.prefill_align = max(prefill_align, 1)
         self._token_charges: Dict[str, int] = {}
         self._seat_charges: Dict[str, int] = {}
+
+    def charge_for(self, tokens: int, prefill: bool) -> int:
+        if not prefill or self.prefill_align == 1:
+            return tokens
+        a = self.prefill_align
+        return -(-tokens // a) * a
 
     @property
     def num_batched_tokens(self) -> int:
@@ -70,13 +84,17 @@ class SchedulingBudget:
     def remaining_token_budget(self) -> int:
         return self.token_budget - self.num_batched_tokens
 
-    def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int) -> bool:
+    def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int,
+                     prefill: bool = False) -> bool:
         assert num_new_tokens > 0 and num_new_seqs > 0
-        return (self.num_batched_tokens + num_new_tokens <= self.token_budget
+        cost = self.charge_for(num_new_tokens, prefill)
+        return (self.num_batched_tokens + cost <= self.token_budget
                 and self.num_curr_seqs + num_new_seqs <= self.max_num_seqs)
 
-    def add_num_batched_tokens(self, req_id: str, tokens: int) -> None:
-        self._token_charges.setdefault(req_id, tokens)
+    def add_num_batched_tokens(self, req_id: str, tokens: int,
+                               prefill: bool = False) -> None:
+        self._token_charges.setdefault(req_id,
+                                       self.charge_for(tokens, prefill))
 
     def subtract_num_batched_tokens(self, req_id: str, tokens: int) -> None:
         self._token_charges.pop(req_id, None)
@@ -156,11 +174,24 @@ class Scheduler:
         self.cache_config = cache_config
         self.lora_config = lora_config
 
+        # Executor prefill tile (set on the config by the engine once the
+        # executor exists): prefill token charges round up to this, so the
+        # PADDED step never overflows the largest compiled bucket.
+        self.token_align = max(
+            getattr(scheduler_config, "prefill_token_align", 1) or 1, 1)
+        if self.token_align > scheduler_config.max_num_batched_tokens:
+            # Tiny test budgets below one tile: aligned charging would
+            # admit nothing; fall back to exact charging (the executor's
+            # coarse-shape overflow path covers the padding).
+            self.token_align = 1
+
         if scheduler_config.chunked_prefill_enabled:
             self.prompt_limit = scheduler_config.max_model_len
         else:
-            self.prompt_limit = min(scheduler_config.max_model_len,
-                                    scheduler_config.max_num_batched_tokens)
+            # A full prompt must fit the budget AFTER tile alignment.
+            usable = (scheduler_config.max_num_batched_tokens //
+                      self.token_align * self.token_align)
+            self.prompt_limit = min(scheduler_config.max_model_len, usable)
 
         self.spec: ScheduleSpec = scheduler_config.schedule_spec
         assert not self.spec.is_mlfq, (
@@ -246,7 +277,13 @@ class Scheduler:
         seqs = group.get_seqs(status=status)
         total = sum(s.get_num_new_tokens() for s in seqs)
         if chunking and len(seqs) == 1:
-            total = min(total, budget.remaining_token_budget())
+            allowed = budget.remaining_token_budget()
+            if group.is_prefill() and budget.prefill_align > 1:
+                # The chunk is charged tile-aligned; only hand out whole
+                # tiles so the charge fits what remains.
+                allowed = (allowed // budget.prefill_align *
+                           budget.prefill_align)
+            total = min(total, allowed)
         return total
 
     def _admit(self, plan: StepPlan, budget: SchedulingBudget,
@@ -290,14 +327,16 @@ class Scheduler:
 
             seats = group.get_max_num_running_seqs()
             if chunk == 0 or not budget.can_schedule(num_new_tokens=chunk,
-                                                     num_new_seqs=seats):
+                                                     num_new_seqs=seats,
+                                                     prefill=True):
                 break
 
             self._start_running(group)
             plan.new_prefills.append(
                 ScheduledSequenceGroup(seq_group=group,
                                        token_chunk_size=chunk))
-            budget.add_num_batched_tokens(group.request_id, chunk)
+            budget.add_num_batched_tokens(group.request_id, chunk,
+                                          prefill=True)
             budget.add_num_seqs(group.request_id, seats)
             admitted.append(group)
 
@@ -341,7 +380,8 @@ class Scheduler:
                 token_chunk_size=chunk if group.is_prefill() else 1)
             (plan.ongoing_prefills
              if group.is_prefill() else plan.decodes).append(entry)
-            budget.add_num_batched_tokens(group.request_id, chunk)
+            budget.add_num_batched_tokens(group.request_id, chunk,
+                                          prefill=group.is_prefill())
             budget.add_num_seqs(group.request_id,
                                 group.get_max_num_running_seqs())
             survivors.append(group)
@@ -361,17 +401,19 @@ class Scheduler:
             seats = group.get_max_num_running_seqs()
             chunk = self._chunk_for(group, SequenceStatus.SWAPPED, chunking,
                                     budget)
-            if chunk == 0 or not budget.can_schedule(num_new_tokens=chunk,
-                                                     num_new_seqs=seats):
-                break
             was_prefill = group.is_prefill()
+            if chunk == 0 or not budget.can_schedule(num_new_tokens=chunk,
+                                                     num_new_seqs=seats,
+                                                     prefill=was_prefill):
+                break
             self._swap_in(group, plan.h2d)
             self._grow_tables(group, plan.dup)
             entry = ScheduledSequenceGroup(
                 seq_group=group, token_chunk_size=chunk if was_prefill else 1)
             (plan.ongoing_prefills if was_prefill else plan.decodes).append(
                 entry)
-            budget.add_num_batched_tokens(group.request_id, chunk)
+            budget.add_num_batched_tokens(group.request_id, chunk,
+                                          prefill=was_prefill)
             budget.add_num_seqs(group.request_id, seats)
             revived.append(group)
         for group in revived:
@@ -388,7 +430,8 @@ class Scheduler:
         plan = StepPlan()
         budget = SchedulingBudget(
             token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs)
+            max_num_seqs=self.scheduler_config.max_num_seqs,
+            prefill_align=self.token_align)
         # Seats of already-running requests count against prefill admission.
         for group in self.running:
             budget.add_num_seqs(group.request_id,
@@ -421,7 +464,8 @@ class Scheduler:
         plan = StepPlan()
         budget = SchedulingBudget(
             token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs)
+            max_num_seqs=self.scheduler_config.max_num_seqs,
+            prefill_align=self.token_align)
 
         self.running = self._grow(plan, budget, chunking=True)
         if plan.evictions() == 0:
@@ -519,7 +563,8 @@ class Scheduler:
 
         budget = SchedulingBudget(
             token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs)
+            max_num_seqs=self.scheduler_config.max_num_seqs,
+            prefill_align=self.token_align)
 
         # -- 2. pack from the top of the ranking -------------------------
         picked: List[_Pick] = []
@@ -543,10 +588,12 @@ class Scheduler:
                                         budget)
                 blocks = seq.num_blocks()
             seats = group.get_max_num_running_seqs()
-            if chunk == 0 or not budget.can_schedule(num_new_tokens=chunk,
-                                                     num_new_seqs=seats):
+            if chunk == 0 or not budget.can_schedule(
+                    num_new_tokens=chunk, num_new_seqs=seats,
+                    prefill=group.is_prefill()):
                 break
-            budget.add_num_batched_tokens(group.request_id, chunk)
+            budget.add_num_batched_tokens(group.request_id, chunk,
+                                          prefill=group.is_prefill())
             budget.add_num_seqs(group.request_id, seats)
             picked.append(_Pick(group, lane, chunk, seats))
             demand += blocks
@@ -558,7 +605,8 @@ class Scheduler:
         plan = StepPlan()
         final_budget = SchedulingBudget(
             token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs)
+            max_num_seqs=self.scheduler_config.max_num_seqs,
+            prefill_align=self.token_align)
         executing = self._reserve_free_blocks(demand, picked, spill, plan,
                                               final_budget)
 
@@ -658,8 +706,9 @@ class Scheduler:
         for pick in executing:
             if pick.group.get_seqs(status=SequenceStatus.SWAPPED):
                 self._swap_in(pick.group, plan.h2d)
-            final_budget.add_num_batched_tokens(pick.group.request_id,
-                                                pick.chunk)
+            final_budget.add_num_batched_tokens(
+                pick.group.request_id, pick.chunk,
+                prefill=pick.group.is_prefill())
             final_budget.add_num_seqs(pick.group.request_id, pick.seats)
 
         # Proactive swap-in with leftover headroom (only when nothing was
@@ -675,15 +724,17 @@ class Scheduler:
                         group.num_seqs(status=SequenceStatus.SWAPPED))
                 if (self.block_manager.can_swap_in(group)
                         and shortfall + need < 0 and chunk > 0
-                        and final_budget.can_schedule(num_new_tokens=chunk,
-                                                      num_new_seqs=seats)):
+                        and final_budget.can_schedule(
+                            num_new_tokens=chunk, num_new_seqs=seats,
+                            prefill=group.is_prefill())):
                     chunk = sum(
                         s.get_num_new_tokens()
                         for s in group.get_seqs(
                             status=SequenceStatus.SWAPPED))
                     self._swap_in(group, plan.h2d)
                     final_budget.add_num_batched_tokens(
-                        group.request_id, chunk)
+                        group.request_id, chunk,
+                        prefill=group.is_prefill())
                     final_budget.add_num_seqs(group.request_id, seats)
                     executing.append(_Pick(group, "swapped", chunk, seats))
                     shortfall += need

@@ -89,6 +89,12 @@ class LLMEngine:
                     self.scheduler_config.chunked_prefill_enabled,
             })
 
+        # The executor tile-aligns prefill rows; teach the scheduler's
+        # token budget the same alignment so padded steps never overflow
+        # the largest compiled bucket (a fresh jit shape mid-request).
+        self.scheduler_config.prefill_token_align = getattr(
+            self.model_executor, "prefill_tile", 1)
+
         # Scheduler: MLFQ or the generalized/stock Scheduler.
         spec = self.scheduler_config.schedule_spec
         if spec.is_mlfq:

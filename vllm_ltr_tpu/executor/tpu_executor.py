@@ -223,6 +223,7 @@ class TPUExecutor:
         self.swap_space: Optional[HostSwapSpace] = None
         self._rng = jax.random.PRNGKey(model_config.seed)
         self._last_health_probe = 0.0
+        self._seen_shapes: set = set()
 
         # Embedded mid-layer predictor (reference predictor.py + the
         # --predictor-model-config graft, model_loader/loader.py:234-241).
@@ -711,6 +712,13 @@ class TPUExecutor:
                 stats["prefill_tokens"] += batch.num_real_tokens
             dispatch = self._execute_single_dispatch
         stats[kind + "_dispatches"] += 1
+
+        shape = (kind, len(batch.tokens), batch.block_tables.shape[0])
+        if shape not in self._seen_shapes:
+            # First dispatch of a shape compiles (20-140 s through a
+            # remote-compile relay) — make every occurrence visible.
+            self._seen_shapes.add(shape)
+            logger.info("New step shape %s: T=%d S=%d (compiling)", *shape)
 
         t0 = time.perf_counter()
         finish = dispatch(seq_group_metadata_list, batch)
