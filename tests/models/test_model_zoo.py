@@ -48,6 +48,9 @@ CASES = [
      "vllm_ltr_tpu.models.commandr", "CohereForCausalLM"),
     ("test-dbrx-tiny", "DbrxForCausalLM",
      "vllm_ltr_tpu.models.dbrx", "DbrxForCausalLM"),
+    # InternLM v1 / Aquila / Smaug: llama arch with attention biases.
+    ("test-llama-bias-tiny", "LlamaForCausalLM",
+     "vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
 ]
 
 
@@ -107,6 +110,9 @@ def test_registry_resolves_all():
     for _, arch, module, our_cls_name in CASES:
         cls = resolve_model_cls([arch])
         assert cls.__name__ == our_cls_name
+    # Llama-compatible aliases (reference models/__init__.py:13-14,31).
+    for alias in ("InternLMForCausalLM", "AquilaForCausalLM", "AquilaModel"):
+        assert resolve_model_cls([alias]).__name__ == "LlamaForCausalLM"
 
 
 def test_moe_capacity_drop_is_bounded():

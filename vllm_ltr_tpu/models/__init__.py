@@ -17,6 +17,13 @@ _MODEL_REGISTRY: Dict[str, tuple] = {
     "LlamaForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
     "LLaMAForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
     "MistralForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
+    # Llama-compatible archs (reference models/__init__.py:13-14,31):
+    # Aquila is plain llama; InternLM v1 is llama with attention biases
+    # (bias=True on the config, handled by llama.init_params).
+    "AquilaModel": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
+    "AquilaForCausalLM": ("vllm_ltr_tpu.models.llama", "LlamaForCausalLM"),
+    "InternLMForCausalLM": ("vllm_ltr_tpu.models.llama",
+                            "LlamaForCausalLM"),
     "Qwen2ForCausalLM": ("vllm_ltr_tpu.models.qwen2", "Qwen2ForCausalLM"),
     "GPT2LMHeadModel": ("vllm_ltr_tpu.models.gpt2", "GPT2LMHeadModel"),
     "GemmaForCausalLM": ("vllm_ltr_tpu.models.gemma", "GemmaForCausalLM"),

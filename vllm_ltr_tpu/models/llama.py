@@ -42,9 +42,15 @@ class LlamaForCausalLM:
         D = H // QH
         keys = jax.random.split(rng, L + 3)
 
+        # InternLM v1 / Aquila / Smaug run through this module with
+        # attention biases enabled (reference llama.py:186-199 reads
+        # attention_bias/bias off the config the same way).
+        attn_bias = bool(getattr(cfg, "attention_bias", False)
+                         or getattr(cfg, "bias", False))
+
         def layer_params(key):
             ks = jax.random.split(key, 7)
-            return {
+            p = {
                 "q_w": normal_init(ks[0], (H, QH * D), dtype),
                 "k_w": normal_init(ks[1], (H, KH * D), dtype),
                 "v_w": normal_init(ks[2], (H, KH * D), dtype),
@@ -55,6 +61,12 @@ class LlamaForCausalLM:
                 "input_ln": jnp.ones((H, ), dtype),
                 "post_ln": jnp.ones((H, ), dtype),
             }
+            if attn_bias:
+                p["q_b"] = jnp.zeros((QH * D, ), dtype)
+                p["k_b"] = jnp.zeros((KH * D, ), dtype)
+                p["v_b"] = jnp.zeros((KH * D, ), dtype)
+                p["o_b"] = jnp.zeros((H, ), dtype)
+            return p
 
         params = {
             "embed_tokens": normal_init(keys[0], (V, H), dtype),
@@ -85,7 +97,7 @@ class LlamaForCausalLM:
         layers = []
         for i in range(L):
             p = f"layers.{i}."
-            layers.append({
+            lp = {
                 "q_w": t2j(pop(p + "self_attn.q_proj.weight"), dtype).T,
                 "k_w": t2j(pop(p + "self_attn.k_proj.weight"), dtype).T,
                 "v_w": t2j(pop(p + "self_attn.v_proj.weight"), dtype).T,
@@ -96,7 +108,15 @@ class LlamaForCausalLM:
                 "input_ln": t2j(pop(p + "input_layernorm.weight"), dtype),
                 "post_ln":
                 t2j(pop(p + "post_attention_layernorm.weight"), dtype),
-            })
+            }
+            for short, full in (("q_b", "q_proj"), ("k_b", "k_proj"),
+                                ("v_b", "v_proj"), ("o_b", "o_proj")):
+                name = p + f"self_attn.{full}.bias"
+                for prefix in ("model.", ""):
+                    if prefix + name in sd:
+                        lp[short] = t2j(sd.pop(prefix + name), dtype)
+                        break
+            layers.append(lp)
         params["layers"] = stack_layers(layers)
         return params
 
@@ -185,13 +205,13 @@ class LlamaForCausalLM:
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
-            q = (linear(x, lp["q_w"]) +
+            q = (linear(x, lp["q_w"]) + lp.get("q_b", 0) +
                  _lora(lp, "q", x, lora_scalings, lora_slots)).reshape(
                      T, QH, D)
-            k = (linear(x, lp["k_w"]) +
+            k = (linear(x, lp["k_w"]) + lp.get("k_b", 0) +
                  _lora(lp, "k", x, lora_scalings, lora_slots)).reshape(
                      T, KH, D)
-            v = (linear(x, lp["v_w"]) +
+            v = (linear(x, lp["v_w"]) + lp.get("v_b", 0) +
                  _lora(lp, "v", x, lora_scalings, lora_slots)).reshape(
                      T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
@@ -202,8 +222,8 @@ class LlamaForCausalLM:
                                     sliding_window=sliding_window,
                                     kv_scale=kv_scale)
             attn2 = attn.reshape(T, QH * D)
-            h = residual + linear(attn2, lp["o_w"]) + _lora(
-                lp, "o", attn2, lora_scalings, lora_slots)
+            h = (residual + linear(attn2, lp["o_w"]) + lp.get("o_b", 0) +
+                 _lora(lp, "o", attn2, lora_scalings, lora_slots))
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
