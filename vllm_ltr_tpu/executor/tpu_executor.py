@@ -127,6 +127,14 @@ def _enable_compilation_cache() -> None:
     setting = os.environ.get("LTR_TPU_COMPILE_CACHE", "1")
     if setting == "0":
         return
+    try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT executables embed host ISA features; a cache shared
+            # across heterogeneous hosts risks SIGILL on reload. CPU
+            # compiles are cheap — cache only accelerator executables.
+            return
+    except Exception:
+        return
     cache_dir = (setting if setting not in ("", "1") else
                  os.path.expanduser("~/.cache/vllm_ltr_tpu/xla_cache"))
     try:
