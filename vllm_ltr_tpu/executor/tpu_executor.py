@@ -158,13 +158,15 @@ class TPUExecutor:
         cache_config = engine_config.cache_config
         scheduler_config = engine_config.scheduler_config
 
-        _enable_compilation_cache()
-
         # Multi-host: join the jax.distributed runtime first so the mesh
         # spans every host's chips (reference worker.py:283-320 equivalent).
+        # Must precede anything that initialises the XLA backend — including
+        # the compilation-cache probe's jax.default_backend() call.
         dist.init_distributed(parallel_config.distributed_coordinator,
                               parallel_config.distributed_num_processes,
                               parallel_config.distributed_process_id)
+
+        _enable_compilation_cache()
         self.multihost = dist.process_count() > 1
         self.is_leader = dist.is_leader()
 
@@ -996,6 +998,41 @@ class TPUExecutor:
             return scores
 
         self._aux_score_fn = score_fn
+
+        if getattr(self.config.scheduler_config, "precompile_shapes", False):
+            self._warm_aux_shapes()
+
+    def _warm_aux_shapes(self) -> None:
+        """Pre-trace the scorer's (batch, length) bucket ladder so the first
+        scored request never pays a compile inside schedule() — the aux
+        scoring latency sits in the scheduling critical path (reference
+        SURVEY §3.2 boundary note)."""
+        cfg = self.aux_prefill_config
+        t0 = time.time()
+        # Full cross product of (batch, length) buckets is ~50 compiles;
+        # warm only the shapes serving actually hits: the smallest batch
+        # bucket across the length ladder (steady-state arrivals land a
+        # few requests per step) plus the max-batch/max-length shape
+        # (burst start scores the whole backlog at once).
+        shapes: List[Tuple[int, int]] = []
+        L = 16
+        while True:
+            shapes.append((8, min(L, max(cfg.max_length, 16))))
+            if L >= cfg.max_length:
+                break
+            L *= 2
+        if cfg.max_batch_size > 8:
+            shapes.append((cfg.max_batch_size, cfg.max_length))
+        n = 0
+        for B, L in shapes:
+            try:
+                self.score_prompts([[1] * L] * B)
+                n += 1
+            except Exception as e:  # noqa: BLE001 - warmup best-effort
+                logger.warning("aux warmup (%d, %d) failed: %s", B, L,
+                               str(e)[:120])
+        logger.info("Warmed %d aux scorer shapes in %.1fs", n,
+                    time.time() - t0)
 
     def score_prompts(self, prompts_token_ids: List[List[int]]) -> List[float]:
         """Score prompts with the predictor; returns one ranking score each
