@@ -1,0 +1,135 @@
+"""On-chip microbenchmarks for the hot Pallas kernels.
+
+Measures device time with a chained dependency loop (iteration i+1
+consumes iteration i's output) so XLA cannot overlap or elide work, and
+subtracts the host<->device relay round trip measured on an empty jitted
+function.  Reports effective HBM bandwidth for the memory-bound decode
+kernel (the number that matters: decode attention streams the whole KV
+working set every step).
+
+Counterpart of the reference's kernel benchmarks
+(/root/reference/benchmarks/kernels/benchmark_paged_attention.py), built
+for TPU: geometry defaults match the 1.1B bench model in bench.py
+(22 layers, 16 heads, head_dim 128, page 16) at 32 sequences x 576
+context — the steady-state decode shape of the driver benchmark.
+
+Usage:
+  python benchmarks/bench_kernels.py decode [--seqs 32] [--ctx 576] ...
+  python benchmarks/bench_kernels.py decode-sweep   # keys/iter tuning
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def relay_floor(n=20):
+    """Median round-trip of an empty jitted fn (host->device->host)."""
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    f(x).block_until_ready()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_decode(args):
+    from vllm_ltr_tpu.ops.pallas.fused_decode import fused_decode_attention
+
+    S, KH, QH, Dp, Bs = args.seqs, args.kv_heads, args.heads, args.head_dim, args.page
+    L, ctx = args.layers, args.ctx
+    pages_per_seq = -(-ctx // Bs)
+    MB = pages_per_seq + 2
+    N = S * MB
+    dtype = jnp.float8_e5m2 if args.fp8 else jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    cache = jax.random.normal(key, (L, N + 1, 2, KH, Bs, Dp),
+                              jnp.bfloat16).astype(dtype)
+    q = jax.random.normal(key, (S, QH, Dp), jnp.bfloat16)
+    kv_new = jax.random.normal(key, (S, 2, KH, Dp), jnp.bfloat16).astype(dtype)
+    # Disjoint pages per sequence, like the real allocator.
+    bt = np.arange(1, S * MB + 1, dtype=np.int32).reshape(S, MB)
+    block_tables = jnp.asarray(bt)
+    seq_lens = jnp.full((S,), ctx, jnp.int32)
+    slot_mapping = jnp.asarray(
+        (bt[:, (ctx - 1) // Bs] * Bs + (ctx - 1) % Bs).astype(np.int32))
+    scale = 1.0 / float(np.sqrt(Dp))
+
+    iters = args.iters
+
+    @jax.jit
+    def chained(q, kv_new, cache):
+        def body(i, carry):
+            q, cache = carry
+            out, cache = fused_decode_attention(
+                q, kv_new, cache, jax.lax.rem(i, L), block_tables,
+                seq_lens, slot_mapping, scale=scale, window=args.window)
+            # Chain: fold the output back into q so iterations serialize.
+            q = q + 0.0 * out
+            return (q, cache)
+        q, cache = jax.lax.fori_loop(0, iters, body, (q, cache))
+        return q[0, 0, 0], cache
+
+    r, c = chained(q, kv_new, cache)
+    r.block_until_ready()
+    floor = relay_floor()
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        r, c = chained(q, kv_new, cache)
+        r.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = (min(times) - floor) / iters
+    page_bytes = 2 * KH * Bs * Dp * np.dtype(
+        np.uint8 if args.fp8 else np.float16).itemsize
+    read = S * pages_per_seq * page_bytes
+    bw = read / dt / 1e9
+    print(f"decode fused kernel: S={S} ctx={ctx} QH={QH} KH={KH} D={Dp} "
+          f"Bs={Bs} fp8={args.fp8} keys/iter={os.environ.get('LTR_TPU_DECODE_KEYS', '128')}")
+    print(f"  {dt*1e6:.1f} us/call  ({read/2**20:.1f} MiB KV read)  "
+          f"effective {bw:.0f} GB/s   [relay floor {floor*1e3:.1f} ms, "
+          f"{iters} chained calls]")
+    return dt, bw
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=["decode", "decode-sweep"])
+    p.add_argument("--seqs", type=int, default=32)
+    p.add_argument("--ctx", type=int, default=576)
+    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--kv-heads", type=int, default=16)
+    p.add_argument("--head-dim", type=int, default=128)
+    p.add_argument("--page", type=int, default=16)
+    p.add_argument("--layers", type=int, default=22)
+    p.add_argument("--window", type=int, default=0)
+    p.add_argument("--fp8", action="store_true")
+    p.add_argument("--iters", type=int, default=110)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    if args.mode == "decode":
+        bench_decode(args)
+    elif args.mode == "decode-sweep":
+        # Fresh process per setting: LTR_TPU_DECODE_KEYS is read at trace
+        # time and jit caches would otherwise pin the first value.
+        import subprocess
+        argv = [sys.executable, os.path.abspath(__file__), "decode"]
+        argv += [a for a in sys.argv[2:]]
+        for keys in (32, 64, 128, 256, 512):
+            env = dict(os.environ, LTR_TPU_DECODE_KEYS=str(keys))
+            subprocess.run(argv, env=env, check=False)
+
+
+if __name__ == "__main__":
+    main()

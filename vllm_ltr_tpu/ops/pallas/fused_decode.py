@@ -11,11 +11,20 @@ three copies that dominated the unfused step time.
 
 Layout: the cache is page-major, ``[L, N+1, 2, KH, Bs, Dp]`` — one page
 holds every head's K and V contiguously (typ. 128 KiB), so the per-page
-HBM->VMEM fetch is two large DMAs (K half, V half) instead of ``2*KH``
+HBM->VMEM fetch is ONE large DMA covering both halves instead of ``2*KH``
 4 KiB latency-bound DMAs (the round-1 kernel's bottleneck: ~8 ms/layer vs
 a ~0.2 ms roofline).  The block loop consumes ``PPI`` pages per iteration
 so the online-softmax bookkeeping and loop overhead amortize over
 ``PPI * KH * Bs`` keys at a time.
+
+Measured profile (v5e, benchmarks/bench_kernels.py, 16 MHA heads x 128,
+page 16): 448 GB/s effective at 32 seqs x 576 ctx and 672 GB/s at
+2048 ctx — a fixed ~4 us per-sequence cost (program transition + first
+unhidden DMA + epilogue) dominates short contexts.  Variants measured and
+rejected: splitting K/V into two DMAs per page (parity), 256 KiB pages
+(parity), bf16 scores matmul (parity — MXU passes hide under the DMA
+stream), cross-program prefetch of the next sequence's first pages
+(2% WORSE — the extra hazard sync outweighs the hidden latency).
 
 GQA across heads runs as ONE block-diagonal matmul pair per iteration:
 queries flatten to ``[QH, Dp]`` rows (row r = head r//G), keys/values to
@@ -69,10 +78,9 @@ def _fused_decode_kernel(
     cache_out,  # aliased cache (same buffer as cache_hbm)
     o_ref,  # [1, Rp, Dp] VMEM
     # scratch
-    k_buf,  # [2, PPI, KH, Bs, Dp] VMEM double-buffered K pages
-    v_buf,  # [2, PPI, KH, Bs, Dp] VMEM double-buffered V pages
-    sems,  # DMA semaphores [2, PPI, 2]
-    wsem,  # write-back DMA semaphores [2]
+    kv_buf,  # [2, PPI, 2, KH, Bs, Dp] VMEM double-buffered whole pages
+    sems,  # DMA semaphores [2, PPI]
+    wsem,  # write-back DMA semaphore [1]
     acc_ref,  # [Rp, Dp] f32
     m_ref,  # [Rp, 128] f32 running max
     l_ref,  # [Rp, 128] f32 running denominator
@@ -102,11 +110,14 @@ def _fused_decode_kernel(
         first_block = jnp.int32(0)
     num_iters = jax.lax.div(num_blocks - first_block + ppi - 1, ppi)
 
-    def page_dma(half01, buf, slot_i, j, g):
+    def page_dma(slot_i, j, g):
+        # One DMA per page: both K and V halves ([2, KH, Bs, Dp]) move in a
+        # single contiguous copy — per-DMA issue overhead is the binding
+        # constraint, so fewer/larger transfers beat split halves.
         b = block_tables_ref[s, g]
-        return pltpu.make_async_copy(cache_hbm.at[lid, b, half01],
-                                     buf.at[slot_i, j],
-                                     sems.at[slot_i, j, half01])
+        return pltpu.make_async_copy(cache_hbm.at[lid, b],
+                                     kv_buf.at[slot_i, j],
+                                     sems.at[slot_i, j])
 
     def start_iter(slot_i, it):
         for j in range(ppi):
@@ -114,8 +125,7 @@ def _fused_decode_kernel(
 
             @pl.when(g < num_blocks)
             def _():
-                page_dma(0, k_buf, slot_i, j, g).start()
-                page_dma(1, v_buf, slot_i, j, g).start()
+                page_dma(slot_i, j, g).start()
 
             # Never-fetched tail pages keep whatever was in VMEM — on first
             # touch that can be NaN, and 0 * NaN = NaN poisons p @ V even
@@ -123,11 +133,14 @@ def _fused_decode_kernel(
             # garbage is harmless: its scores are masked to NEG_INF.)
             @pl.when(g >= num_blocks)
             def _():
-                v_buf[slot_i, j] = jnp.zeros_like(v_buf[slot_i, j])
+                kv_buf[slot_i, j, 1] = jnp.zeros_like(kv_buf[slot_i, j, 1])
 
+    # Measured (v5e, 32x576): the scores matmul dtype does not move the
+    # kernel time at all — the MXU passes hide under the page DMAs — so q/k
+    # stay f32 for exact parity with the XLA reference path.
     q = q_ref[0].astype(jnp.float32) * scale  # [Rp, Dp]
     Rp = q.shape[0]
-    KH = k_buf.shape[2]
+    KH = kv_buf.shape[3]
     CK = ppi * KH * Bs
     # Column c of the flattened keys: page c//(KH*Bs), head (c//Bs)%KH,
     # in-page position c%Bs. Row r is head r//group (rows past QH are
@@ -163,31 +176,32 @@ def _fused_decode_kernel(
 
             @pl.when(g < num_blocks)
             def _():
-                page_dma(0, k_buf, slot_i, j, g).wait()
-                page_dma(1, v_buf, slot_i, j, g).wait()
+                page_dma(slot_i, j, g).wait()
 
         # Inject the new token's K/V row into its page and write the page
-        # back (the decode-step cache update, fused into the stream).
+        # back (the decode-step cache update, fused into the stream).  The
+        # write page is always the sequence's LAST page, i.e. it lands in
+        # the final iteration — the buffer slot is never refetched before
+        # the end-of-program drain below.
         @pl.when((slot >= 0) & (base <= write_block)
                  & (write_block < base + ppi))
         def _():
             jw = write_block - base
             off_eq = jax.lax.broadcasted_iota(
-                jnp.int32, k_buf.shape[2:], 1) == write_off  # [KH, Bs, Dp]
-            k_buf[slot_i, jw] = jnp.where(off_eq,
-                                          kv_new_ref[0, 0][:, None, :],
-                                          k_buf[slot_i, jw])
-            v_buf[slot_i, jw] = jnp.where(off_eq,
-                                          kv_new_ref[0, 1][:, None, :],
-                                          v_buf[slot_i, jw])
+                jnp.int32, kv_buf.shape[3:], 1) == write_off  # [KH, Bs, Dp]
+            kv_buf[slot_i, jw, 0] = jnp.where(off_eq,
+                                              kv_new_ref[0, 0][:, None, :],
+                                              kv_buf[slot_i, jw, 0])
+            kv_buf[slot_i, jw, 1] = jnp.where(off_eq,
+                                              kv_new_ref[0, 1][:, None, :],
+                                              kv_buf[slot_i, jw, 1])
             b = block_tables_ref[s, write_block]
-            pltpu.make_async_copy(k_buf.at[slot_i, jw],
-                                  cache_out.at[lid, b, 0], wsem.at[0]).start()
-            pltpu.make_async_copy(v_buf.at[slot_i, jw],
-                                  cache_out.at[lid, b, 1], wsem.at[1]).start()
+            pltpu.make_async_copy(kv_buf.at[slot_i, jw],
+                                  cache_out.at[lid, b], wsem.at[0]).start()
 
-        k = k_buf[slot_i].reshape(CK, k_buf.shape[-1]).astype(jnp.float32)
-        v = v_buf[slot_i].reshape(CK, v_buf.shape[-1])
+        k = kv_buf[slot_i, :, 0].reshape(CK,
+                                         kv_buf.shape[-1]).astype(jnp.float32)
+        v = kv_buf[slot_i, :, 1].reshape(CK, kv_buf.shape[-1])
         if kv_scale != 1.0:
             k = k * kv_scale
             v = (v.astype(jnp.float32) * kv_scale).astype(jnp.bfloat16)
@@ -231,10 +245,8 @@ def _fused_decode_kernel(
         slot_w = jax.lax.rem(it_w, 2)
         jw = jax.lax.rem(write_block - first_block, ppi)
         b = block_tables_ref[s, write_block]
-        pltpu.make_async_copy(k_buf.at[slot_w, jw], cache_out.at[lid, b, 0],
+        pltpu.make_async_copy(kv_buf.at[slot_w, jw], cache_out.at[lid, b],
                               wsem.at[0]).wait()
-        pltpu.make_async_copy(v_buf.at[slot_w, jw], cache_out.at[lid, b, 1],
-                              wsem.at[1]).wait()
 
     l = jnp.maximum(l_ref[:, 0:1], 1e-9)
     o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
@@ -263,13 +275,13 @@ def fused_decode_attention(
     S, QH, D = q.shape
     L, num_blocks_p1, two, KH, Bs, Dp = kv_cache.shape
     G = QH // KH
-    # Pages per inner iteration: target ~64 keys per head per
+    # Pages per inner iteration: target ~128 keys per head per
     # online-softmax update. Measured on v5e at 1.1B decode shapes
-    # (32 seqs x 576 ctx): 64 keys/iter beats 256 (1952 vs 1831 tok/s
-    # end-to-end) — the double-buffered DMA already hides page latency, and
-    # bigger chunks add VMEM pressure without saving overhead.
+    # (32 seqs x 576 ctx, benchmarks/bench_kernels.py): 128 keys/iter gives
+    # 448 GB/s effective vs 408 at 64 and ~430 at 256+ (bigger chunks waste
+    # masked tail-page compute once ppi exceeds the typical page count).
     # LTR_TPU_DECODE_KEYS overrides for tuning.
-    target = int(os.environ.get("LTR_TPU_DECODE_KEYS", "64"))
+    target = int(os.environ.get("LTR_TPU_DECODE_KEYS", "128"))
     ppi = max(1, min(max(target // Bs, 1), num_blocks_p1 - 1, 16))
     # Pad query rows to a sublane tile; padded rows match no head.
     Rp = max(8, -(-QH // 8) * 8)
@@ -296,10 +308,9 @@ def fused_decode_attention(
             pl.BlockSpec((1, Rp, Dp), lambda s, *_: (s, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ppi, KH, Bs, Dp), kv_cache.dtype),
-            pltpu.VMEM((2, ppi, KH, Bs, Dp), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, ppi, 2)),
-            pltpu.SemaphoreType.DMA((2, )),
+            pltpu.VMEM((2, ppi, 2, KH, Bs, Dp), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, ppi)),
+            pltpu.SemaphoreType.DMA((1, )),
             pltpu.VMEM((Rp, Dp), jnp.float32),
             pltpu.VMEM((Rp, 128), jnp.float32),
             pltpu.VMEM((Rp, 128), jnp.float32),
