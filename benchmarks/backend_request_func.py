@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import json, time, traceback
 from dataclasses import dataclass, field
-from typing import AsyncIterator, List, Optional, Union
+from typing import AsyncIterator
 
 import aiohttp
 
@@ -18,27 +18,21 @@ _NO_TIMEOUT = aiohttp.ClientTimeout(total=6 * 60 * 60)
 
 @dataclass
 class RequestFuncInput:
-    prompt: Union[str, List[int]]
+    prompt: str | list[int]
     endpoint: str
     prompt_tokens: int
     max_new_tokens: int
     model: str
-    best_of: int = 1
-    beam_search: bool = False
-    est_tokens: int = 16
-    ignore_eos: bool = True
+    best_of: int = 1; beam_search: bool = False  # noqa: E702
+    est_tokens: int = 16; ignore_eos: bool = True  # noqa: E702
 
 
 @dataclass
 class RequestFuncOutput:
-    text: str = ""
-    success: bool = False
-    latency: float = 0.0
-    ttft: float = 0.0
-    itl: List[float] = field(default_factory=list)
-    prompt_tokens: int = 0
-    new_tokens: int = 0
-    error: str = ""
+    text: str = ""; error: str = ""  # noqa: E702
+    success: bool = False; latency: float = 0.0; ttft: float = 0.0  # noqa: E702
+    itl: list[float] = field(default_factory=list)
+    prompt_tokens: int = 0; new_tokens: int = 0  # noqa: E702
 
 
 async def _sse_frames(response) -> AsyncIterator[dict]:
@@ -53,33 +47,24 @@ async def _sse_frames(response) -> AsyncIterator[dict]:
         yield json.loads(body)
 
 
-async def async_request_openai_completions(
-    request_func_input: RequestFuncInput,
-    session: Optional[aiohttp.ClientSession] = None,
-) -> RequestFuncOutput:
-    spec = request_func_input
+async def stream_openai_completion(
+        spec: RequestFuncInput,
+        session: aiohttp.ClientSession | None = None) -> RequestFuncOutput:
     assert spec.endpoint.endswith("completions"), (
         "expected an OpenAI completions URL")
 
-    body = {
-        "model": spec.model,
-        "prompt": spec.prompt,
-        "temperature": 0.0,
-        "best_of": spec.best_of,
-        "max_tokens": spec.max_new_tokens,
-        "stream": True,
-        "ignore_eos": spec.ignore_eos,
-        "est_tokens": spec.est_tokens,
-    }
+    body = dict(model=spec.model, prompt=spec.prompt, temperature=0.0,
+                best_of=spec.best_of, max_tokens=spec.max_new_tokens,
+                stream=True, ignore_eos=spec.ignore_eos,
+                est_tokens=spec.est_tokens)
     result = RequestFuncOutput(prompt_tokens=spec.prompt_tokens)
 
     owned = session is None
     if owned:
         session = aiohttp.ClientSession(timeout=_NO_TIMEOUT)
     try:
-        t_sent = time.perf_counter()
-        t_last = t_sent
-        pieces: List[str] = []
+        t_sent = t_last = time.perf_counter()
+        pieces: list[str] = []
         async with session.post(url=spec.endpoint, json=body) as resp:
             if resp.status != 200:
                 result.error = f"HTTP {resp.status}: {await resp.text()}"
@@ -95,20 +80,20 @@ async def async_request_openai_completions(
                     result.itl.append(now - t_last)
                 t_last = now
                 pieces.append(choices[0].get("text", ""))
-        result.text = "".join(pieces)
-        result.new_tokens = len(pieces)
-        result.latency = t_last - t_sent
-        result.success = True
+        result.text, result.new_tokens = "".join(pieces), len(pieces)
+        result.latency, result.success = t_last - t_sent, True
     except Exception:
-        result.error = traceback.format_exc()
-        result.success = False
+        result.error, result.success = traceback.format_exc(), False
     finally:
         if owned:
             await session.close()
     return result
 
 
+# Backwards-compatible alias (pre-rename call sites).
+async_request_openai_completions = stream_openai_completion
+
 ASYNC_REQUEST_FUNCS = {
-    "openai": async_request_openai_completions,
-    "vllm-ltr-tpu": async_request_openai_completions,
+    "openai": stream_openai_completion,
+    "vllm-ltr-tpu": stream_openai_completion,
 }

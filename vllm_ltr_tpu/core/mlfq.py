@@ -15,8 +15,8 @@ of its own.
 """
 from __future__ import annotations
 
-import time
-from typing import Dict, Iterable, List, Optional, Union
+import copy, time
+from typing import Iterable
 
 from vllm_ltr_tpu.config import CacheConfig, LoRAConfig, SchedulerConfig
 from vllm_ltr_tpu.core.scheduler import Scheduler, SchedulerOutputs
@@ -30,8 +30,8 @@ class LevelQueues:
     """Requests bucketed by MLFQ level; iteration yields level 0 first,
     FIFO within a level."""
 
-    def __init__(self) -> None:
-        self._levels: Dict[int, List[SequenceGroup]] = {}
+    def __init__(self):
+        self._levels: dict[int, list[SequenceGroup]] = {}
 
     def enqueue(self, group: SequenceGroup, front: bool = False) -> None:
         bucket = self._levels.setdefault(group.get_priority(), [])
@@ -44,16 +44,14 @@ class LevelQueues:
                     del bucket[i]
                     return
 
-    def flatten(self) -> List[SequenceGroup]:
-        out: List[SequenceGroup] = []
-        for level in sorted(self._levels):
-            out.extend(self._levels[level])
-        return out
+    def flatten(self) -> list[SequenceGroup]:
+        ordered = sorted(self._levels)
+        return [g for level in ordered for g in self._levels[level]]
 
-    def drain_starved(self, cutoff: float) -> List[SequenceGroup]:
+    def drain_starved(self, cutoff: float) -> list[SequenceGroup]:
         """Remove and return requests whose last scheduling is older than
         ``cutoff``."""
-        starved: List[SequenceGroup] = []
+        starved: list[SequenceGroup] = []
         for level, bucket in self._levels.items():
             fresh = []
             for g in bucket:
@@ -61,28 +59,25 @@ class LevelQueues:
             self._levels[level] = fresh
         return starved
 
-    def __len__(self) -> int:
-        return sum(len(b) for b in self._levels.values())
+    def __len__(self): return sum(len(b) for b in self._levels.values())
 
 
 class MLFQScheduler(Scheduler):
 
-    def __init__(self,
-                 scheduler_config: SchedulerConfig,
+    def __init__(self, scheduler_config: SchedulerConfig,
                  cache_config: CacheConfig,
-                 lora_config: Optional[LoRAConfig] = None) -> None:
+                 lora_config: LoRAConfig | None = None) -> None:
         spec = scheduler_config.schedule_spec
         assert spec.is_mlfq and spec.mlfq is not None
         self._mlfq_cfg = spec.mlfq
         # The base class rejects mlfq specs; hand it a neutral fcfs twin
         # for the lane/block plumbing.
-        import copy
         base = copy.copy(scheduler_config)
         base.schedule_spec = copy.copy(spec)
         base.schedule_spec.policy = "fcfs"
         base.schedule_spec.mlfq = None
         super().__init__(base, cache_config, lora_config)
-        self.scheduler_config = scheduler_config
+        self.scheduler_config = scheduler_config  # restore the mlfq spec
 
         self.base_quantum = self._mlfq_cfg.base_quantum
         self.threshold = self._mlfq_cfg.threshold
@@ -91,22 +86,20 @@ class MLFQScheduler(Scheduler):
         self.enable_starvation_prevent = (
             scheduler_config.enable_starvation_prevent)
 
-        self.levels = LevelQueues()
-        self.iteration_num = 0
+        self.levels, self.iteration_num = LevelQueues(), 0
         # Groups scheduled last step; they re-enter the levels (with
         # quantum accounting) in free_finished_seq_groups.
-        self.real_running: List[SequenceGroup] = []
+        self.real_running: list[SequenceGroup] = []
 
     # ------------------------------------------------------------------
 
     def add_seq_group(self, seq_group: SequenceGroup) -> None:
-        seq_group.set_priority(0)
-        seq_group.process_time = 0.0
-        seq_group.lst_process_time = time.time()
+        seq_group.set_priority(0)  # everyone starts at the top level
+        seq_group.process_time, seq_group.lst_process_time = 0.0, time.time()
         self.levels.enqueue(seq_group)
         super().add_seq_group(seq_group)
 
-    def abort_seq_group(self, request_id: Union[str, Iterable[str]]) -> None:
+    def abort_seq_group(self, request_id: str | Iterable[str]) -> None:
         ids = (request_id, ) if isinstance(request_id, str) else request_id
         for rid in ids:
             self.levels.discard(rid)
@@ -122,7 +115,7 @@ class MLFQScheduler(Scheduler):
     # ------------------------------------------------------------------
 
     def _schedule(self) -> SchedulerOutputs:
-        self.iteration_num += 1
+        self.iteration_num = self.iteration_num + 1
         if (self.enable_starvation_prevent
                 and self.iteration_num % self.starvation_period == 0):
             self.prevent_starvation()
@@ -132,10 +125,10 @@ class MLFQScheduler(Scheduler):
 
         # Scheduled groups leave the level structure until they come back
         # through free_finished_seq_groups with updated quantum accounting.
-        now = time.time()
+        stamp = time.time()
         for pick in executing:
             self.levels.discard(pick.group.request_id)
-            pick.group.lst_process_time = now
+            pick.group.lst_process_time = stamp
         self.real_running = [s.seq_group for s in outputs.scheduled_seq_groups]
         return outputs
 
@@ -144,7 +137,7 @@ class MLFQScheduler(Scheduler):
     def free_finished_seq_groups(self) -> None:
         """Re-queue unfinished scheduled requests, demoting any that have
         used up their level's quantum (reference :1040-1047)."""
-        still_running: List[SequenceGroup] = []
+        still_running: list[SequenceGroup] = []
         for group in self.real_running:
             if group.is_finished():
                 continue

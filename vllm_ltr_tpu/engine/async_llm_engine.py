@@ -14,7 +14,7 @@ output feeds:
 from __future__ import annotations
 
 import asyncio, time
-from typing import AsyncIterator, Dict, List, Optional, Set
+from typing import AsyncIterator
 
 from vllm_ltr_tpu.config import EngineConfig
 from vllm_ltr_tpu.engine.arg_utils import AsyncEngineArgs
@@ -37,7 +37,7 @@ class _OutputFeed:
     is the end-of-stream sentinel.
     """
 
-    def __init__(self, request_id: str) -> None:
+    def __init__(self, request_id: str):
         self.request_id, self.closed = request_id, False
         self._items: asyncio.Queue = asyncio.Queue()
 
@@ -45,7 +45,7 @@ class _OutputFeed:
         if not self.closed:
             self._items.put_nowait(item)
 
-    def close(self, error: Optional[BaseException] = None) -> None:
+    def close(self, error: BaseException | None = None) -> None:
         if self.closed:
             return
         self._items.put_nowait(error)  # error or None sentinel
@@ -70,11 +70,9 @@ class AsyncLLMEngine:
     needed.
     """
 
-    def __init__(self,
-                 engine_config: EngineConfig,
-                 log_requests: bool = True,
-                 log_stats: bool = True,
-                 max_log_len: Optional[int] = None,
+    def __init__(self, engine_config: EngineConfig,
+                 log_requests: bool = True, log_stats: bool = True,
+                 max_log_len: int | None = None,
                  start_engine_loop: bool = True) -> None:
         self.engine = LLMEngine(engine_config, log_stats=log_stats)
         self.log_requests, self.max_log_len = log_requests, max_log_len
@@ -93,13 +91,13 @@ class AsyncLLMEngine:
                                if self.engine.tokenizer is not None else
                                None)
 
-        self._feeds: Dict[str, _OutputFeed] = {}
-        self._inbox: List[dict] = []
-        self._cancelled: Set[str] = set()
-        self._wake: Optional[asyncio.Event] = None
-        self._driver: Optional[asyncio.Task] = None
-        self._loop: Optional[asyncio.AbstractEventLoop] = None
-        self._fatal: Optional[BaseException] = None
+        self._feeds: dict[str, _OutputFeed] = {}
+        self._inbox: list[dict] = []
+        self._cancelled: set[str] = set()
+        self._wake: asyncio.Event | None = None
+        self._driver: asyncio.Task | None = None
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._fatal: BaseException | None = None
 
     @classmethod
     def from_engine_args(cls, engine_args: AsyncEngineArgs,
@@ -121,15 +119,14 @@ class AsyncLLMEngine:
     def errored(self) -> bool: return self._fatal is not None
     @property
     def is_stopped(self) -> bool:
-        return self.errored or (self._driver is not None
-                                and self._driver.done())
+        return self.errored or (self._driver is not None and self._driver.done())
     # fmt: on
 
     def set_errored(self, exc: BaseException) -> None:
         self._fatal = exc
 
     def start_background_loop(self) -> None:
-        if self.errored:
+        if self._fatal is not None:
             raise AsyncEngineDeadError(
                 "engine driver already crashed") from self._fatal
         if self.is_running:
@@ -149,13 +146,13 @@ class AsyncLLMEngine:
             return
         if not self._autostart:
             raise AsyncEngineDeadError(
-                "engine driver is not running (it may have crashed; see "
-                "logs for the original error)")
+                "engine driver is not running (it may have crashed; see"
+                " logs for the original error)")
         self.start_background_loop()
 
     def _on_driver_exit(self, task: asyncio.Task) -> None:
         try:
-            task.result()  # surfaces the driver's exception
+            _ = task.result()  # surfaces the driver's exception
             err: BaseException = AsyncEngineDeadError(
                 "engine driver exited unexpectedly")
         except asyncio.CancelledError:
@@ -172,7 +169,7 @@ class AsyncLLMEngine:
 
     async def _drive(self) -> None:
         assert self._wake is not None
-        while True:  # one iteration == one engine step
+        while True:  # one iteration == one engine step (forever)
             if not (self._inbox or self._cancelled
                     or self.engine.has_unfinished_requests()):
                 await self._wake.wait()
@@ -186,10 +183,10 @@ class AsyncLLMEngine:
                     continue
                 try:
                     self.engine.add_request(**sub)
-                except ValueError as e:
+                except ValueError as bad_request:
                     feed = self._feeds.pop(rid, None)
                     if feed is not None:
-                        feed.close(e)
+                        feed.close(bad_request)
             cancelled, self._cancelled = self._cancelled, set()
             live_cancels = [r for r in cancelled if r in self._feeds]
             if live_cancels:
@@ -207,28 +204,25 @@ class AsyncLLMEngine:
                 feed.push(out)
                 if out.finished:
                     if self.log_requests:
-                        logger.info("Finished request %s.", out.request_id)
+                        logger.info("request %s finished", out.request_id)
                     del self._feeds[out.request_id]
                     feed.close()
-            await asyncio.sleep(0)  # let client coroutines drain feeds
+            await asyncio.sleep(0.0)  # let client coroutines drain feeds
 
     # -- request API --------------------------------------------------------------
 
     async def add_request(
-        self,
-        request_id: str,
-        prompt: Optional[str] = None,
-        sampling_params: Optional[SamplingParams] = None,
-        prompt_token_ids: Optional[List[int]] = None,
-        arrival_time: Optional[float] = None,
-        lora_request=None,
-    ) -> _OutputFeed:
+            self, request_id: str, prompt: str | None = None,
+            sampling_params: SamplingParams | None = None,
+            prompt_token_ids: list[int] | None = None,
+            arrival_time: float | None = None,
+            lora_request=None) -> _OutputFeed:
         if self.log_requests:
             cap = self.max_log_len
             logger.info(
-                "Received request %s: prompt: %r, params: %s, "
-                "prompt_token_ids: %s.", request_id,
-                prompt[:cap] if prompt else prompt, sampling_params,
+                "request %s received: prompt %r params %s token_ids %s",
+                request_id, prompt[:cap] if prompt else prompt,
+                sampling_params,
                 prompt_token_ids[:cap]
                 if prompt_token_ids else prompt_token_ids)
         self._ensure_driver()
@@ -242,8 +236,7 @@ class AsyncLLMEngine:
         feed = _OutputFeed(request_id)
         self._feeds[request_id] = feed
         self._inbox.append(
-            dict(request_id=request_id,
-                 prompt=prompt,
+            dict(request_id=request_id, prompt=prompt,
                  sampling_params=sampling_params,
                  prompt_token_ids=prompt_token_ids,
                  arrival_time=arrival_time or time.time(),
@@ -252,35 +245,29 @@ class AsyncLLMEngine:
         return feed
 
     async def generate(
-        self,
-        prompt: Optional[str],
-        sampling_params: SamplingParams,
-        request_id: str,
-        prompt_token_ids: Optional[List[int]] = None,
-        lora_request=None,
-    ) -> AsyncIterator[RequestOutput]:
+            self, prompt: str | None, sampling_params: SamplingParams,
+            request_id: str, prompt_token_ids: list[int] | None = None,
+            lora_request=None) -> AsyncIterator[RequestOutput]:
         try:
-            feed = await self.add_request(request_id,
-                                          prompt=prompt,
-                                          sampling_params=sampling_params,
-                                          prompt_token_ids=prompt_token_ids,
-                                          lora_request=lora_request)
+            feed = await self.add_request(
+                request_id, prompt=prompt, sampling_params=sampling_params,
+                prompt_token_ids=prompt_token_ids, lora_request=lora_request)
             async for out in feed:
                 yield out
         except (Exception, asyncio.CancelledError):
-            self._abort(request_id)
+            self._cancel(request_id)
             raise
 
     async def abort(self, request_id: str) -> None:
         if not self.is_running:
             raise AsyncEngineDeadError("engine driver is not running")
-        self._abort(request_id)
+        self._cancel(request_id)
 
-    def _abort(self, request_id: str) -> None:
+    def _cancel(self, request_id: str) -> None:
         if request_id not in self._feeds:
             return
         if self.log_requests:
-            logger.info("Aborted request %s.", request_id)
+            logger.info("request %s aborted", request_id)
         self._cancelled.add(request_id)
         if self._wake is not None:
             self._wake.set()
@@ -290,8 +277,7 @@ class AsyncLLMEngine:
     async def get_model_config(self):
         return self.engine.model_config
 
-    async def do_log_stats(self) -> None:
-        self.engine.do_log_stats()
+    async def do_log_stats(self) -> None: self.engine.do_log_stats()
 
     async def check_health(self) -> None:
         if self.is_stopped:

@@ -6,73 +6,71 @@ multi-sample groups; beam search handling is a recognized gap for now.
 """
 from __future__ import annotations
 
-from typing import List, Optional
-
 from vllm_ltr_tpu.sampling_params import SamplingParams
 from vllm_ltr_tpu.sequence import (Sequence, SequenceGroup,
                                    SequenceGroupOutput, SequenceStatus)
 from vllm_ltr_tpu.transformers_utils.detokenizer import Detokenizer
+
+_STOPPED = SequenceStatus.FINISHED_STOPPED
+_CAPPED = SequenceStatus.FINISHED_LENGTH_CAPPED
+_ABORTED = SequenceStatus.FINISHED_ABORTED
 
 
 class StopChecker:
     """Stop conditions, checked in the reference's order
     (output_processor/stop_checker.py)."""
 
-    def __init__(self, max_model_len: int, eos_token_id: Optional[int]):
-        self.max_model_len = max_model_len
-        self.eos_token_id = eos_token_id
+    def __init__(self, max_model_len: int, eos_token_id: int | None):
+        self.max_model_len, self.eos_token_id = max_model_len, eos_token_id
 
-    def maybe_stop_sequence(self, seq: Sequence,
-                            sampling_params: SamplingParams,
+    def maybe_stop_sequence(self, seq: Sequence, params: SamplingParams,
                             new_char_count: int) -> None:
         # Min-tokens gate: no stop checks until satisfied.
-        if seq.get_output_len() < sampling_params.min_tokens:
+        if seq.get_output_len() < params.min_tokens:
             return
 
         last_token = seq.get_last_token_id()
-        if (not sampling_params.ignore_eos and self.eos_token_id is not None
+        if (not params.ignore_eos and self.eos_token_id is not None
                 and last_token == self.eos_token_id):
-            seq.status = SequenceStatus.FINISHED_STOPPED
+            seq.status = _STOPPED
             return
 
-        if last_token in sampling_params.stop_token_ids:
-            seq.stop_reason = last_token
-            seq.status = SequenceStatus.FINISHED_STOPPED
+        if last_token in params.stop_token_ids:
+            seq.stop_reason, seq.status = last_token, _STOPPED
             return
 
-        if new_char_count and sampling_params.stop:
-            stop = self._check_stop_strings(seq, new_char_count,
-                                            sampling_params)
-            if stop is not None:
-                seq.stop_reason = stop
-                seq.status = SequenceStatus.FINISHED_STOPPED
+        if new_char_count and params.stop:
+            hit = self._match_stop_string(seq, new_char_count, params)
+            if hit is not None:
+                seq.stop_reason, seq.status = hit, _STOPPED
                 return
 
         if seq.get_len() >= self.max_model_len:
-            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            seq.status = _CAPPED
             return
 
-        if (sampling_params.max_tokens is not None
-                and seq.get_output_len() >= sampling_params.max_tokens):
-            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+        if (params.max_tokens is not None
+                and seq.get_output_len() >= params.max_tokens):
+            seq.status = _CAPPED
             return
 
     @staticmethod
-    def _check_stop_strings(seq: Sequence, new_char_count: int,
-                            sampling_params: SamplingParams) -> Optional[str]:
+    def _match_stop_string(seq: Sequence, new_char_count: int,
+                           params: SamplingParams) -> str | None:
         """Check newly generated text against stop strings; truncate output
         text accordingly. Returns the matched stop string."""
-        for stop_str in sampling_params.stop:
-            stop_string_len = len(stop_str)
-            stop_index = seq.output_text.find(
-                stop_str, -new_char_count - stop_string_len)
-            if stop_index == -1:
+        for stop_str in params.stop:
+            # Only the newly decoded tail (plus one stop-length of overlap)
+            # can contain a fresh match.
+            at = seq.output_text.find(stop_str,
+                                      -new_char_count - len(stop_str))
+            if at == -1:
                 continue
-            if sampling_params.include_stop_str_in_output:
-                stop_index += stop_string_len
-                if stop_index >= len(seq.output_text):
+            if params.include_stop_str_in_output:
+                at += len(stop_str)
+                if at >= len(seq.output_text):
                     return stop_str
-            seq.output_text = seq.output_text[:stop_index]
+            seq.output_text = seq.output_text[:at]
             return stop_str
         return None
 
@@ -82,10 +80,8 @@ class OutputProcessor:
 
     def __init__(self, detokenizer: Detokenizer, stop_checker: StopChecker,
                  free_seq_fn, fork_seq_fn=None, seq_counter=None) -> None:
-        self.detokenizer = detokenizer
-        self.stop_checker = stop_checker
-        self.free_seq_fn = free_seq_fn
-        self.fork_seq_fn = fork_seq_fn
+        self.detokenizer, self.stop_checker = detokenizer, stop_checker
+        self.free_seq_fn, self.fork_seq_fn = free_seq_fn, fork_seq_fn
         self.seq_counter = seq_counter
 
     def process_outputs(self, seq_group: SequenceGroup,
@@ -126,7 +122,7 @@ class OutputProcessor:
                     ]
                 samples_by_parent[parent.seq_id] = samples[:1]
 
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+        for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
             samples = samples_by_parent.get(seq.seq_id)
             if not samples:
                 # Chunked prefill still in flight: nothing sampled yet.
@@ -136,17 +132,14 @@ class OutputProcessor:
             # stop-checking after each token.
             for sample in samples:
                 seq.append_token_id(sample.output_token, sample.logprobs)
-                new_char_count = 0
-                if seq_group.sampling_params.detokenize and (
-                        self.detokenizer.tokenizer is not None):
+                grown = 0
+                if sp.detokenize and self.detokenizer.tokenizer is not None:
                     before = len(seq.output_text)
                     self.detokenizer.decode_sequence_inplace(
-                        seq, seq_group.sampling_params.skip_special_tokens,
-                        seq_group.sampling_params.
-                        spaces_between_special_tokens)
-                    new_char_count = len(seq.output_text) - before
-                self.stop_checker.maybe_stop_sequence(
-                    seq, seq_group.sampling_params, new_char_count)
+                        seq, sp.skip_special_tokens,
+                        sp.spaces_between_special_tokens)
+                    grown = len(seq.output_text) - before
+                self.stop_checker.maybe_stop_sequence(seq, sp, grown)
                 if seq.is_finished():
                     break
             if seq.is_finished():
@@ -163,10 +156,8 @@ class OutputProcessor:
         beam_width = sp.best_of
         eos = self.stop_checker.eos_token_id
 
-        parents = [
-            s for s in seq_group.get_seqs(status=SequenceStatus.RUNNING)
-            if s.seq_id in samples_by_parent
-        ]
+        parents = [s for s in seq_group.get_seqs(SequenceStatus.RUNNING)
+                   if s.seq_id in samples_by_parent]
         if not parents:
             return
 
@@ -192,21 +183,20 @@ class OutputProcessor:
                 seq_group.add(hyp)
                 self.fork_seq_fn(parent, hyp)
                 hyp.append_token_id(sample.output_token, sample.logprobs)
-                hyp.status = SequenceStatus.FINISHED_STOPPED
+                hyp.status = _STOPPED
                 self.free_seq_fn(hyp)
                 n_finished += 1
                 continue
             continuing.append((parent, sample))
 
         # Fork/prune: parents may continue 0, 1 or more times.
-        from collections import defaultdict
-        by_parent = defaultdict(list)
+        by_parent: dict[int, list] = {}
         for parent, sample in continuing:
-            by_parent[id(parent)].append((parent, sample))
+            by_parent.setdefault(id(parent), []).append((parent, sample))
         for parent in parents:
             conts = by_parent.get(id(parent), [])
             if not conts:
-                parent.status = SequenceStatus.FINISHED_ABORTED
+                parent.status = _ABORTED
                 self.free_seq_fn(parent)
                 seq_group.remove(parent.seq_id)
                 continue
@@ -227,16 +217,16 @@ class OutputProcessor:
         # running beam can beat the worst finished score (early_stopping
         # collapses this to "enough hypotheses").
         if seq_group.num_finished_seqs() >= beam_width:
-            for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-                seq.status = SequenceStatus.FINISHED_ABORTED
+            for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
+                seq.status = _ABORTED
                 self.free_seq_fn(seq)
 
     def _maybe_finish_beam(self, seq: Sequence,
                            sp: SamplingParams) -> None:
         if (sp.max_tokens is not None
                 and seq.get_output_len() >= sp.max_tokens):
-            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            seq.status = _CAPPED
             self.free_seq_fn(seq)
         elif seq.get_len() >= self.stop_checker.max_model_len:
-            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            seq.status = _CAPPED
             self.free_seq_fn(seq)

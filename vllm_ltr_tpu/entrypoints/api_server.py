@@ -4,8 +4,7 @@ prompt_token_ids; response includes the LTR pred_score/aux_model_score
 (reference api_server.py:56-84). Use the OpenAI server for production."""
 from __future__ import annotations
 
-import argparse
-import json
+import argparse, json
 
 from aiohttp import web
 
@@ -27,29 +26,25 @@ async def generate(request: web.Request) -> web.Response:
     prompt_token_ids = body.pop("prompt_token_ids", None)
     stream = body.pop("stream", False)
     sampling_params = SamplingParams(**body)
-    request_id = random_uuid()
-    results_generator = engine.generate(prompt,
-                                        sampling_params,
-                                        request_id,
-                                        prompt_token_ids=prompt_token_ids)
+    rid = random_uuid()
+    results_generator = engine.generate(
+        prompt, sampling_params, rid, prompt_token_ids=prompt_token_ids)
 
     if stream:
         resp = web.StreamResponse(status=200)
         await resp.prepare(request)
-        async for request_output in results_generator:
-            payload = {
-                "text": [o.text for o in request_output.outputs],
-                "token_ids":
-                [o.token_ids for o in request_output.outputs],
-            }
+        async for step_out in results_generator:
+            payload = dict(
+                text=[o.text for o in step_out.outputs],
+                token_ids=[o.token_ids for o in step_out.outputs])
             await resp.write((json.dumps(payload) + "\0").encode())
         await resp.write_eof()
         return resp
 
     final_output = None
-    async for request_output in results_generator:
-        final_output = request_output
-    assert final_output is not None
+    async for step_out in results_generator:
+        final_output = step_out
+    assert final_output is not None, "generator yielded nothing"
     return web.json_response({
         "text": [o.text for o in final_output.outputs],
         "token_ids": [o.token_ids for o in final_output.outputs],
@@ -60,7 +55,7 @@ async def generate(request: web.Request) -> web.Response:
 
 
 def main():
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser("vllm-ltr-tpu demo server")
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--platform", type=str, default=None)
@@ -71,8 +66,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     global engine
-    engine = AsyncLLMEngine.from_engine_args(
-        AsyncEngineArgs.from_cli_args(args))
+    engine = AsyncLLMEngine.from_engine_args(AsyncEngineArgs.from_cli_args(args))
 
     app = web.Application()
     app.router.add_get("/health", health)

@@ -9,8 +9,6 @@ forward (executor.score_prompts).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Union
-
 from vllm_ltr_tpu.config import (EngineConfig, PrefillPredictorConfig)
 from vllm_ltr_tpu.engine.arg_utils import EngineArgs
 from vllm_ltr_tpu.executor.tpu_executor import TPUExecutor
@@ -21,13 +19,11 @@ from vllm_ltr_tpu.transformers_utils.tokenizer import get_tokenizer
 class AUXLLM:
     """Score prompts with the learning-to-rank output-length predictor."""
 
-    def __init__(
-        self,
-        prefill_predictor_model_config: Union[str, PrefillPredictorConfig],
-        tokenizer: Optional[str] = None,
-        executor: Optional[TPUExecutor] = None,
-        **kwargs,
-    ) -> None:
+    def __init__(self,
+                 prefill_predictor_model_config: (
+                     str | PrefillPredictorConfig),
+                 tokenizer: str | None = None,
+                 executor: TPUExecutor | None = None, **kwargs) -> None:
         if isinstance(prefill_predictor_model_config, str):
             prefill_predictor_model_config = PrefillPredictorConfig.from_json(
                 prefill_predictor_model_config)
@@ -41,14 +37,9 @@ class AUXLLM:
             # Standalone: build an executor around the predictor model with
             # an empty KV cache (fake allocation analogue).
             engine_args = EngineArgs(
-                model=self.config.pred_model,
-                tokenizer=tokenizer,
-                gpu_memory_utilization=0.0,
-                swap_space=0,
-                enforce_eager=True,
-                fake_allocate=True,
-                **kwargs,
-            )
+                model=self.config.pred_model, tokenizer=tokenizer,
+                gpu_memory_utilization=0.0, swap_space=0,
+                enforce_eager=True, fake_allocate=True, **kwargs)
             engine_config = engine_args.create_engine_config()
             # The predictor executor hosts only the aux model; reuse the
             # TPUExecutor but skip the main-model cache.
@@ -58,16 +49,16 @@ class AUXLLM:
             self.executor.init_aux_model(self.config)
         self.tokenizer = get_tokenizer(tokenizer)
 
-    def score(self, prompts: Optional[List[str]] = None,
-              prompt_token_ids: Optional[List[List[int]]] = None
-              ) -> List[float]:
+    def score(self, prompts: list[str] | None = None,
+              prompt_token_ids: list[list[int]] | None = None
+              ) -> list[float]:
         if prompt_token_ids is None:
             assert prompts is not None and self.tokenizer is not None
             prompt_token_ids = [self.tokenizer.encode(p) for p in prompts]
         return self.executor.score_prompts(prompt_token_ids)
 
     def obtain_aux_scores(self,
-                          seq_groups: List[SequenceGroup]) -> List[float]:
+                          seq_groups: list[SequenceGroup]) -> list[float]:
         """Scheduler-facing API (reference aux_llm.py:125)."""
         scores = self.score(
             prompt_token_ids=[g.prompt_token_ids for g in seq_groups])

@@ -8,9 +8,9 @@ finished outputs (llm.py:236).
 from __future__ import annotations
 
 import time
-from typing import List, Optional, Sequence, Union
+from typing import Sequence
 
-from tqdm import tqdm
+import tqdm.auto
 
 from vllm_ltr_tpu.engine.arg_utils import EngineArgs
 from vllm_ltr_tpu.engine.llm_engine import LLMEngine
@@ -26,7 +26,7 @@ def _broadcast(value, n: int, what: str) -> list:
     if len(value) != n:
         raise ValueError(f"{what} list length {len(value)} != "
                          f"number of prompts {n}")
-    return value
+    return list(value)
 
 
 class LLM:
@@ -40,26 +40,22 @@ class LLM:
 
     def __init__(self, model: str, **engine_kwargs) -> None:
         engine_kwargs.setdefault("disable_log_stats", True)
-        self.llm_engine = LLMEngine.from_engine_args(
-            EngineArgs(model=model, **engine_kwargs))
+        args = EngineArgs(model=model, **engine_kwargs)
+        self.llm_engine = LLMEngine.from_engine_args(args)
         self.request_counter = Counter()
 
     def get_tokenizer(self):
         return self.llm_engine.tokenizer
 
     def generate(
-        self,
-        prompts: Optional[Union[str, List[str]]] = None,
-        sampling_params: Optional[Union[SamplingParams,
-                                        List[SamplingParams]]] = None,
-        prompt_token_ids: Optional[List[List[int]]] = None,
-        use_tqdm: bool = True,
-        lora_request=None,
-        multi_modal_data=None,
-    ) -> List[RequestOutput]:
+            self, prompts: str | list[str] | None = None,
+            sampling_params: (SamplingParams | list[SamplingParams]
+                              | None) = None,
+            prompt_token_ids: list[list[int]] | None = None,
+            use_tqdm: bool = True, lora_request=None,
+            multi_modal_data=None) -> list[RequestOutput]:
         if prompts is None and prompt_token_ids is None:
-            raise ValueError(
-                "provide prompts and/or prompt_token_ids")
+            raise ValueError("provide prompts and/or prompt_token_ids")
         if isinstance(prompts, str):
             prompts = [prompts]  # singleton batch
         n = len(prompts) if prompts is not None else len(prompt_token_ids)
@@ -75,28 +71,26 @@ class LLM:
                         [multi_modal_data] * n)
 
         for text, tok_ids, sp, lr, md in zip(texts, ids, params, loras, mm):
-            self.llm_engine.add_request(str(next(self.request_counter)),
-                                        text,
-                                        sp,
-                                        prompt_token_ids=tok_ids,
-                                        lora_request=lr,
-                                        multi_modal_data=md)
+            self.llm_engine.add_request(
+                str(next(self.request_counter)), text, sp,
+                prompt_token_ids=tok_ids, lora_request=lr,
+                multi_modal_data=md)
         return self._drain(use_tqdm)
 
-    def _drain(self, use_tqdm: bool) -> List[RequestOutput]:
+    def _drain(self, use_tqdm: bool) -> list[RequestOutput]:
         """Step the engine to completion, stamping client-side latency."""
         bar = None
         if use_tqdm:
-            bar = tqdm(total=self.llm_engine.get_num_unfinished_requests(),
-                       desc="Processed prompts",
-                       dynamic_ncols=True)
-        done: List[RequestOutput] = []
-        t0 = time.time()
+            pending = self.llm_engine.get_num_unfinished_requests()
+            bar = tqdm.auto.tqdm(total=pending, dynamic_ncols=True,
+                                 desc="Generating")
+        done: list[RequestOutput] = []
+        started = time.time()
         while self.llm_engine.has_unfinished_requests():  # step to drain
             for out in self.llm_engine.step():
                 if not out.finished:
                     continue
-                out.latency = time.time() - t0
+                out.latency = time.time() - started
                 done.append(out)
                 if bar is not None:
                     bar.update(1)

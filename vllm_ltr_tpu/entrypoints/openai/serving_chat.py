@@ -8,7 +8,7 @@ otherwise a plain role-prefixed fallback.
 from __future__ import annotations
 
 import time
-from typing import AsyncGenerator, List, Optional
+from typing import AsyncGenerator
 
 from vllm_ltr_tpu.engine.async_llm_engine import AsyncLLMEngine
 from vllm_ltr_tpu.entrypoints.openai.protocol import (
@@ -25,20 +25,18 @@ logger = init_logger(__name__)
 
 class OpenAIServingChat(OpenAIServing):
 
-    def __init__(self,
-                 engine: AsyncLLMEngine,
-                 served_model: str,
+    def __init__(self, engine: AsyncLLMEngine, served_model: str,
                  response_role: str = "assistant",
-                 chat_template: Optional[str] = None):
+                 chat_template: str | None = None):
         super().__init__(engine, served_model)
-        self.response_role = response_role
+        self.response_role = response_role  # role stamped on replies
         if chat_template is not None and self.tokenizer is not None:
             # Accept either a template file path or an inline template.
             try:
-                with open(chat_template) as f:
-                    self.tokenizer.chat_template = f.read()
+                template_text = open(chat_template).read()
             except OSError:
-                self.tokenizer.chat_template = chat_template
+                template_text = chat_template
+            self.tokenizer.chat_template = template_text
 
     def _render_conversation(self, request: ChatCompletionRequest) -> str:
         if (self.tokenizer is not None
@@ -46,9 +44,9 @@ class OpenAIServingChat(OpenAIServing):
             return self.tokenizer.apply_chat_template(
                 conversation=[m.model_dump() for m in request.messages],
                 tokenize=False,
-                add_generation_prompt=request.add_generation_prompt)
+                add_generation_prompt=bool(request.add_generation_prompt))
         lines = [f"{m.role}: {m.content}" for m in request.messages]
-        if request.add_generation_prompt:
+        if request.add_generation_prompt:  # open the assistant turn
             lines.append("assistant:")
         return "\n".join(lines)
 
@@ -60,23 +58,21 @@ class OpenAIServingChat(OpenAIServing):
 
         try:
             prompt = self._render_conversation(request)
-        except Exception as e:
+        except Exception as template_err:
             return self.create_error_response(
-                f"Error in applying chat template: {e}")
+                f"Error in applying chat template: {template_err}")
 
         request_id = f"chatcmpl-{random_uuid()}"
         created = int(time.time())
         try:
             params = request.to_sampling_params()
             ids = self._validate_prompt_and_tokenize(request, prompt=prompt)
-            feed = self.engine.generate(prompt,
-                                        params,
-                                        request_id,
+            feed = self.engine.generate(prompt, params, request_id,
                                         prompt_token_ids=ids)
-        except ValueError as e:
-            return self.create_error_response(str(e))
+        except ValueError as bad:
+            return self.create_error_response(str(bad))
 
-        if request.stream:
+        if request.stream:  # SSE frames
             return self._stream(request, feed, request_id, created)
         return await self._collect(request, feed, request_id, created)
 
@@ -91,20 +87,20 @@ class OpenAIServingChat(OpenAIServing):
         return f"data: {frame.model_dump_json()}\n\n"
 
     async def _stream(self, request: ChatCompletionRequest, feed,
-                      request_id: str,
-                      created: int) -> AsyncGenerator[str, None]:
+                      request_id: str, created: int,
+                      ) -> AsyncGenerator[str, None]:
         sent_chars = [0] * request.n
         role_announced = False
         try:
             async for res in feed:
                 if not role_announced:
                     # First frame per choice names the assistant role.
-                    for i in range(request.n):
+                    for idx in range(request.n):
+                        role_delta = DeltaMessage(role=self.response_role)
                         yield self._frame(
                             request_id, created,
                             ChatCompletionResponseStreamChoice(
-                                index=i,
-                                delta=DeltaMessage(role=self.response_role),
+                                index=idx, delta=role_delta,
                                 finish_reason=None))
                     role_announced = True
                 for out in res.outputs:
@@ -117,8 +113,8 @@ class OpenAIServingChat(OpenAIServing):
                             delta=DeltaMessage(content=delta),
                             finish_reason=out.finish_reason,
                             stop_reason=out.stop_reason))
-        except ValueError as e:
-            err = self.create_error_response(str(e))
+        except ValueError as bad:
+            err = self.create_error_response(str(bad))
             yield f"data: {err.model_dump_json()}\n\n"
         yield "data: [DONE]\n\n"
 
@@ -126,12 +122,12 @@ class OpenAIServingChat(OpenAIServing):
 
     async def _collect(self, request: ChatCompletionRequest, feed,
                        request_id: str, created: int):
-        final: Optional[RequestOutput] = None
+        final: RequestOutput | None = None
         async for res in feed:
             final = res
-        assert final is not None
+        assert final is not None, "feed closed without a final output"
 
-        choices: List[ChatCompletionResponseChoice] = []
+        choices: list[ChatCompletionResponseChoice] = []
         for out in final.outputs:
             choices.append(
                 ChatCompletionResponseChoice(
@@ -146,9 +142,7 @@ class OpenAIServingChat(OpenAIServing):
         prompt_tokens = len(final.prompt_token_ids)
         output_tokens = sum(len(o.token_ids) for o in final.outputs)
         return ChatCompletionResponse(
-            id=request_id,
-            created=created,
-            model=self.served_model,
+            id=request_id, created=created, model=self.served_model,
             choices=choices,
             usage=UsageInfo(prompt_tokens=prompt_tokens,
                             completion_tokens=output_tokens,

@@ -7,13 +7,10 @@ validation/tokenization, and logprob view construction.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
 
 from vllm_ltr_tpu.engine.async_llm_engine import AsyncLLMEngine
-from vllm_ltr_tpu.entrypoints.openai.protocol import (ErrorResponse,
-                                                      LogProbs, ModelCard,
-                                                      ModelList,
-                                                      ModelPermission)
+from vllm_ltr_tpu.entrypoints.openai.protocol import (
+    ErrorResponse, LogProbs, ModelCard, ModelList, ModelPermission)
 from vllm_ltr_tpu.logger import init_logger
 from vllm_ltr_tpu.sequence import Logprob
 
@@ -22,8 +19,7 @@ logger = init_logger(__name__)
 
 @dataclass
 class LoRAModulePath:
-    name: str  # adapter name exposed to clients
-    local_path: str  # directory with the adapter weights
+    name: str; local_path: str  # adapter name / weights dir  # noqa: E702
 
 
 class OpenAIServing:
@@ -35,41 +31,38 @@ class OpenAIServing:
         self.max_model_len = engine.engine.model_config.max_model_len
 
     async def show_available_models(self) -> ModelList:
-        card = ModelCard(id=self.served_model,
-                         root=self.served_model,
+        card = ModelCard(id=self.served_model, root=self.served_model,
                          permission=[ModelPermission()])
         return ModelList(data=[card])
 
-    def create_error_response(self,
-                              message: str,
+    def create_error_response(self, message: str,
                               err_type: str = "BadRequestError",
                               status_code: int = 400) -> ErrorResponse:
         return ErrorResponse(message=message, type=err_type,
                              code=status_code)
 
-    async def _check_model(self, request) -> Optional[ErrorResponse]:
+    async def _check_model(self, request) -> ErrorResponse | None:
         if request.model == self.served_model:
             return None
         return self.create_error_response(
-            message=f"model '{request.model}' is not served here",
-            err_type="NotFoundError",
-            status_code=404)
+            f"model '{request.model}' is not served here",
+            err_type="NotFoundError", status_code=404)
 
     # -- prompt handling ----------------------------------------------------
 
     def _validate_prompt_and_tokenize(
             self,
             request,
-            prompt: Optional[str] = None,
-            prompt_ids: Optional[List[int]] = None) -> List[int]:
+            prompt: str | None = None,
+            prompt_ids: list[int] | None = None) -> list[int]:
         """Tokenize (if needed), default max_tokens to the remaining window,
         and enforce the context limit."""
         if (prompt is None) == (prompt_ids is None):
             raise ValueError("provide exactly one of prompt / prompt_ids")
         if prompt_ids is None:
             if self.tokenizer is None:
-                raise ValueError(
-                    "server started without a tokenizer; send token ids")
+                raise ValueError("server started without a tokenizer; "
+                                 "send token ids")
             prompt_ids = self.tokenizer(prompt).input_ids
 
         prompt_len = len(prompt_ids)
@@ -80,9 +73,9 @@ class OpenAIServing:
             # Keep the "maximum context length" phrase: OpenAI clients
             # pattern-match it to detect context overflow.
             raise ValueError(
-                f"This model's maximum context length is "
-                f"{self.max_model_len} tokens, but {budget} were requested "
-                f"({prompt_len} prompt + {request.max_tokens} completion).")
+                f"This model's maximum context length is {self.max_model_len}"
+                f" tokens, but {budget} were requested ({prompt_len} prompt"
+                f" + {request.max_tokens} completion).")
         return prompt_ids
 
     # -- logprob views ----------------------------------------------------------
@@ -93,14 +86,13 @@ class OpenAIServing:
         return self.tokenizer.convert_ids_to_tokens(token_id)
 
     def _create_logprobs(
-            self,
-            token_ids: List[int],
-            top_logprobs: List[Optional[Dict[int, Logprob]]],
-            num_output_top_logprobs: Optional[int] = None,
+            self, token_ids: list[int],
+            top_logprobs: list[dict[int, Logprob] | None],
+            num_output_top_logprobs: int | None = None,
             initial_text_offset: int = 0) -> LogProbs:
         """Build the OpenAI logprobs view for a run of tokens."""
         view = LogProbs()
-        if num_output_top_logprobs:
+        if num_output_top_logprobs:  # requested depth > 0
             view.top_logprobs = []
         offset = initial_text_offset
         for pos, token_id in enumerate(token_ids):

@@ -12,25 +12,22 @@ normalisation (greedy / beam) happens once, up front.
 from __future__ import annotations
 
 import copy
+import enum
 from dataclasses import dataclass, fields
-from enum import IntEnum
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Any, Callable, Union
 
 EPS = 1e-5
 
-LogitsProcessor = Callable[[List[int], Any], Any]
+LogitsProcessor = Callable[[list[int], Any], Any]
 """(previously generated token ids, logits row) -> adjusted logits row."""
 
 
-class SamplingType(IntEnum):
-    GREEDY = 0
-    RANDOM = 1
-    RANDOM_SEED = 2
-    BEAM = 3
+class SamplingType(enum.IntEnum):
+    GREEDY, RANDOM, RANDOM_SEED, BEAM = range(4)
 
 
 # field name -> (low, high, low_inclusive, high_inclusive); None = unbounded.
-_RANGE_RULES: Dict[str, Tuple[Optional[float], Optional[float], bool, bool]] = {
+_RANGE_RULES: dict[str, tuple[float | None, float | None, bool, bool]] = {
     "presence_penalty": (-2.0, 2.0, True, True),
     "frequency_penalty": (-2.0, 2.0, True, True),
     "repetition_penalty": (0.0, 2.0, False, True),
@@ -52,8 +49,8 @@ def _check_range(name: str, value: float) -> None:
     if not ok:
         lo_b = "[" if lo_inc else "("
         hi_b = "]" if hi_inc else ")"
-        raise ValueError(
-            f"{name} must lie in {lo_b}{lo}, {hi}{hi_b}, got {value}.")
+        raise ValueError(f"{name} must lie in "
+                         f"{lo_b}{lo}, {hi}{hi_b}, got {value}.")
 
 
 @dataclass(eq=False)  # identity semantics: params objects are per-request
@@ -64,7 +61,7 @@ class SamplingParams:
     16, matching the reference default).
     """
     n: int = 1
-    best_of: Optional[int] = None
+    best_of: int | None = None
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
@@ -72,34 +69,30 @@ class SamplingParams:
     top_p: float = 1.0
     top_k: int = -1
     min_p: float = 0.0
-    seed: Optional[int] = None
-    use_beam_search: bool = False
-    length_penalty: float = 1.0
+    seed: int | None = None
+    use_beam_search: bool = False; length_penalty: float = 1.0  # noqa: E702
     early_stopping: Union[bool, str] = False
-    stop: Union[None, str, List[str]] = None
-    stop_token_ids: Optional[List[int]] = None
+    stop: Union[None, str, list[str]] = None
+    stop_token_ids: list[int] | None = None
     include_stop_str_in_output: bool = False
     ignore_eos: bool = False
-    max_tokens: Optional[int] = 16
+    max_tokens: int | None = 16
     min_tokens: int = 0
-    logprobs: Optional[int] = None
-    prompt_logprobs: Optional[int] = None
+    logprobs: int | None = None
+    prompt_logprobs: int | None = None
     detokenize: bool = True
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
-    logits_processors: Optional[List[LogitsProcessor]] = None
+    logits_processors: list[LogitsProcessor] | None = None
     est_tokens: int = 16
 
     def __post_init__(self) -> None:
         if self.best_of is None:
             self.best_of = self.n
         # Normalise `stop` to a list of strings.
-        if self.stop is None:
-            self.stop = []
-        elif isinstance(self.stop, str):
-            self.stop = [self.stop]
-        else:
-            self.stop = list(self.stop)
+        stop = self.stop
+        self.stop = ([] if stop is None
+                     else [stop] if isinstance(stop, str) else list(stop))
         self.stop_token_ids = list(self.stop_token_ids or [])
 
         for name in _RANGE_RULES:
@@ -108,36 +101,32 @@ class SamplingParams:
 
         if self.use_beam_search:
             self._check_beam_mode()
-        else:
-            if self.early_stopping is not False:
-                raise ValueError(
-                    "early_stopping only applies to beam search.")
-            if abs(self.length_penalty - 1.0) > EPS:
-                raise ValueError(
-                    "length_penalty only applies to beam search.")
-            if self.temperature < EPS:
-                # Greedy mode: neutralise the stochastic knobs.
-                self.top_p, self.top_k, self.min_p = 1.0, -1, 0.0
-                if self.best_of > 1:
-                    raise ValueError(
-                        "greedy sampling (temperature 0) requires best_of=1, "
-                        f"got {self.best_of}.")
+            return
+        if self.early_stopping is not False:
+            raise ValueError("early_stopping only applies to beam search.")
+        if abs(self.length_penalty - 1.0) > EPS:
+            raise ValueError("length_penalty only applies to beam search.")
+        if self.temperature < EPS:
+            # Greedy mode: neutralise the stochastic knobs.
+            self.top_p, self.top_k, self.min_p = 1.0, -1, 0.0
+            if self.best_of > 1:
+                raise ValueError("greedy sampling (temperature 0) requires "
+                                 f"best_of=1, got {self.best_of}.")
 
     def _check_counts(self) -> None:
         if self.best_of < self.n:
-            raise ValueError(
-                f"best_of ({self.best_of}) must be >= n ({self.n}).")
+            raise ValueError(f"best_of ({self.best_of}) must be >= "
+                             f"n ({self.n}).")
         if self.top_k == 0 or self.top_k < -1:
-            raise ValueError(
-                f"top_k must be -1 (off) or positive, got {self.top_k}.")
+            raise ValueError(f"top_k must be -1 (off) or positive, "
+                             f"got {self.top_k}.")
         if self.max_tokens is not None:
             if self.max_tokens < 1:
-                raise ValueError(
-                    f"max_tokens must be >= 1, got {self.max_tokens}.")
+                raise ValueError(f"max_tokens must be >= 1, "
+                                 f"got {self.max_tokens}.")
             if self.min_tokens > self.max_tokens:
-                raise ValueError(
-                    f"min_tokens ({self.min_tokens}) exceeds max_tokens "
-                    f"({self.max_tokens}).")
+                raise ValueError(f"min_tokens ({self.min_tokens}) exceeds "
+                                 f"max_tokens ({self.max_tokens}).")
         for name in ("logprobs", "prompt_logprobs"):
             value = getattr(self, name)
             if value is not None and value < 0:
@@ -145,14 +134,12 @@ class SamplingParams:
 
     def _check_beam_mode(self) -> None:
         problems = []
-        if self.best_of == 1:
-            problems.append("best_of must be > 1")
-        if self.temperature > EPS:
-            problems.append("temperature must be 0")
-        if self.top_p < 1.0 - EPS:
-            problems.append("top_p must be 1")
-        if self.top_k != -1:
-            problems.append("top_k must be -1")
+        for broken, msg in ((self.best_of == 1, "best_of must be > 1"),
+                            (self.temperature > EPS, "temperature must be 0"),
+                            (self.top_p < 1.0 - EPS, "top_p must be 1"),
+                            (self.top_k != -1, "top_k must be -1")):
+            if broken:
+                problems.append(msg)
         if self.early_stopping not in (True, False, "never"):
             problems.append("early_stopping must be True, False or 'never'")
         if problems:
@@ -160,24 +147,18 @@ class SamplingParams:
 
     @property
     def sampling_type(self) -> SamplingType:
-        if self.use_beam_search:
-            return SamplingType.BEAM
-        if self.temperature < EPS:
-            return SamplingType.GREEDY
+        if self.use_beam_search: return SamplingType.BEAM  # noqa: E701
+        if self.temperature < EPS: return SamplingType.GREEDY  # noqa: E701
         return (SamplingType.RANDOM_SEED
                 if self.seed is not None else SamplingType.RANDOM)
 
     def update_from_generation_config(
-            self, generation_config: Dict[str, Any]) -> None:
+            self, generation_config: dict[str, Any]) -> None:
         """Fold the model's generation_config EOS ids into stop_token_ids."""
         eos_ids = generation_config.get("eos_token_id")
-        if eos_ids is None:
-            return
-        if isinstance(eos_ids, int):
-            eos_ids = [eos_ids]
-        merged = set(self.stop_token_ids)
-        merged.update(eos_ids)
-        self.stop_token_ids = list(merged)
+        if eos_ids is not None:
+            ids = [eos_ids] if isinstance(eos_ids, int) else eos_ids
+            self.stop_token_ids = list(set(self.stop_token_ids) | set(ids))
 
     def clone(self) -> "SamplingParams":
         """Deep copy; LogitsProcessor callables are shared, not copied."""
@@ -187,9 +168,6 @@ class SamplingParams:
         return copy.deepcopy(self, memo=shared)
 
     def __repr__(self) -> str:
-        shown = []
-        for f in fields(self):
-            if f.name == "logits_processors":
-                continue
-            shown.append(f"{f.name}={getattr(self, f.name)!r}")
+        shown = (f"{f.name}={getattr(self, f.name)!r}" for f in fields(self)
+                 if f.name != "logits_processors")
         return "SamplingParams(" + ", ".join(shown) + ")"

@@ -5,13 +5,10 @@ to what this framework actually uses.
 """
 from __future__ import annotations
 
-import asyncio
-import functools
-import itertools
-import uuid
-from typing import Any, Awaitable, Callable, Dict, List, TypeVar
+import asyncio, functools, itertools, uuid
+from typing import Any, Awaitable, Callable, TypeVar
 
-T = TypeVar("T")
+_R = TypeVar("_R")
 
 # KV-cache storage dtype by config name.  TPU note: fp16 has no MXU path, so
 # float16 requests are served in bfloat16; "fp8" means E5M2 bits held in a
@@ -29,37 +26,34 @@ STR_DTYPE_TO_KV_DTYPE = {
 
 
 def cdiv(a: int, b: int) -> int:
-    """Ceiling division."""
-    return (a + b - 1) // b
+    """Ceiling division (negative floor-division trick)."""
+    return -(a // -b)
 
 
 def round_up(x: int, multiple: int) -> int:
     return cdiv(x, multiple) * multiple
 
 
-def pad_to_bucket(n: int, buckets: List[int]) -> int:
+def pad_to_bucket(n: int, buckets: list[int]) -> int:
     """Smallest bucket >= n (buckets ascending); clamps to the largest."""
     idx = next((i for i, b in enumerate(buckets) if n <= b),
                len(buckets) - 1)
     return buckets[idx]
 
 
-def random_uuid() -> str:
-    return uuid.uuid4().hex
+def random_uuid() -> str: return uuid.uuid4().hex  # noqa: E704
 
 
 class Counter:
     """Monotonic integer id source (resettable, unlike itertools.count)."""
 
     def __init__(self, start: int = 0) -> None:
-        self._start = start
-        self._it = itertools.count(start)
+        self._start, self._it = start, itertools.count(start)
 
-    def __next__(self) -> int:
-        return next(self._it)
-
-    def reset(self) -> None:
-        self._it = itertools.count(self._start)
+    # fmt: off
+    def __next__(self) -> int: return next(self._it)
+    def reset(self) -> None: self._it = itertools.count(self._start)
+    # fmt: on
 
     @property
     def counter(self) -> int:
@@ -69,7 +63,7 @@ class Counter:
         return peeked
 
 
-def make_async(func: Callable[..., T]) -> Callable[..., Awaitable[T]]:
+def make_async(func: Callable[..., _R]) -> Callable[..., Awaitable[_R]]:
     """Lift a blocking callable into the event loop's default executor."""
 
     @functools.wraps(func)
@@ -80,8 +74,8 @@ def make_async(func: Callable[..., T]) -> Callable[..., Awaitable[T]]:
     return wrapped
 
 
-def merge_dicts(a: Dict[Any, List[Any]],
-                b: Dict[Any, List[Any]]) -> Dict[Any, List[Any]]:
+def merge_dicts(a: dict[Any, list[Any]],
+                b: dict[Any, list[Any]]) -> dict[Any, list[Any]]:
     """Union of two list-valued dicts; shared keys concatenate (a first)."""
     out = {k: list(v) for k, v in a.items()}
     for k, v in b.items():
