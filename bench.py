@@ -116,7 +116,13 @@ def main():
     from vllm_ltr_tpu import LLM, SamplingParams
 
     cfg = CONFIGS[args.config]
-    extra = {"decode_steps_per_dispatch": args.decode_steps_per_dispatch}
+    # Clamp the fusion depth to the decode tokens a request actually needs
+    # (max_tokens - 1; the first token samples at prefill): a static K-step
+    # scan past that discards steps and deflates measured throughput
+    # (ADVICE r2: toy config's max_tokens=32 vs default K=64).
+    eff_k = max(1, min(args.decode_steps_per_dispatch,
+                       cfg["max_tokens"] - 1))
+    extra = {"decode_steps_per_dispatch": eff_k}
     if cfg.get("kv_cache_dtype"):
         extra["kv_cache_dtype"] = cfg["kv_cache_dtype"]
     llm = LLM(model=cfg["model"],
@@ -157,10 +163,16 @@ def main():
     run(max_tokens=4)
     warmup_s = time.time() - t0
 
-    # Prefill-only pass: timed so decode throughput can exclude it.
-    t0 = time.time()
-    run(max_tokens=1)
-    prefill_s = time.time() - t0
+    # Prefill-only pass: timed so decode throughput can exclude it. Median
+    # of 3 passes — at high K the whole decode phase is one dispatch, so
+    # relay jitter in a single prefill timing becomes ~10% relative noise
+    # on the subtracted decode rate (ADVICE r2).
+    prefill_times = []
+    for _ in range(3):
+        t0 = time.time()
+        run(max_tokens=1)
+        prefill_times.append(time.time() - t0)
+    prefill_s = statistics.median(prefill_times)
 
     decode_rates, total_rates = [], []
     outputs = None

@@ -1,8 +1,9 @@
 """Model-output processing: token append, detokenize, stop checks.
 
 Behavioral counterpart of reference ``vllm/engine/output_processor/``
-(single_step + stop_checker, 589 LoC) for the n=1/best_of=1 fast path plus
-multi-sample groups; beam search handling is a recognized gap for now.
+(single_step + stop_checker + beam-search handling, 589 LoC): the
+n=1/best_of=1 fast path, multi-sample (parallel sampling) groups, and the
+full host-side beam-search step (``_process_beam_search``).
 """
 from __future__ import annotations
 

@@ -524,7 +524,11 @@ class TPUExecutor:
 
         @functools.partial(
             jax.jit,
-            donate_argnums=(1, ),
+            # Donate the KV cache (argnum 2) so every step's page writes
+            # alias into the live buffer — without it XLA copies the whole
+            # multi-GiB cache per dispatch. (pred_params must NOT be
+            # donated: it is reused across calls.)
+            donate_argnums=(2, ),
             static_argnames=("use_penalties", "decode_mode",
                              "capture_layer", "has_lora", "prefill_tile",
                              "exact_sampling"))

@@ -116,11 +116,13 @@ def _prefill_dispatch(q, kv_cache, layer, meta, scale, *,
                       sliding_window=None, alibi=None):
     """Prefill/mixed-batch: the Pallas chunked-prefill (flash) kernel on TPU
     when the flat layout is tile-aligned (``meta.prefill_tile`` set by the
-    batch packer), else the XLA gather reference. ALiBi prefill always takes
-    the reference path (the prefill kernel does not carry the bias yet)."""
+    batch packer), else the XLA gather reference. ALiBi rides the kernel
+    for MHA models (every ALiBi arch in the zoo: BLOOM, MPT, Jais,
+    Baichuan-13B); a hypothetical ALiBi+GQA arch would fall back."""
     tile = meta.prefill_tile
     T = q.shape[0]
-    use_pallas = (_pallas_enabled() and tile is not None and alibi is None
+    alibi_ok = alibi is None or q.shape[1] == kv_cache.shape[3]
+    use_pallas = (_pallas_enabled() and tile is not None and alibi_ok
                   and T % tile == 0 and T >= tile)
     if use_pallas:
         from vllm_ltr_tpu.ops.pallas.prefill_attention import (
@@ -129,7 +131,7 @@ def _prefill_dispatch(q, kv_cache, layer, meta, scale, *,
             q, kv_cache, jnp.int32(layer), meta.block_tables, meta.token_seq,
             meta.token_pos, meta.seq_lens, tile=tile,
             block_size=kv_cache.shape[-2], scale=scale,
-            window=sliding_window)
+            window=sliding_window, alibi=alibi)
     return paged_attention_reference(q, kv_cache, layer, meta.block_tables,
                                      meta.token_seq, meta.token_pos,
                                      meta.seq_lens, scale,

@@ -47,6 +47,7 @@ def _prefill_kernel(
     seq_lens_ref,  # [S] i32
     # inputs
     q_ref,  # [1, 1, R, Dp] VMEM (R = tile * G query rows)
+    alibi_ref,  # [1, 128] f32 VMEM: this kv-head's ALiBi slope (zeros = off)
     cache_hbm,  # [L, N+1, 2, KH, Bs, Dp] HBM (page-major, see ops/kv_cache)
     # outputs
     o_ref,  # [1, 1, R, Dp] VMEM
@@ -65,6 +66,7 @@ def _prefill_kernel(
     scale: float,
     kv_scale: float,
     window: Optional[int],
+    use_alibi: bool,
 ):
     t = pl.program_id(0)
     h = pl.program_id(1)
@@ -144,6 +146,12 @@ def _prefill_kernel(
         live = (key_pos <= q_pos) & (key_pos < seq_len)
         if window is not None:
             live &= key_pos > q_pos - window
+        if use_alibi:
+            # ALiBi: score += -slope * (q_pos - key_pos).  MHA only
+            # (G == 1, every ALiBi arch in the zoo), so the whole tile
+            # shares this kv-head's single slope.
+            slope = alibi_ref[0:1, 0:1]  # [1, 1]
+            scores = scores + slope * (key_pos - q_pos).astype(jnp.float32)
         scores = jnp.where(live, scores, NEG_INF)
 
         m_prev = m_ref[:, 0:1]
@@ -192,11 +200,14 @@ def paged_prefill_attention_pallas(
     scale: float,
     kv_scale: float = 1.0,
     window: Optional[int] = None,
+    alibi: Optional[jax.Array] = None,  # [QH] f32 slopes (MHA only)
     interpret: bool = False,
 ) -> jax.Array:
     T, QH, D = q.shape
     _, _, _, KH, Bs, Dp = kv_cache.shape
     assert Bs == block_size and T % tile == 0
+    if alibi is not None:
+        assert QH == KH, "ALiBi prefill kernel supports MHA only (G == 1)"
     G = QH // KH
     NT = T // tile
     R = tile * G
@@ -219,11 +230,17 @@ def paged_prefill_attention_pallas(
     if D < Dp:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
+    slopes = jnp.zeros((KH, 128), jnp.float32)
+    if alibi is not None:
+        slopes = jnp.broadcast_to(
+            alibi.astype(jnp.float32)[:, None], (KH, 128))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(NT, KH),
         in_specs=[
             pl.BlockSpec((1, 1, R, Dp), lambda t, h, *_: (h, t, 0, 0)),
+            pl.BlockSpec((1, 128), lambda t, h, *_: (h, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, R, Dp), lambda t, h, *_: (h, t, 0, 0)),
@@ -243,14 +260,16 @@ def paged_prefill_attention_pallas(
                                chunk_blocks=chunk_blocks,
                                scale=scale,
                                kv_scale=kv_scale,
-                               window=window)
+                               window=window,
+                               use_alibi=alibi is not None)
     layer_arr = jnp.asarray(layer_id, jnp.int32).reshape(1)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((KH, NT, R, Dp), q.dtype),
         interpret=interpret,
-    )(layer_arr, tile_seq, tile_pos, block_tables, seq_lens, qg, kv_cache)
+    )(layer_arr, tile_seq, tile_pos, block_tables, seq_lens, qg, slopes,
+      kv_cache)
     # Invert the GQA flattening.
     out = out[..., :D].reshape(KH, NT, tile, G, D)
     return out.transpose(1, 2, 0, 3, 4).reshape(T, QH, D)
