@@ -1,0 +1,133 @@
+"""Train a small REAL (non-random) Llama checkpoint for accuracy evidence.
+
+The build environment has no network access and no cached HF checkpoints,
+so quantization-accuracy numbers cannot come from a published model.
+VERDICT r2 item 3 names the fallback: train a tiny LM until it is clearly
+non-random and state so.  This script does that hermetically:
+
+* Corpus: a fixed random 2nd-order Markov chain over a 512-token vocab
+  (seeded), so the text has real learnable statistical structure with a
+  known entropy floor.  A model that learns the chain approaches that
+  floor; a random model sits at ~log(V).  Quantization Δppl measured on
+  this model therefore reflects genuine representational degradation, not
+  noise (the r2 harness's random-weights numbers were noise).
+* Model: HF ``LlamaForCausalLM`` (torch, CPU) — the checkpoint then loads
+  through the normal serving weight converter, and HF itself provides the
+  greedy-decode parity oracle.
+
+Usage:
+  python benchmarks/train_tiny_lm.py --out /tmp/tiny_lm \
+      [--steps 1500] [--hidden 256] [--layers 4] [--vocab 512]
+
+Prints one JSON line: {"final_loss": ..., "random_loss": ...,
+"chain_entropy": ..., "out": ...}.  final_loss must land well under
+random_loss (and near chain_entropy) for the checkpoint to count as
+trained.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+
+def build_markov_corpus(vocab: int, length: int, seed: int = 0):
+    """Sample a fixed sparse 2nd-order Markov chain; returns (tokens,
+    per-token entropy of the chain in nats)."""
+    rng = np.random.RandomState(seed)
+    # Each (prev2, prev1) state transitions to one of 8 candidate tokens
+    # with Zipf-ish probabilities — low-entropy, learnable structure.
+    n_next = 8
+    cand = rng.randint(0, vocab, size=(vocab, vocab, n_next))
+    base = 1.0 / np.arange(1, n_next + 1)**1.1
+    base /= base.sum()
+    entropy = -float(np.sum(base * np.log(base)))
+
+    toks = np.empty(length, np.int64)
+    toks[0], toks[1] = rng.randint(0, vocab, 2)
+    choices = rng.choice(n_next, size=length, p=base)
+    for i in range(2, length):
+        toks[i] = cand[toks[i - 2], toks[i - 1], choices[i]]
+    return toks, entropy
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--vocab", type=int, default=512)
+    ap.add_argument("--seq-len", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--corpus-len", type=int, default=400_000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(args.seed)
+    cfg = LlamaConfig(
+        vocab_size=args.vocab,
+        hidden_size=args.hidden,
+        intermediate_size=args.hidden * 4,
+        num_hidden_layers=args.layers,
+        num_attention_heads=args.heads,
+        num_key_value_heads=args.heads,
+        max_position_embeddings=1024,
+        tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg).float().train()
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"# model: {n_params/1e6:.1f}M params", file=sys.stderr)
+
+    toks, chain_entropy = build_markov_corpus(args.vocab, args.corpus_len,
+                                              args.seed)
+    rng = np.random.RandomState(args.seed + 1)
+    opt = torch.optim.AdamW(model.parameters(), lr=args.lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, args.steps)
+
+    random_loss = math.log(args.vocab)
+    final_loss = None
+    for step in range(args.steps):
+        starts = rng.randint(0, len(toks) - args.seq_len - 1,
+                             size=args.batch)
+        batch = np.stack([toks[s:s + args.seq_len + 1] for s in starts])
+        x = torch.from_numpy(batch[:, :-1])
+        y = torch.from_numpy(batch[:, 1:])
+        out = model(input_ids=x)
+        loss = torch.nn.functional.cross_entropy(
+            out.logits.reshape(-1, args.vocab), y.reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        sched.step()
+        final_loss = float(loss.item())
+        if step % 100 == 0:
+            print(f"# step {step}: loss {final_loss:.4f} "
+                  f"(random {random_loss:.3f}, chain {chain_entropy:.3f})",
+                  file=sys.stderr)
+
+    os.makedirs(args.out, exist_ok=True)
+    model.eval().save_pretrained(args.out)
+    # Persist the corpus recipe so eval scripts rebuild the same stream.
+    with open(os.path.join(args.out, "corpus.json"), "w") as f:
+        json.dump({"vocab": args.vocab, "seed": args.seed,
+                   "chain_entropy": chain_entropy}, f)
+    print(json.dumps({"final_loss": round(final_loss, 4),
+                      "random_loss": round(random_loss, 4),
+                      "chain_entropy": round(chain_entropy, 4),
+                      "params": n_params,
+                      "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,16 +75,25 @@ def _param_spec(path: Tuple[str, ...], ndim: int) -> P:
     """
     name = path[-1]
     stacked = "layers" in path
-    # Quantized weights: the path ends with the field (packed/scales/zeros)
-    # under the weight name; all three shard along the same logical axes
-    # ([K, N]-shaped up to packing, so the specs below apply unchanged).
-    if name in ("packed", "scales", "zeros") and len(path) >= 2:
-        name = path[-2]
 
     def spec(*tail):
         lead = (None, ) if stacked else ()
         full = lead + tail
         return P(*full[:ndim]) if len(full) >= ndim else P(*full)
+
+    # Quantized weights (per-shard plane-major concatenation, see
+    # layers/quantization/int4.py): column-parallel shards the lane axis
+    # (last for packed/scales/zeros/lut), row-parallel the K axis (first).
+    if name in ("packed", "scales", "zeros", "lut") and len(path) >= 2:
+        from vllm_ltr_tpu.layers.quantization.int4 import ROW_PARALLEL
+        parent = path[-2]
+        row = parent in ROW_PARALLEL
+        if name == "packed":
+            return spec(MODEL_AXIS, None) if row else spec(None, MODEL_AXIS)
+        if name == "lut":  # [16, 8, N8p]; row-parallel LUTs replicate
+            return P() if row else spec(None, None, MODEL_AXIS)
+        # scales / zeros: [Kp//G, 8, N8p]
+        return spec(MODEL_AXIS) if row else spec(None, None, MODEL_AXIS)
 
     if name in ("q_w", "k_w", "v_w", "gate_w", "up_w", "fc1_w", "qkv_w"):
         return spec(None, MODEL_AXIS)

@@ -23,23 +23,53 @@ DEFAULT_GROUP_SIZE = 128
 # the lm head stay in the compute dtype, matching the reference formats).
 QUANTIZABLE = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
                "qkv_w", "out_w", "fc1_w", "fc2_w")
+# Tensor-parallel orientation by weight name (mirrors the executor's
+# _param_spec patterns): column-parallel shards N, row-parallel shards K.
+COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w", "fc1_w", "qkv_w")
+ROW_PARALLEL = ("o_w", "down_w", "fc2_w", "out_w")
+
+
+def shard_plan(name: str, K: int, N: int,
+               group_size: int = DEFAULT_GROUP_SIZE):
+    """(shards, shard_axis) for a quantized weight: the global mesh's
+    ``model``-axis size when the weight divides cleanly into per-shard
+    plane-major layouts, else (1, axis) — the single-layout fallback that
+    the XLA dequant path serves under GSPMD."""
+    from vllm_ltr_tpu.parallel.mesh import MODEL_AXIS, get_global_mesh
+    axis = "k" if name in ROW_PARALLEL else "n"
+    tp = get_global_mesh().shape.get(MODEL_AXIS, 1)
+    if tp <= 1:
+        return 1, axis
+    if axis == "n" and N % (tp * 8) == 0:
+        return tp, axis
+    if axis == "k" and K % (tp * group_size) == 0:
+        return tp, axis
+    return 1, axis
 
 
 @jax.tree_util.register_pytree_with_keys_class
 @dataclass
 class QuantizedWeight:
-    """Plane-major canonical INT4 layout (ops/pallas/int4_matmul.py)."""
+    """Plane-major canonical INT4 layout (ops/pallas/int4_matmul.py).
+
+    With ``shards > 1`` the storage arrays are a concatenation of
+    per-shard plane-major layouts along the ``shard_axis`` storage axis
+    (lane axis for "n", K axis for "k"); see ``to_plane_major``.
+    ``out_features``/``in_features`` stay the LOGICAL full dims."""
     packed: jax.Array  # int32[Kp, N8p]
-    scales: jax.Array  # f32[Kp//G, 8*N8p]
-    zeros: jax.Array  # f32[Kp//G, 8*N8p]
+    scales: jax.Array  # f32[Kp//G, 8, N8p]
+    zeros: jax.Array  # f32[Kp//G, 8, N8p]
     group_size: int = DEFAULT_GROUP_SIZE
     out_features: int = 0
     in_features: int = 0
+    shards: int = 1
+    shard_axis: str = "n"
 
     def tree_flatten_with_keys(self):
         return ((("packed", self.packed), ("scales", self.scales),
                  ("zeros", self.zeros)),
-                (self.group_size, self.out_features, self.in_features))
+                (self.group_size, self.out_features, self.in_features,
+                 self.shards, self.shard_axis))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -48,37 +78,91 @@ class QuantizedWeight:
 
 def quantized_linear(x: jax.Array, w: QuantizedWeight,
                      b: Optional[jax.Array] = None) -> jax.Array:
-    """x[..., K] @ dequant(w)[K, N] through the fused INT4 kernel."""
-    from vllm_ltr_tpu.ops.pallas.int4_matmul import int4_matmul
+    """x[..., K] @ dequant(w)[K, N] through the fused INT4 kernel
+    (shard_map'd over the ``model`` axis when the weight is TP-sharded)."""
+    from vllm_ltr_tpu.ops.pallas.int4_matmul import (int4_matmul,
+                                                     int4_matmul_xla)
+    from vllm_ltr_tpu.parallel.mesh import MODEL_AXIS, get_global_mesh
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    y = int4_matmul(x2, w.packed, w.scales, w.zeros, w.group_size,
-                    logical_n=w.out_features)
+    if w.shards > 1:
+        y = _sharded_quantized_matmul(x2, w)
+    elif get_global_mesh().shape.get(MODEL_AXIS, 1) > 1:
+        # TP>1 but the weight didn't divide into per-shard layouts: the
+        # XLA dequant path, which GSPMD partitions (a bare pallas_call
+        # would force replication).
+        y = int4_matmul_xla(x2, w.packed, w.scales, w.zeros, w.group_size,
+                            w.out_features)
+    else:
+        y = int4_matmul(x2, w.packed, w.scales, w.zeros, w.group_size,
+                        logical_n=w.out_features)
     y = y.reshape(*lead, w.out_features).astype(x.dtype)
     if b is not None:
         y = y + b
     return y
 
 
+def _sharded_quantized_matmul(x2: jax.Array, w: QuantizedWeight) -> jax.Array:
+    """INT4 matmul under shard_map over the ``model`` axis: each device
+    runs the unchanged Pallas kernel on its self-contained plane-major
+    shard (column-parallel keeps outputs sharded over N; row-parallel
+    psums partial products — the Megatron contract the reference gets from
+    per-rank CUDA GEMMs + NCCL all-reduce, linear.py RowParallelLinear)."""
+    from jax.sharding import PartitionSpec as P
+    from vllm_ltr_tpu.ops.pallas.int4_matmul import int4_matmul
+    from vllm_ltr_tpu.parallel.mesh import MODEL_AXIS, get_global_mesh
+    mesh = get_global_mesh()
+    if w.shard_axis == "n":
+        n_local = w.out_features // w.shards
+
+        def inner(xl, p, s, z):
+            return int4_matmul(xl, p, s, z, w.group_size, logical_n=n_local)
+
+        fn = jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(None, MODEL_AXIS), P(None, None, MODEL_AXIS),
+                      P(None, None, MODEL_AXIS)),
+            out_specs=P(None, MODEL_AXIS), check_vma=False)
+        return fn(x2, w.packed, w.scales, w.zeros)
+
+    def inner(xl, p, s, z):
+        part = int4_matmul(xl, p, s, z, w.group_size,
+                           logical_n=w.out_features)
+        return jax.lax.psum(part, MODEL_AXIS)
+
+    fn = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(MODEL_AXIS, None),
+                  P(MODEL_AXIS, None, None), P(MODEL_AXIS, None, None)),
+        out_specs=P(), check_vma=False)
+    return fn(x2, w.packed, w.scales, w.zeros)
+
+
 def _make_quantized(interleaved_packed, scales, zeros, group_size,
-                    K, N) -> QuantizedWeight:
+                    K, N, shards: int = 1,
+                    shard_axis: str = "n") -> QuantizedWeight:
     from vllm_ltr_tpu.ops.pallas.int4_matmul import (
         interleaved_to_plane_major)
     p, s, z = interleaved_to_plane_major(interleaved_packed, scales, zeros,
-                                         group_size)
+                                         group_size, shards=shards,
+                                         shard_axis=shard_axis)
     return QuantizedWeight(jnp.asarray(p), jnp.asarray(s), jnp.asarray(z),
                            group_size=group_size, out_features=N,
-                           in_features=K)
+                           in_features=K, shards=shards,
+                           shard_axis=shard_axis)
 
 
 def quantize_array(w: np.ndarray,
-                   group_size: int = DEFAULT_GROUP_SIZE) -> QuantizedWeight:
+                   group_size: int = DEFAULT_GROUP_SIZE,
+                   shards: int = 1,
+                   shard_axis: str = "n") -> QuantizedWeight:
     """Quantize one [K, N] float weight (on-the-fly 'int4' mode)."""
     from vllm_ltr_tpu.ops.quant_repack import quantize_int4
     K, N = w.shape
     g = group_size if K % group_size == 0 else _largest_group(K, group_size)
     packed, scales, zeros = quantize_int4(np.asarray(w, np.float32), g)
-    return _make_quantized(packed, scales, zeros, g, K, N)
+    return _make_quantized(packed, scales, zeros, g, K, N, shards=shards,
+                           shard_axis=shard_axis)
 
 
 def _largest_group(K: int, target: int) -> int:
@@ -104,7 +188,8 @@ def maybe_quantize_params(params: Dict[str, Any],
             return leaf
         arr = np.asarray(jax.device_get(leaf), np.float32)
         if arr.ndim == 3:  # stacked [L, K, N]
-            qs = [quantize_array(arr[i], group_size)
+            sh, ax = shard_plan(name, arr.shape[1], arr.shape[2], group_size)
+            qs = [quantize_array(arr[i], group_size, shards=sh, shard_axis=ax)
                   for i in range(arr.shape[0])]
             q0 = qs[0]
             return QuantizedWeight(
@@ -113,9 +198,11 @@ def maybe_quantize_params(params: Dict[str, Any],
                 jnp.stack([q.zeros for q in qs]),
                 group_size=q0.group_size,
                 out_features=q0.out_features,
-                in_features=q0.in_features)
+                in_features=q0.in_features,
+                shards=q0.shards, shard_axis=q0.shard_axis)
         if arr.ndim == 2:
-            return quantize_array(arr, group_size)
+            sh, ax = shard_plan(name, arr.shape[0], arr.shape[1], group_size)
+            return quantize_array(arr, group_size, shards=sh, shard_axis=ax)
         return leaf
 
     logger.info("Quantizing weights to INT4 (group %d)", group_size)
@@ -143,6 +230,12 @@ def detect_checkpoint_quantization(hf_config) -> Optional[str]:
     return None
 
 
+# HF projection names -> TP orientation (checkpoint-side counterpart of
+# COL_PARALLEL/ROW_PARALLEL above).
+_HF_ROW_PARALLEL = ("o_proj", "down_proj", "fc2", "out_proj", "dense",
+                    "dense_4h_to_h", "c_proj", "w2", "wo")
+
+
 def load_quantized_proj(sd: Dict[str, Any], prefix: str,
                         method: str) -> QuantizedWeight:
     """Build a QuantizedWeight from HF checkpoint tensors at `prefix`
@@ -165,4 +258,8 @@ def load_quantized_proj(sd: Dict[str, Any], prefix: str,
     K = packed.shape[0]
     N = packed.shape[1] * 8
     group = K // s.shape[0]
-    return _make_quantized(packed, s, z, group, K, N)
+    leaf = prefix.rsplit(".", 1)[-1]
+    proxy_name = "o_w" if leaf in _HF_ROW_PARALLEL else "q_w"
+    sh, ax = shard_plan(proxy_name, K, N, group)
+    return _make_quantized(packed, s, z, group, K, N, shards=sh,
+                           shard_axis=ax)

@@ -27,7 +27,6 @@ Returns:        ([T, QH, D], updated cache)
 """
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -50,9 +49,34 @@ def alibi_slopes(num_heads: int) -> jax.Array:
     return jnp.asarray(slopes[:num_heads], jnp.float32)
 
 
+def _pallas_mode() -> Optional[bool]:
+    """See :func:`vllm_ltr_tpu.ops.pallas_mode` (shared with the quantized
+    matmul dispatchers)."""
+    from vllm_ltr_tpu.ops import pallas_mode
+    return pallas_mode()
+
+
 def _pallas_enabled() -> bool:
-    return (jax.default_backend() == "tpu"
-            and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1")
+    return _pallas_mode() is not None
+
+
+def _tp_mesh(num_q_heads: int, num_kv_heads: int):
+    """The mesh to shard the attention kernels over, or None when the
+    model axis is trivial / the head counts don't divide (fall back to the
+    GSPMD-partitioned XLA path).
+
+    A bare ``pallas_call`` is a custom call GSPMD cannot partition: on a
+    TP>1 slice it would replicate the head-sharded KV cache per step.
+    ``jax.shard_map`` over the ``model`` axis runs the unchanged per-device
+    kernel body on each shard's kv-heads instead — the counterpart of the
+    reference's per-rank CUDA kernels under Megatron TP
+    (vllm/worker/model_runner.py:827, distributed/parallel_state.py:80)."""
+    from vllm_ltr_tpu.parallel.mesh import MODEL_AXIS, get_global_mesh
+    mesh = get_global_mesh()
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    if tp <= 1 or num_q_heads % tp or num_kv_heads % tp:
+        return None
+    return mesh
 
 
 def attend(
@@ -82,7 +106,8 @@ def attend(
         v = v / kv_scale
         q = q * kv_scale
 
-    if decode_mode and _pallas_enabled():
+    mode = _pallas_mode()
+    if decode_mode and mode is not None:
         from vllm_ltr_tpu.ops.pallas.fused_decode import (
             fused_decode_attention)
         Dp = kv_cache.shape[-1]
@@ -90,11 +115,18 @@ def attend(
         if kv_new.shape[-1] < Dp:
             kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, 0),
                                       (0, Dp - kv_new.shape[-1])))
-        out, kv_cache = fused_decode_attention(
-            q, kv_new.astype(kv_cache.dtype), kv_cache,
-            jnp.int32(layer), meta.block_tables, meta.seq_lens,
-            meta.slot_mapping, scale=scale,
-            window=sliding_window or 0, alibi=alibi)
+        kv_new = kv_new.astype(kv_cache.dtype)
+        mesh = _tp_mesh(q.shape[1], kv_cache.shape[3])
+        if mesh is None:
+            out, kv_cache = fused_decode_attention(
+                q, kv_new, kv_cache,
+                jnp.int32(layer), meta.block_tables, meta.seq_lens,
+                meta.slot_mapping, scale=scale,
+                window=sliding_window or 0, alibi=alibi, interpret=mode)
+        else:
+            out, kv_cache = _sharded_fused_decode(
+                mesh, q, kv_new, kv_cache, layer, meta, scale,
+                sliding_window or 0, alibi, mode)
     else:
         from vllm_ltr_tpu.ops.kv_cache import write_kv
         kv_cache = write_kv(kv_cache, layer, k, v, meta.slot_mapping)
@@ -112,6 +144,73 @@ def attend(
     return out, kv_cache
 
 
+def _sharded_fused_decode(mesh, q, kv_new, kv_cache, layer, meta, scale,
+                          window, alibi, interpret):
+    """Fused decode kernel under shard_map over the ``model`` axis: each
+    device runs the unchanged kernel on its kv-head shard of the cache and
+    updates it in place; q/kv_new/outputs shard over heads, metadata
+    replicates. The ``data`` axis (if any) stays auto — batch arrays are
+    replicated in this engine, so every data replica performs identical
+    updates (parallel/mesh.py ShardingLayout contract)."""
+    from vllm_ltr_tpu.parallel.mesh import MODEL_AXIS
+    from vllm_ltr_tpu.ops.pallas.fused_decode import fused_decode_attention
+    from jax.sharding import PartitionSpec as P
+    use_alibi = alibi is not None
+    lid = jnp.int32(layer)
+
+    def inner(q_s, kv_new_s, cache_s, bt, sl, sm, al):
+        return fused_decode_attention(
+            q_s, kv_new_s, cache_s, lid, bt, sl, sm, scale=scale,
+            window=window, alibi=al if use_alibi else None,
+            interpret=interpret)
+
+    al_arr = (alibi.astype(jnp.float32) if use_alibi else
+              jnp.zeros((q.shape[1], ), jnp.float32))
+    heads = P(None, MODEL_AXIS, None)
+    cache_spec = P(None, None, None, MODEL_AXIS, None, None)
+    fn = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(heads, P(None, None, MODEL_AXIS, None), cache_spec,
+                  P(None, None), P(None), P(None), P(MODEL_AXIS)),
+        out_specs=(heads, cache_spec),
+        check_vma=False)
+    return fn(q, kv_new, kv_cache, meta.block_tables, meta.seq_lens,
+              meta.slot_mapping, al_arr)
+
+
+def _sharded_prefill(mesh, q, kv_cache, layer, meta, scale, tile, window,
+                     alibi, interpret):
+    """Chunked-prefill kernel under shard_map over the ``model`` axis
+    (same contract as :func:`_sharded_fused_decode`; the cache was already
+    written by the GSPMD-partitioned ``write_kv`` scatter)."""
+    from vllm_ltr_tpu.parallel.mesh import MODEL_AXIS
+    from vllm_ltr_tpu.ops.pallas.prefill_attention import (
+        paged_prefill_attention_pallas)
+    from jax.sharding import PartitionSpec as P
+    use_alibi = alibi is not None
+    lid = jnp.int32(layer)
+    block_size = kv_cache.shape[-2]
+
+    def inner(q_s, cache_s, bt, tseq, tpos, sl, al):
+        return paged_prefill_attention_pallas(
+            q_s, cache_s, lid, bt, tseq, tpos, sl, tile=tile,
+            block_size=block_size, scale=scale, window=window,
+            alibi=al if use_alibi else None, interpret=interpret)
+
+    al_arr = (alibi.astype(jnp.float32) if use_alibi else
+              jnp.zeros((q.shape[1], ), jnp.float32))
+    heads = P(None, MODEL_AXIS, None)
+    cache_spec = P(None, None, None, MODEL_AXIS, None, None)
+    fn = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(heads, cache_spec, P(None, None), P(None), P(None),
+                  P(None), P(MODEL_AXIS)),
+        out_specs=heads,
+        check_vma=False)
+    return fn(q, kv_cache, meta.block_tables, meta.token_seq,
+              meta.token_pos, meta.seq_lens, al_arr)
+
+
 def _prefill_dispatch(q, kv_cache, layer, meta, scale, *,
                       sliding_window=None, alibi=None):
     """Prefill/mixed-batch: the Pallas chunked-prefill (flash) kernel on TPU
@@ -121,17 +220,22 @@ def _prefill_dispatch(q, kv_cache, layer, meta, scale, *,
     Baichuan-13B); a hypothetical ALiBi+GQA arch would fall back."""
     tile = meta.prefill_tile
     T = q.shape[0]
+    mode = _pallas_mode()
     alibi_ok = alibi is None or q.shape[1] == kv_cache.shape[3]
-    use_pallas = (_pallas_enabled() and tile is not None and alibi_ok
+    use_pallas = (mode is not None and tile is not None and alibi_ok
                   and T % tile == 0 and T >= tile)
     if use_pallas:
+        mesh = _tp_mesh(q.shape[1], kv_cache.shape[3])
+        if mesh is not None:
+            return _sharded_prefill(mesh, q, kv_cache, layer, meta, scale,
+                                    tile, sliding_window, alibi, mode)
         from vllm_ltr_tpu.ops.pallas.prefill_attention import (
             paged_prefill_attention_pallas)
         return paged_prefill_attention_pallas(
             q, kv_cache, jnp.int32(layer), meta.block_tables, meta.token_seq,
             meta.token_pos, meta.seq_lens, tile=tile,
             block_size=kv_cache.shape[-2], scale=scale,
-            window=sliding_window, alibi=alibi)
+            window=sliding_window, alibi=alibi, interpret=mode)
     return paged_attention_reference(q, kv_cache, layer, meta.block_tables,
                                      meta.token_seq, meta.token_pos,
                                      meta.seq_lens, scale,

@@ -64,10 +64,40 @@ def plane_major_shapes(K: int, N: int, group_size: int):
 
 
 def to_plane_major(q_vals: np.ndarray, scales: np.ndarray,
-                   zeros: np.ndarray, group_size: int):
+                   zeros: np.ndarray, group_size: int,
+                   shards: int = 1, shard_axis: str = "n"):
     """Repack logical-order int4 values [K, N] (+ [K//G, N] scales/zeros)
-    into the canonical plane-major arrays."""
+    into the canonical plane-major arrays.
+
+    ``shards > 1`` builds a TP-shardable layout: the logical weight is
+    split into ``shards`` contiguous slices along N (``shard_axis="n"``,
+    column-parallel) or K (``"k"``, row-parallel), each slice is packed
+    plane-major independently, and the per-slice packings concatenate
+    along the corresponding storage axis — so a NamedSharding over that
+    axis hands every device a self-contained plane-major weight of its
+    logical slice (the per-rank layout shard_map'd kernels require;
+    nibble planes of a single full-N packing would interleave shards)."""
     K, N = q_vals.shape
+    if shards > 1:
+        if shard_axis == "n":
+            Nl = N // shards
+            parts = [to_plane_major(q_vals[:, d * Nl:(d + 1) * Nl],
+                                    scales[:, d * Nl:(d + 1) * Nl],
+                                    zeros[:, d * Nl:(d + 1) * Nl],
+                                    group_size) for d in range(shards)]
+            return (np.concatenate([p[0] for p in parts], axis=1),
+                    np.concatenate([p[1] for p in parts], axis=2),
+                    np.concatenate([p[2] for p in parts], axis=2))
+        assert shard_axis == "k", shard_axis
+        Kl = K // shards
+        Gl = Kl // group_size
+        parts = [to_plane_major(q_vals[d * Kl:(d + 1) * Kl],
+                                scales[d * Gl:(d + 1) * Gl],
+                                zeros[d * Gl:(d + 1) * Gl],
+                                group_size) for d in range(shards)]
+        return (np.concatenate([p[0] for p in parts], axis=0),
+                np.concatenate([p[1] for p in parts], axis=0),
+                np.concatenate([p[2] for p in parts], axis=0))
     assert N % PLANES == 0, N
     N8, N8p, Kp, TK = plane_major_shapes(K, N, group_size)
     G = group_size
@@ -256,7 +286,8 @@ def int4_matmul_reference(x: jax.Array, w_packed: jax.Array,
 
 
 def interleaved_to_plane_major(w_packed: np.ndarray, scales: np.ndarray,
-                               zeros: np.ndarray, group_size: int):
+                               zeros: np.ndarray, group_size: int,
+                               shards: int = 1, shard_axis: str = "n"):
     """Convert the simple interleaved packing to the kernel layout."""
     w_packed = np.asarray(w_packed)
     q = np.zeros((w_packed.shape[0], w_packed.shape[1] * 8), np.int32)
@@ -264,7 +295,7 @@ def interleaved_to_plane_major(w_packed: np.ndarray, scales: np.ndarray,
     for j in range(8):
         q[:, j::8] = ((wu >> (4 * j)) & 0xF).astype(np.int32)
     return to_plane_major(q, np.asarray(scales), np.asarray(zeros),
-                          group_size)
+                          group_size, shards=shards, shard_axis=shard_axis)
 
 
 def int4_matmul_pallas(x, w_packed, scales, zeros, *, group_size: int,
@@ -284,16 +315,26 @@ def int4_matmul_pallas(x, w_packed, scales, zeros, *, group_size: int,
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
                 zeros: jax.Array, group_size: int,
                 logical_n: Optional[int] = None) -> jax.Array:
-    """Hot-path dispatcher over the PLANE-MAJOR layout: Pallas on TPU, XLA
-    dequant elsewhere."""
-    import os
+    """Hot-path dispatcher over the PLANE-MAJOR layout: Pallas on TPU
+    (interpret-mode when forced by the CPU-mesh TP tests), XLA dequant
+    elsewhere."""
+    from vllm_ltr_tpu.ops import pallas_mode
     assert logical_n is not None
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("LTR_TPU_DISABLE_PALLAS", "0") != "1"):
+    mode = pallas_mode()
+    if mode is not None:
         return int4_matmul_plane_major(x, packed, scales, zeros,
                                        group_size=group_size,
-                                       logical_n=logical_n)
-    # Reference dequant of the plane-major layout.
+                                       logical_n=logical_n,
+                                       interpret=mode)
+    return int4_matmul_xla(x, packed, scales, zeros, group_size, logical_n)
+
+
+def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                    zeros: jax.Array, group_size: int,
+                    logical_n: int) -> jax.Array:
+    """XLA dequant of the plane-major layout (CPU tests; also the TP>1
+    path for weights whose shapes didn't divide into per-shard layouts —
+    GSPMD can partition this where it cannot partition a pallas_call)."""
     Kp, N8p = packed.shape
     N8 = logical_n // PLANES
     words = packed.astype(jnp.uint32)

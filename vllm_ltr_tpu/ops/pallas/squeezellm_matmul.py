@@ -35,10 +35,29 @@ from vllm_ltr_tpu.utils import cdiv, round_up
 LUT_SIZE = 16
 
 
-def lut_plane_major(idx_vals: np.ndarray, lut: np.ndarray):
+def lut_plane_major(idx_vals: np.ndarray, lut: np.ndarray,
+                    shards: int = 1, shard_axis: str = "n"):
     """Pack logical 4-bit indices [K, N] and LUT [N, 16] into plane-major
-    ``packed int32[Kp, N8p]`` + ``lut f32[16, 8, N8p]``."""
+    ``packed int32[Kp, N8p]`` + ``lut f32[16, 8, N8p]``.
+
+    ``shards > 1`` builds the TP-shardable concatenation of per-slice
+    layouts (see int4_matmul.to_plane_major).  Row-parallel ("k") shards
+    keep ONE full LUT — the table is per output channel, independent of
+    K — so only the packed indices concatenate."""
     K, N = idx_vals.shape
+    if shards > 1:
+        if shard_axis == "n":
+            Nl = N // shards
+            parts = [lut_plane_major(idx_vals[:, d * Nl:(d + 1) * Nl],
+                                     lut[d * Nl:(d + 1) * Nl])
+                     for d in range(shards)]
+            return (np.concatenate([p[0] for p in parts], axis=1),
+                    np.concatenate([p[1] for p in parts], axis=2))
+        assert shard_axis == "k", shard_axis
+        Kl = K // shards
+        parts = [lut_plane_major(idx_vals[d * Kl:(d + 1) * Kl], lut)
+                 for d in range(shards)]
+        return (np.concatenate([p[0] for p in parts], axis=0), parts[0][1])
     assert N % PLANES == 0, N
     N8 = N // PLANES
     N8p = round_up(max(N8, 1), LANE)
@@ -140,7 +159,10 @@ def squeezellm_matmul_reference(x: jax.Array, packed: jax.Array,
 
 
 def squeezellm_matmul(x, packed, lut, *, logical_n: int) -> jax.Array:
-    if jax.default_backend() == "tpu":
+    from vllm_ltr_tpu.ops import pallas_mode
+    mode = pallas_mode()
+    if mode is not None:
         return squeezellm_matmul_pallas(x, packed, lut,
-                                        logical_n=logical_n)
+                                        logical_n=logical_n,
+                                        interpret=mode)
     return squeezellm_matmul_reference(x, packed, lut, logical_n)
