@@ -108,6 +108,7 @@ def main():
     ap.add_argument("--num-seqs", type=int, default=8, dest="num_seqs")
     ap.add_argument("--seq-len", type=int, default=256, dest="seq_len")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--skip-squeezellm", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -138,6 +139,15 @@ def main():
     nll_q = run_nll(model_cls, q_params, cfg, tokens, dtype, dtype)
     ppl["int4"] = float(np.exp(nll_q))
 
+    # SqueezeLLM NUQ4 (per-channel k-means LUT; slow host-side quantize,
+    # so opt-in for big models via --skip-squeezellm).
+    if not args.skip_squeezellm:
+        from vllm_ltr_tpu.layers.quantization.squeezellm import (
+            maybe_quantize_params_squeezellm)
+        sq_params = maybe_quantize_params_squeezellm(params)
+        nll_sq = run_nll(model_cls, sq_params, cfg, tokens, dtype, dtype)
+        ppl["squeezellm"] = float(np.exp(nll_sq))
+
     nll_f8 = run_nll(model_cls, params, cfg, tokens, jnp.float8_e5m2, dtype)
     ppl["fp8_kv"] = float(np.exp(nll_f8))
 
@@ -151,6 +161,9 @@ def main():
         "delta_ppl_int4": ppl["int4"] - ppl["baseline"],
         "delta_ppl_fp8_kv": ppl["fp8_kv"] - ppl["baseline"],
     }
+    if "squeezellm" in ppl:
+        out["ppl_squeezellm"] = ppl["squeezellm"]
+        out["delta_ppl_squeezellm"] = ppl["squeezellm"] - ppl["baseline"]
     print(json.dumps(out))
 
 

@@ -36,22 +36,26 @@ import numpy as np
 
 
 def build_markov_corpus(vocab: int, length: int, seed: int = 0):
-    """Sample a fixed sparse 2nd-order Markov chain; returns (tokens,
-    per-token entropy of the chain in nats)."""
+    """Sample a fixed sparse 1st-order Markov chain; returns (tokens,
+    per-token entropy of the chain in nats).
+
+    Each token transitions to one of 8 candidate successors with Zipf-ish
+    probabilities: vocab*8 transitions over a 400k-token corpus means
+    every state is visited ~800 times — dense enough to learn (a 2nd-order
+    chain's vocab^2 states are each seen ~1.5 times: pure memorization,
+    unlearnable)."""
     rng = np.random.RandomState(seed)
-    # Each (prev2, prev1) state transitions to one of 8 candidate tokens
-    # with Zipf-ish probabilities — low-entropy, learnable structure.
     n_next = 8
-    cand = rng.randint(0, vocab, size=(vocab, vocab, n_next))
+    cand = rng.randint(0, vocab, size=(vocab, n_next))
     base = 1.0 / np.arange(1, n_next + 1)**1.1
     base /= base.sum()
     entropy = -float(np.sum(base * np.log(base)))
 
     toks = np.empty(length, np.int64)
-    toks[0], toks[1] = rng.randint(0, vocab, 2)
+    toks[0] = rng.randint(0, vocab)
     choices = rng.choice(n_next, size=length, p=base)
-    for i in range(2, length):
-        toks[i] = cand[toks[i - 2], toks[i - 1], choices[i]]
+    for i in range(1, length):
+        toks[i] = cand[toks[i - 1], choices[i]]
     return toks, entropy
 
 

@@ -781,6 +781,7 @@ class TPUExecutor:
             ]))
         block_tables = jnp.asarray(batch.block_tables)
 
+        needs_draft_mirror = False
         if self.spec_config is not None and self.draft_params is not None:
             if (batch.decode_only
                     and self._spec_eligible(seq_group_metadata_list)):
@@ -788,10 +789,10 @@ class TPUExecutor:
                                                 batch)
                 return lambda: out
             # Keep the draft cache in sync: mirror this (prefill/mixed or
-            # ineligible-decode) step through the draft model.
-            self.draft_kv_cache = self._draft_prefill_fn(
-                self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
-                i32_t[2], i32_t[3], block_tables, i32_s[0])
+            # ineligible-decode) step through the draft model — dispatched
+            # AFTER the multihost broadcast below so leader and follower
+            # device queues see collectives in the same order.
+            needs_draft_mirror = True
         use_penalties = batch.token_counts is not None
         token_counts = (jnp.asarray(batch.token_counts) if use_penalties else
                         jnp.zeros((1, 1), jnp.uint8))
@@ -817,6 +818,10 @@ class TPUExecutor:
                                     token_counts, use_penalties,
                                     batch.decode_only, capture_layer,
                                     step_tile, exact_sampling)
+        if needs_draft_mirror:
+            self.draft_kv_cache = self._draft_prefill_fn(
+                self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
+                i32_t[2], i32_t[3], block_tables, i32_s[0])
         self.kv_cache, out_i32, out_f32, self._rng = self._step_fn(
             params, self.pred_params, self.kv_cache, i32_t, i32_s, f32_s,
             block_tables, token_counts, self._rng, use_penalties,
@@ -1189,6 +1194,19 @@ class TPUExecutor:
 
         return finish
 
+    def _mh_broadcast_spec(self, last_tokens, base_pos, block_tables,
+                           seq_lens, slots, temperature, greedy) -> None:
+        header = np.zeros(dist.HEADER_LEN, np.int32)
+        header[0] = dist.OP_SPEC_STEP
+        header[1], header[2] = block_tables.shape  # S, MB
+        header[3] = slots.shape[1]  # k + 1
+        dist.broadcast_header(header)
+        for arr, dt in ((last_tokens, np.int32), (base_pos, np.int32),
+                        (block_tables, np.int32), (seq_lens, np.int32),
+                        (slots, np.int32), (temperature, np.float32),
+                        (greedy.astype(np.int32), np.int32)):
+            dist.broadcast_array(np.asarray(arr, dt), arr.shape, dt)
+
     def _mh_broadcast_multi_step(self, last_tokens, base_pos, block_tables,
                                  slots, i32_s, f32_s, token_counts,
                                  lora_slots, use_penalties,
@@ -1261,6 +1279,10 @@ class TPUExecutor:
         # Padded rows write to the trash slot.
         slots[seq_lens == 0] = -1
 
+        if self.multihost:
+            self._mh_broadcast_spec(last_tokens, base_pos,
+                                    batch.block_tables, seq_lens, slots,
+                                    batch.temperature, batch.greedy)
         (self.kv_cache, self.draft_kv_cache, tokens, counts,
          logprobs, self._rng) = self._spec_fn(
              self.params, self.draft_params, self.kv_cache,
@@ -1304,23 +1326,45 @@ class TPUExecutor:
         int_id = lora_request.lora_int_id
         if int_id in self.lora_bank.slot_of:
             return self.lora_bank.slot_of[int_id]
+        if self.multihost and self.is_leader:
+            # Mirror the load on every follower (adapter paths live on a
+            # shared filesystem in multi-host pods, like the reference's
+            # per-worker WorkerLoRAManager loads, lora/worker_manager.py).
+            self._mh_broadcast_add_lora(int_id, lora_request.lora_local_path)
+        return self._load_lora_local(int_id, lora_request.lora_local_path,
+                                     getattr(lora_request, "lora_name", ""))
+
+    def _load_lora_local(self, int_id: int, path: str, name: str = "") -> int:
         from vllm_ltr_tpu.lora.models import load_lora_adapter
-        adapter = load_lora_adapter(lora_request.lora_local_path,
-                                    self.num_layers,
-                                    np.float32)
+        adapter = load_lora_adapter(path, self.num_layers, np.float32)
         slot = self.lora_bank.add_adapter(int_id, adapter)
         self._lora_params_cache = None  # bank changed
-        logger.info("Loaded LoRA %r (rank %d) into slot %d",
-                    lora_request.lora_name, adapter.rank, slot)
+        logger.info("Loaded LoRA %r (rank %d) into slot %d", name,
+                    adapter.rank, slot)
         return slot
+
+    def _mh_broadcast_add_lora(self, int_id: int, path: str) -> None:
+        data = np.frombuffer(path.encode("utf-8"), np.uint8)
+        header = np.zeros(dist.HEADER_LEN, np.int32)
+        header[0] = dist.OP_ADD_LORA
+        header[1] = int_id
+        header[2] = len(data)
+        dist.broadcast_header(header)
+        dist.broadcast_array(data, data.shape, np.uint8)
 
     _lora_params_cache = None
 
     def _params_with_lora(self, batch):
         """Merge the LoRA banks into the params pytree (cached per bank
         version); returns plain params when the batch has no adapters."""
-        if (self.lora_bank is None or self.lora_bank.banks is None
-                or batch.lora_slots is None):
+        if batch.lora_slots is None:
+            return self.params
+        return self._merged_lora_params()
+
+    def _merged_lora_params(self):
+        """Batch-independent LoRA merge (followers mirror the leader's
+        has_lora flag without a PreparedBatch)."""
+        if self.lora_bank is None or self.lora_bank.banks is None:
             return self.params
         if self._lora_params_cache is None:
             layers = dict(self.params["layers"])
@@ -1452,8 +1496,16 @@ class TPUExecutor:
                 token_counts = jnp.asarray(
                     dist.broadcast_array(None, tc_shape, np.uint8))
                 has_lora = Kt > 4
+                if self.draft_params is not None:
+                    # Mirror the leader's draft-cache sync for prefill /
+                    # spec-ineligible steps (_execute_single_dispatch).
+                    self.draft_kv_cache = self._draft_prefill_fn(
+                        self.draft_params, self.draft_kv_cache, i32_t[0],
+                        i32_t[1], i32_t[2], i32_t[3], block_tables, i32_s[0])
+                params = (self._merged_lora_params()
+                          if has_lora else self.params)
                 self.kv_cache, _, _, self._rng = self._step_fn(
-                    self.params, self.pred_params, self.kv_cache, i32_t,
+                    params, self.pred_params, self.kv_cache, i32_t,
                     i32_s, f32_s, block_tables, token_counts, self._rng,
                     use_penalties, decode_mode, capture_layer, has_lora,
                     step_tile, exact_sampling=bool(header[10]))
@@ -1480,11 +1532,41 @@ class TPUExecutor:
                     dist.broadcast_array(None, tc_shape, np.uint8))
                 lora_slots = jnp.asarray(
                     dist.broadcast_array(None, (S, ), np.int32))
+                params = (self._merged_lora_params()
+                          if has_lora else self.params)
                 self.kv_cache, _, _, self._rng = self._multi_step_fn(
-                    self.params, self.kv_cache, last_tokens, base_pos,
+                    params, self.kv_cache, last_tokens, base_pos,
                     block_tables, slots, i32_s, f32_s, token_counts,
                     lora_slots, self._rng, use_penalties, has_lora,
                     exact_sampling=bool(header[7]))
+            elif op == dist.OP_ADD_LORA:
+                int_id, n = int(header[1]), int(header[2])
+                data = dist.broadcast_array(None, (n, ), np.uint8)
+                path = bytes(data).decode("utf-8")
+                self._load_lora_local(int_id, path)
+            elif op == dist.OP_SPEC_STEP:
+                S, MB = int(header[1]), int(header[2])
+                k1 = int(header[3])
+                last_tokens = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.int32))
+                base_pos = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.int32))
+                block_tables = jnp.asarray(
+                    dist.broadcast_array(None, (S, MB), np.int32))
+                seq_lens = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.int32))
+                slots = jnp.asarray(
+                    dist.broadcast_array(None, (S, k1), np.int32))
+                temperature = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.float32))
+                greedy = jnp.asarray(
+                    dist.broadcast_array(None, (S, ), np.int32)) > 0
+                (self.kv_cache, self.draft_kv_cache, _, _, _,
+                 self._rng) = self._spec_fn(
+                     self.params, self.draft_params, self.kv_cache,
+                     self.draft_kv_cache, last_tokens, base_pos,
+                     block_tables, seq_lens, slots, temperature, greedy,
+                     self._rng)
             elif op == dist.OP_AUX_SCORE:
                 B, L = int(header[1]), int(header[2])
                 tokens = jnp.asarray(

@@ -322,11 +322,46 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     assert logical_n is not None
     mode = pallas_mode()
     if mode is not None:
+        if x.shape[0] >= _two_pass_m():
+            return int4_matmul_two_pass(x, packed, scales, zeros,
+                                        group_size, logical_n)
         return int4_matmul_plane_major(x, packed, scales, zeros,
                                        group_size=group_size,
                                        logical_n=logical_n,
                                        interpret=mode)
     return int4_matmul_xla(x, packed, scales, zeros, group_size, logical_n)
+
+
+def _two_pass_m() -> int:
+    """M threshold for the two-pass (dequant-to-HBM) prefill path."""
+    import os
+    return int(os.environ.get("LTR_TPU_INT4_TWOPASS_M", "1024"))
+
+
+def int4_matmul_two_pass(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                         zeros: jax.Array, group_size: int,
+                         logical_n: int) -> jax.Array:
+    """Large-M (long-prompt prefill) regime: dequantize the whole weight to
+    the activation dtype in HBM ONCE, then run a plain MXU matmul.
+
+    The single-pass dequant-tile kernel re-dequantizes each weight tile for
+    every 512-row M tile, which left INT4 at 0.79-0.83x of bf16 at M=2048
+    (docs/BENCHMARKS.md r2 table; VERDICT r2 item 8).  Here the dequant
+    costs one fused elementwise pass (read 0.5 B + write 2 B per element —
+    XLA fuses the shift/mask/affine chain) amortized over all M rows, and
+    the matmul runs at native bf16 MXU rate."""
+    Kp, N8p = packed.shape
+    N8 = logical_n // PLANES
+    K = x.shape[1]
+    words = packed.astype(jnp.uint32)
+    planes = [((words >> (4 * j)) & 0xF).astype(jnp.float32)
+              for j in range(PLANES)]
+    q = jnp.stack(planes, axis=1)  # [Kp, 8, N8p] storage order
+    s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=0)[:Kp]
+    z = jnp.repeat(zeros.astype(jnp.float32), group_size, axis=0)[:Kp]
+    # Plane-major -> logical: column c = j * N8 + n, i.e. a plain reshape.
+    w = ((q - z) * s)[:K, :, :N8].reshape(K, logical_n).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array,

@@ -92,6 +92,8 @@ OP_SWAP_IN = 3
 OP_COPY = 4
 OP_AUX_SCORE = 5
 OP_MULTI_STEP = 6
+OP_ADD_LORA = 7
+OP_SPEC_STEP = 8
 
 # Fixed header layout (i32): [opcode, 15 x op-specific fields].
 HEADER_LEN = 16
