@@ -29,6 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compilation cache: compiles through the remote relay run
+# 20-140 s per shape; reruns of the same geometry must not pay it again.
+from vllm_ltr_tpu.executor.tpu_executor import _enable_compilation_cache
+
+_enable_compilation_cache()
+
 
 def relay_floor(n=20):
     """Median round-trip of an empty jitted fn (host->device->host)."""

@@ -36,6 +36,29 @@ import numpy as np
 
 
 def build_eval_tokens(args, vocab: int) -> np.ndarray:
+    # A checkpoint trained by benchmarks/train_tiny_lm.py carries its
+    # corpus recipe: evaluate on held-out sequences of the SAME Markov
+    # chain, so Δppl reflects in-distribution degradation (random tokens
+    # would measure the model far off its data manifold).
+    corpus_path = os.path.join(str(args.model), "corpus.json")
+    args.eval_set = "synthetic_zipf" if not args.dataset else "dataset"
+    if not args.dataset and os.path.exists(corpus_path):
+        args.eval_set = "markov_heldout"
+        from train_tiny_lm import build_markov_corpus
+        cfg = json.load(open(corpus_path))
+        # Held-out tail: the trainer samples starts from a 400k-token
+        # stream; continue the same chain past it.
+        toks, _ = build_markov_corpus(cfg["vocab"], 500_000, cfg["seed"])
+        tail = toks[420_000:]
+        rows = [
+            tail[i * args.seq_len:(i + 1) * args.seq_len]
+            for i in range(args.num_seqs)
+        ]
+        print("# eval on held-out Markov-chain corpus "
+              f"(vocab {cfg['vocab']}, chain entropy "
+              f"{cfg['chain_entropy']:.3f} nats -> ppl floor "
+              f"{np.exp(cfg['chain_entropy']):.2f})", file=sys.stderr)
+        return np.asarray(rows, np.int32)
     if args.dataset:
         rows = []
         with open(args.dataset) as f:
@@ -154,7 +177,7 @@ def main():
     out = {
         "model": args.model,
         "eval_tokens": int(tokens.size),
-        "synthetic_eval": args.dataset is None,
+        "eval_set": getattr(args, "eval_set", "synthetic_zipf"),
         "ppl_baseline": ppl["baseline"],
         "ppl_int4": ppl["int4"],
         "ppl_fp8_kv": ppl["fp8_kv"],
