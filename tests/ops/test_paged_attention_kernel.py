@@ -83,6 +83,28 @@ def test_fused_decode_writes_cache_in_place():
                                   np.asarray(ref_cache))
 
 
+def test_fused_decode_contiguous_pages():
+    """Sequential physical pages trigger the stream kernel's single-DMA
+    fast path (a full ppi-page group with consecutive block numbers —
+    what the allocator produces in steady state). Mix one contiguous
+    sequence with one scattered one so both fetch paths run in the same
+    invocation."""
+    S, QH, KH, D, max_blocks = 2, 4, 4, 64, 12
+    q, kv_new, cache, bt, slens, slot = build_case(
+        S, QH, KH, D, max_blocks=max_blocks, seed=3,
+        seq_lens=[12 * BLOCK, 10 * BLOCK - 5])
+    bt = np.asarray(bt).copy()
+    bt[0] = np.arange(1, max_blocks + 1, dtype=np.int32)  # contiguous
+    slot = np.asarray(slot).copy()
+    for s in range(S):
+        pos = int(np.asarray(slens)[s]) - 1
+        slot[s] = bt[s, pos // BLOCK] * BLOCK + pos % BLOCK
+    case = (q, kv_new, cache, jnp.asarray(bt), slens, jnp.asarray(slot))
+    new_cache, ref_cache = run_both(case, D**-0.5)
+    np.testing.assert_array_equal(np.asarray(new_cache),
+                                  np.asarray(ref_cache))
+
+
 def test_fused_decode_partial_last_block():
     case = build_case(3, 4, 4, 64, max_blocks=3, seed=1,
                       seq_lens=[1, 17, 33])

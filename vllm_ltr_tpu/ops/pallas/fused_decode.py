@@ -252,6 +252,328 @@ def _fused_decode_kernel(
     o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
+def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
+                           block_size: int, ppi: int, window: int,
+                           vmax: int):
+    """Precompute the stream kernel's per-virtual-iteration schedule as
+    SMEM tables (traced XLA, vectorized over tiny [S]/[Vmax] arrays).
+
+    The first stream kernel recomputed sequence/iteration bookkeeping —
+    ceil-divisions, next-state selection, an 8-wide contiguity probe —
+    on the scalar core inside every loop body; at ~1.1 us of DMA per
+    iteration that serialized ~0.8 us of scalar work per iteration
+    (measured 490 GB/s).  Here every decision is a table: row layout
+    [s, base, npages, contig, b0, inject_jw, first, last, wb_page,
+    seq_len] x (vmax + 2) columns (four pad columns so the three-deep
+    lookahead prefetch needs no bounds check; pad columns have
+    npages=0/contig=0 and issue nothing).  Returns
+    (sched [10, vmax+4] i32, V [1] i32).
+    """
+    i32 = jnp.int32
+    S, MB = block_tables.shape
+    Bs = block_size
+    sl_raw = seq_lens.astype(i32)
+    # Padded lanes (garbage/zero lengths) are clamped to one page so the
+    # schedule stays dense; their masks use the raw length and their
+    # outputs are discarded by the caller.
+    sl = jnp.clip(sl_raw, 1, MB * Bs)
+    nb = (sl + Bs - 1) // Bs
+    if window > 0:
+        fb = jnp.maximum(sl - window, 0) // Bs
+    else:
+        fb = jnp.zeros_like(nb)
+    ni = (nb - fb + ppi - 1) // ppi
+    cum = jnp.cumsum(ni)
+    V = cum[-1].astype(i32)
+    v_idx = jnp.arange(vmax + 4, dtype=i32)
+    s_c = jnp.minimum(
+        jnp.searchsorted(cum, v_idx, side="right").astype(i32), S - 1)
+    it = v_idx - (cum[s_c] - ni[s_c])
+    base = fb[s_c] + it * ppi
+    live_v = v_idx < V
+    npg = jnp.where(live_v, jnp.clip(nb[s_c] - base, 0, ppi), 0)
+    steps = jnp.arange(ppi, dtype=i32)[None, :]
+    idx = jnp.minimum(base[:, None] + steps, MB - 1)
+    pages = block_tables[s_c[:, None], idx]  # [vmax+2, ppi]
+    contig = (npg == ppi) & jnp.all(pages == pages[:, :1] + steps, axis=1)
+    if os.environ.get("LTR_TPU_DECODE_CONTIG", "0") == "0":
+        # Measured (v5e, 32x576): one fused ppi-page DMA sustains only
+        # ~470 GB/s — a single DMA stream is engine-bound — while ppi
+        # parallel per-page copies (distinct semaphores) spread across
+        # DMA engines and reach ~670+ GB/s. Keep the per-page path; the
+        # fused variant stays behind this env for future hardware.
+        contig = jnp.zeros_like(contig)
+    first = (it == 0) & live_v
+    last = (it + 1 >= ni[s_c]) & live_v
+    wblk = jnp.clip(jnp.maximum(sl_raw[s_c] - 1, 0) // Bs, 0, MB - 1)
+    inject = ((slot_mapping[s_c] >= 0) & (base <= wblk)
+              & (wblk < base + ppi) & live_v)
+    sched = jnp.stack([
+        s_c, base, npg,
+        contig.astype(i32), pages[:, 0],
+        jnp.where(inject, wblk - base, -1),
+        first.astype(i32),
+        last.astype(i32),
+        block_tables[s_c, wblk],
+        sl_raw[s_c],
+    ]).astype(i32)
+    return sched, V.reshape(1)
+
+
+_NBUF = 4  # stream buffer slots: 3 page groups in flight at all times
+
+
+def _stream_decode_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] i32 (SMEM)
+    block_tables_ref,  # [S, MB] i32 (SMEM)
+    slot_ref,  # [S] i32; -1 = padded lane (SMEM)
+    sched_ref,  # [10, Vmax+4] i32 (SMEM) — see _build_stream_schedule
+    vbound_ref,  # [1] i32: live virtual iterations
+    # inputs
+    q_ref,  # [S, Rp, Dp] VMEM (whole batch)
+    kv_new_ref,  # [S, 2, KH, Dp] VMEM
+    alibi_ref,  # [Rp, 128] f32 VMEM
+    cache_hbm,  # [L, N+1, 2, KH, Bs, Dp] ANY (aliased with cache_out)
+    # outputs
+    cache_out,
+    o_ref,  # [S, Rp, Dp] VMEM
+    # scratch
+    kv_buf,  # [NBUF, PPI, 2, KH, Bs, Dp]
+    sems,  # [NBUF, PPI]
+    wsem,  # [1]
+    acc_ref,  # [Rp, Dp] f32
+    m_ref,  # [Rp, 128] f32
+    l_ref,  # [Rp, 128] f32
+    *,
+    group: int,
+    block_size: int,
+    ppi: int,
+    scale: float,
+    kv_scale: float,
+    window: int,
+    use_alibi: bool,
+):
+    """Continuous-stream variant: ONE program walks a flattened
+    (sequence, page-group) schedule for the whole batch.
+
+    The grid=(S,) kernel above pays a fixed ~4 us per sequence (pipeline
+    fill for the first page group + write-back drain + program epilogue)
+    which caps effective bandwidth at ~450 GB/s for short-context decode
+    (32 seqs x 576 ctx) — the cost the round-2 review flagged as the
+    decode gap.  Here the page stream never drains between sequences:
+    while iteration v computes, the DMAs for v+1 and v+2 — possibly the
+    next sequence's — are already in flight (three buffer slots), so the
+    fill bubble is paid once per *step* rather than once per *sequence*.
+    All per-iteration decisions come from the precomputed SMEM schedule
+    (see :func:`_build_stream_schedule`); the body is table lookups, DMA
+    ops, and the online-softmax update in the cache's native dtype.
+    The page write-back that injects the new token overlaps the next
+    iteration's compute and is retired before its buffer slot can be
+    refetched (top-of-body wait), preserving the grid kernel's
+    race-freedom argument.
+    """
+    lid = layer_ref[0]
+    Bs = block_size
+    KH = kv_buf.shape[3]
+    Dp = kv_buf.shape[-1]
+    CK = ppi * KH * Bs
+
+    def start_iter(buf_slot, vv):
+        if os.environ.get("LTR_TPU_DECODE_ABLATE") == "compute":
+            return  # tuning probe: no page fetches, math over stale VMEM
+        contig = sched_ref[3, vv] > 0
+        npg = sched_ref[2, vv]
+
+        @pl.when(contig)
+        def _():
+            b0 = sched_ref[4, vv]
+            pltpu.make_async_copy(cache_hbm.at[lid, pl.ds(b0, ppi)],
+                                  kv_buf.at[buf_slot],
+                                  sems.at[buf_slot, 0, 0]).start()
+
+        @pl.when(~contig)
+        def _():
+            s = sched_ref[0, vv]
+            base = sched_ref[1, vv]
+            for j in range(ppi):
+
+                @pl.when(j < npg)
+                def _():
+                    b = block_tables_ref[s, base + j]
+                    # K and V halves move as separate copies: 2*ppi
+                    # concurrent DMAs spread across the DMA engines (a
+                    # single fused stream is engine-bound at ~470 GB/s).
+                    for h in range(2):
+                        pltpu.make_async_copy(
+                            cache_hbm.at[lid, b, h],
+                            kv_buf.at[buf_slot, j, h],
+                            sems.at[buf_slot, j, h]).start()
+
+                # Zero V of never-fetched tail pages (stale VMEM may be
+                # NaN; 0 * NaN would poison p @ V despite the masked
+                # probabilities).
+                @pl.when(j >= npg)
+                def _():
+                    kv_buf[buf_slot, j,
+                           1] = jnp.zeros_like(kv_buf[buf_slot, j, 1])
+
+    def wait_iter(buf_slot, vv):
+        if os.environ.get("LTR_TPU_DECODE_ABLATE") == "compute":
+            return
+        contig = sched_ref[3, vv] > 0
+
+        @pl.when(contig)
+        def _():
+            b0 = sched_ref[4, vv]
+            pltpu.make_async_copy(cache_hbm.at[lid, pl.ds(b0, ppi)],
+                                  kv_buf.at[buf_slot],
+                                  sems.at[buf_slot, 0, 0]).wait()
+
+        @pl.when(~contig)
+        def _():
+            s = sched_ref[0, vv]
+            base = sched_ref[1, vv]
+            npg = sched_ref[2, vv]
+            for j in range(ppi):
+
+                @pl.when(j < npg)
+                def _():
+                    b = block_tables_ref[s, base + j]
+                    for h in range(2):
+                        pltpu.make_async_copy(
+                            cache_hbm.at[lid, b, h],
+                            kv_buf.at[buf_slot, j, h],
+                            sems.at[buf_slot, j, h]).wait()
+
+    V = vbound_ref[0]
+
+    # Geometry-only masks, hoisted out of the stream loop.
+    Rp = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Rp, CK), 1)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (Rp, CK), 0) // group
+    col_head = jax.lax.rem(col // Bs, jnp.int32(KH))
+    head_bias = jnp.where(row_head == col_head, 0.0, NEG_INF)  # [Rp, CK]
+    col_pos = (col // (KH * Bs)) * Bs + jax.lax.rem(col, jnp.int32(Bs))
+    if use_alibi:
+        slopes = alibi_ref[:, 0:1]  # [Rp, 1]
+
+    # Fill the pipeline three groups deep (pad schedule columns are
+    # no-ops).
+    start_iter(0, 0)
+    start_iter(1, 1)
+    start_iter(2, 2)
+
+    def body(v, carry):
+        wb_pend, wb_slot, wb_j, wb_b = carry
+        slot_i = jax.lax.rem(v, _NBUF)
+
+        # Retire the outstanding page write-back before anything can
+        # overwrite its buffer slot (the lookahead prefetch reaches that
+        # slot one iteration after the write-back was issued).
+        @pl.when(wb_pend > 0)
+        def _():
+            pltpu.make_async_copy(kv_buf.at[wb_slot, wb_j],
+                                  cache_out.at[lid, wb_b], wsem.at[0]).wait()
+
+        start_iter(jax.lax.rem(v + 3, _NBUF), v + 3)
+        wait_iter(slot_i, v)
+
+        s = sched_ref[0, v]
+        base = sched_ref[1, v]
+        jw = sched_ref[5, v]
+        sl = sched_ref[9, v]
+
+        @pl.when(sched_ref[6, v] > 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+        # Inject the new token's K/V row and write its page back.
+        writes = jw >= 0
+        jw_c = jnp.clip(jw, 0, ppi - 1)
+        wb = sched_ref[8, v]
+
+        @pl.when(writes)
+        def _():
+            write_off = jax.lax.rem(jnp.maximum(slot_ref[s], 0), Bs)
+            off_eq = jax.lax.broadcasted_iota(
+                jnp.int32, kv_buf.shape[3:], 1) == write_off  # [KH, Bs, Dp]
+            knew = kv_new_ref[s, 0]  # [KH, Dp]
+            vnew = kv_new_ref[s, 1]
+            kv_buf[slot_i, jw_c, 0] = jnp.where(off_eq, knew[:, None, :],
+                                                kv_buf[slot_i, jw_c, 0])
+            kv_buf[slot_i, jw_c, 1] = jnp.where(off_eq, vnew[:, None, :],
+                                                kv_buf[slot_i, jw_c, 1])
+            pltpu.make_async_copy(kv_buf.at[slot_i, jw_c],
+                                  cache_out.at[lid, wb], wsem.at[0]).start()
+
+        wb_pend2 = jnp.where(writes, jnp.int32(1), jnp.int32(0))
+        wb_slot2 = jnp.where(writes, slot_i, wb_slot)
+        wb_j2 = jnp.where(writes, jw_c, wb_j)
+        wb_b2 = jnp.where(writes, wb, wb_b)
+
+        if os.environ.get("LTR_TPU_DECODE_ABLATE") == "dma":
+            # Tuning probe: DMA/bookkeeping only, no attention math.
+            return (wb_pend2, wb_slot2, wb_j2, wb_b2)
+
+        # Matmuls run in the cache's native dtype (bf16 in serving): the
+        # MXU takes bf16 operands with f32 accumulation — the same
+        # numerics as the XLA reference's einsum over bf16 pages.
+        # kv_scale folds linearly: into q for the scores (q.(s*k) =
+        # (s*q).k) and into the epilogue for V (p@(s*v) = s*(p@v)).
+        cd = jnp.float32 if kv_buf.dtype == jnp.float32 else jnp.bfloat16
+        q = (q_ref[s].astype(jnp.float32) * (scale * kv_scale)).astype(
+            cd)  # [Rp, Dp]
+        k = kv_buf[slot_i, :, 0].reshape(CK, Dp).astype(cd)
+        v_vals = kv_buf[slot_i, :, 1].reshape(CK, Dp).astype(cd)
+
+        scores = jax.lax.dot_general(
+            q, k, (((1, ), (1, )), ((), ())),
+            preferred_element_type=jnp.float32)  # [Rp, CK]
+
+        key_pos = base * Bs + col_pos
+        live = key_pos < sl
+        if window > 0:
+            live &= key_pos >= sl - window
+        if use_alibi:
+            scores = scores - slopes * (sl - 1 - key_pos).astype(jnp.float32)
+        scores = jnp.where(live, scores + head_bias, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(
+            jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True)),
+            -1e20)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[...] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        pv = jax.lax.dot_general(
+            p.astype(cd), v_vals, (((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)  # [Rp, Dp]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        @pl.when(sched_ref[7, v] > 0)
+        def _():
+            l = jnp.maximum(l_ref[:, 0:1], 1e-9)
+            o_ref[s] = (acc_ref[...] * kv_scale / l).astype(o_ref.dtype)
+
+        return (wb_pend2, wb_slot2, wb_j2, wb_b2)
+
+    z = jnp.int32(0)
+    wb_pend, wb_slot, wb_j, wb_b = jax.lax.fori_loop(
+        0, V, body, (z, z, z, z))
+
+    # Drain the final write-back before the program (and its scratch) dies.
+    @pl.when(wb_pend > 0)
+    def _():
+        pltpu.make_async_copy(kv_buf.at[wb_slot, wb_j],
+                              cache_out.at[lid, wb_b], wsem.at[0]).wait()
+
+
 @functools.partial(
     jax.jit,
     donate_argnums=(2, ),
@@ -294,6 +616,61 @@ def fused_decode_attention(
         pad = jnp.pad(alibi.astype(jnp.float32), (0, Rp - QH))
         slopes = jnp.broadcast_to(pad[:, None], (Rp, 128))
 
+    layer_arr = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    common = dict(group=G,
+                  block_size=Bs,
+                  ppi=ppi,
+                  scale=scale,
+                  kv_scale=kv_scale,
+                  window=window,
+                  use_alibi=alibi is not None)
+
+    if os.environ.get("LTR_TPU_DECODE_STREAM", "1") != "0":
+        # Continuous-stream kernel (default): one program, whole batch,
+        # schedule precomputed as SMEM tables (vectorized XLA prework).
+        MB = block_tables.shape[1]
+        vmax = S * -(-MB // ppi)
+        sched, vbound = _build_stream_schedule(block_tables, seq_lens,
+                                               slot_mapping,
+                                               block_size=Bs, ppi=ppi,
+                                               window=window, vmax=vmax)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(1, ),
+            in_specs=[
+                pl.BlockSpec((S, Rp, Dp), lambda *_: (0, 0, 0)),
+                pl.BlockSpec((S, 2, KH, Dp), lambda *_: (0, 0, 0, 0)),
+                pl.BlockSpec((Rp, 128), lambda *_: (0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((S, Rp, Dp), lambda *_: (0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_NBUF, ppi, 2, KH, Bs, Dp), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((_NBUF, ppi, 2)),
+                pltpu.SemaphoreType.DMA((1, )),
+                pltpu.VMEM((Rp, Dp), jnp.float32),
+                pltpu.VMEM((Rp, 128), jnp.float32),
+                pltpu.VMEM((Rp, 128), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(_stream_decode_kernel, **common)
+        new_cache, out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+                jax.ShapeDtypeStruct((S, Rp, Dp), q.dtype),
+            ],
+            # scalar-prefetch args shift input indices by 5: cache is 8.
+            input_output_aliases={8: 0},
+            interpret=interpret,
+        )(layer_arr, block_tables, slot_mapping, sched, vbound, qf,
+          kv_new, slopes, kv_cache)
+        return out[:, :QH, :D].reshape(S, QH, D), new_cache
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S, ),
@@ -316,15 +693,7 @@ def fused_decode_attention(
             pltpu.VMEM((Rp, 128), jnp.float32),
         ],
     )
-    kernel = functools.partial(_fused_decode_kernel,
-                               group=G,
-                               block_size=Bs,
-                               ppi=ppi,
-                               scale=scale,
-                               kv_scale=kv_scale,
-                               window=window,
-                               use_alibi=alibi is not None)
-    layer_arr = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    kernel = functools.partial(_fused_decode_kernel, **common)
     new_cache, out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
