@@ -1,0 +1,106 @@
+"""Pipelined admission: new prefills dispatched behind an in-flight step.
+
+The async engine admits mid-step arrivals through
+``LLMEngine.admission_step_begin`` (scheduler.schedule_admissions) while
+the previous dispatch is still executing.  These tests drive the split
+step API directly on the sync engine and check end-state parity with the
+plain step-by-step path.
+"""
+import numpy as np
+import pytest
+
+from vllm_ltr_tpu import SamplingParams
+from vllm_ltr_tpu.engine.arg_utils import EngineArgs
+from vllm_ltr_tpu.engine.llm_engine import LLMEngine
+
+
+def make_engine():
+    args = EngineArgs(model="test-llama-tiny", skip_tokenizer_init=True,
+                      max_model_len=128, max_num_seqs=8,
+                      num_gpu_blocks_override=64, swap_space=0.01,
+                      disable_log_stats=True)
+    return LLMEngine.from_engine_args(args)
+
+
+def prompts(seed=0, n=3, length=12):
+    rng = np.random.RandomState(seed)
+    return [list(map(int, rng.randint(5, 500, size=length)))
+            for _ in range(n)]
+
+
+def collect(engine):
+    done = {}
+    for _ in range(200):
+        if not engine.has_unfinished_requests():
+            break
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out.outputs[0].token_ids
+    return done
+
+
+@pytest.mark.parametrize("max_tokens", [6])
+def test_sneak_admission_matches_stepwise(max_tokens):
+    ps = prompts()
+    sp = SamplingParams(temperature=0.0, max_tokens=max_tokens,
+                        ignore_eos=True)
+
+    # Reference: plain stepwise engine.
+    ref = make_engine()
+    for i, p in enumerate(ps):
+        ref.add_request(str(i), None, sp, prompt_token_ids=p)
+    want = collect(ref)
+
+    # Pipelined: request 0 prefills; requests 1..n arrive "mid-step" and
+    # are admitted while request 0's dispatch is notionally in flight.
+    eng = make_engine()
+    eng.add_request("0", None, sp, prompt_token_ids=ps[0])
+    fin1, plan1 = eng.step_begin()
+    assert fin1 is not None
+    for i, p in enumerate(ps[1:], start=1):
+        eng.add_request(str(i), None, sp, prompt_token_ids=p)
+    fin2, plan2 = eng.admission_step_begin()
+    assert fin2 is not None, "sneak admission produced no prefill"
+    assert plan2.num_prefill_groups == len(ps) - 1
+    # Finish in dispatch order (device executes them in queue order).
+    for out in eng.step_finish(fin1(), plan1):
+        assert not out.finished
+    sneak_outs = eng.step_finish(fin2(), plan2)
+    assert {o.request_id for o in sneak_outs} == {str(i) for i in
+                                                  range(1, len(ps))}
+    got = collect(eng)
+
+    assert set(got) == set(want)
+    for rid in want:
+        assert got[rid] == want[rid], f"request {rid} diverged"
+
+
+def test_sneak_admission_respects_seat_budget():
+    """Admissions never exceed max_num_seqs minus running seats."""
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    eng = make_engine()  # max_num_seqs=8
+    ps = prompts(seed=1, n=10)
+    for i, p in enumerate(ps[:2]):
+        eng.add_request(str(i), None, sp, prompt_token_ids=p)
+    fin1, plan1 = eng.step_begin()
+    for i, p in enumerate(ps[2:], start=2):
+        eng.add_request(str(i), None, sp, prompt_token_ids=p)
+    fin2, plan2 = eng.admission_step_begin()
+    admitted = plan2.num_prefill_groups
+    assert admitted <= 6  # 8 seats - 2 running
+    eng.step_finish(fin1(), plan1)
+    if fin2 is not None:
+        eng.step_finish(fin2(), plan2)
+    done = collect(eng)
+    assert len(done) == len(ps)
+
+
+def test_sneak_admission_empty_waiting_is_noop():
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    eng = make_engine()
+    eng.add_request("0", None, sp, prompt_token_ids=prompts(n=1)[0])
+    fin1, plan1 = eng.step_begin()
+    fin2, plan2 = eng.admission_step_begin()
+    assert fin2 is None and plan2.is_empty()
+    eng.step_finish(fin1(), plan1)
+    assert len(collect(eng)) == 1

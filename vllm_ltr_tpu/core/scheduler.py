@@ -757,6 +757,55 @@ class Scheduler:
     def schedule(
             self) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
         outputs = self._schedule()
+        return self._build_metadata(outputs), outputs
+
+    def schedule_admissions(
+            self) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
+        """Admission-only pass: schedule new prefills from the waiting
+        lane without touching running/swapped groups.
+
+        Used by the async engine to sneak prompt prefills in behind an
+        in-flight decode dispatch (the device queues them after the
+        current wave, so a request's first token no longer waits for the
+        wave plus a full scheduling round trip).  Never preempts and
+        never swaps; parked (swapped) requests keep their priority by
+        blocking sneak admission entirely, exactly like the default
+        path's "parked requests take priority" rule.
+        """
+        plan = StepPlan()
+        if self.swapped or not self.waiting:
+            return [], self._commit(plan, 0, need_score=False,
+                                    allow_both_swap=False)
+        budget = SchedulingBudget(
+            token_budget=self.scheduler_config.max_num_batched_tokens,
+            max_num_seqs=self.scheduler_config.max_num_seqs,
+            prefill_align=self.token_align)
+        for group in self.running:
+            budget.add_num_seqs(group.request_id,
+                                group.get_max_num_running_seqs())
+
+        if self.spec.policy in ("sjf", "ljf"):
+            flip = -1 if self.spec.policy == "ljf" else 1
+            self.waiting.sort(
+                key=lambda g: flip * g.sampling_params.est_tokens)
+        elif self.spec.needs_scores and self.aux_model is not None:
+            # Ranked policies: keep the scored-before-first-scheduling
+            # contract (policy.py ensure_scores) for sneak admissions too.
+            unscored = [g for g in self.waiting
+                        if g.need_aux_model_score()]
+            if unscored:
+                self.aux_model.obtain_aux_scores(unscored)
+
+        chunking = self.scheduler_config.chunked_prefill_enabled
+        self._admit(plan, budget, chunking=chunking)
+        outputs = self._commit(plan, budget.num_batched_tokens,
+                               need_score=self.spec.needs_scores,
+                               allow_both_swap=False)
+        return self._build_metadata(outputs), outputs
+
+    def _build_metadata(
+            self,
+            outputs: SchedulerOutputs) -> List[SequenceGroupMetadata]:
         now = time.time()
 
         metadata: List[SequenceGroupMetadata] = []
@@ -800,7 +849,7 @@ class Scheduler:
         for entry in outputs.scheduled_seq_groups:
             self.block_manager.mark_blocks_as_computed(entry.seq_group)
 
-        return metadata, outputs
+        return metadata
 
     # ------------------------------------------------------------------
     # Free / fork / termination

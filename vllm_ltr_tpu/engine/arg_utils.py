@@ -194,3 +194,6 @@ class AsyncEngineArgs(EngineArgs):
     """Arguments for the asynchronous (serving) engine."""
     disable_log_requests: bool = False
     max_log_len: Optional[int] = None
+    disable_pipeline_admission: bool = _flag(
+        False, "serve new prompts strictly step-by-step instead of "
+        "sneaking their prefills behind the in-flight decode dispatch")

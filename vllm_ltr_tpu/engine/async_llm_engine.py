@@ -73,10 +73,13 @@ class AsyncLLMEngine:
     def __init__(self, engine_config: EngineConfig,
                  log_requests: bool = True, log_stats: bool = True,
                  max_log_len: int | None = None,
-                 start_engine_loop: bool = True) -> None:
+                 start_engine_loop: bool = True,
+                 pipeline_admission: bool = True) -> None:
         self.engine = LLMEngine(engine_config, log_stats=log_stats)
         self.log_requests, self.max_log_len = log_requests, max_log_len
         self._autostart = start_engine_loop
+        # Admit mid-step arrivals behind the in-flight dispatch (TTFT).
+        self.pipeline_admission = pipeline_admission
 
         # Tokenizer pool (reference TokenizerPoolConfig /
         # RayTokenizerGroupPool): prompts encode off the event loop so
@@ -107,7 +110,9 @@ class AsyncLLMEngine:
                    log_requests=not a.disable_log_requests,
                    log_stats=not a.disable_log_stats,
                    max_log_len=a.max_log_len,
-                   start_engine_loop=start_engine_loop)
+                   start_engine_loop=start_engine_loop,
+                   pipeline_admission=not getattr(
+                       a, "disable_pipeline_admission", False))
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -167,46 +172,91 @@ class AsyncLLMEngine:
 
     # -- driver loop -------------------------------------------------------------
 
+    def _fold_inbox(self) -> None:
+        """Queued submissions / cancellations into the engine (loop
+        thread only — the scheduler is not thread-safe)."""
+        inbox, self._inbox = self._inbox, []
+        for sub in inbox:
+            rid = sub["request_id"]
+            if rid in self._cancelled:
+                continue
+            try:
+                self.engine.add_request(**sub)
+            except ValueError as bad_request:
+                feed = self._feeds.pop(rid, None)
+                if feed is not None:
+                    feed.close(bad_request)
+        cancelled, self._cancelled = self._cancelled, set()
+        live_cancels = [r for r in cancelled if r in self._feeds]
+        if live_cancels:
+            self.engine.abort_request(live_cancels)
+            for rid in live_cancels:
+                self._feeds.pop(rid).close()
+
+    def _emit(self, outputs) -> None:
+        for out in outputs:
+            feed = self._feeds.get(out.request_id)
+            if feed is None:
+                continue
+            feed.push(out)
+            if out.finished:
+                if self.log_requests:
+                    logger.info("request %s finished", out.request_id)
+                del self._feeds[out.request_id]
+                feed.close()
+
     async def _drive(self) -> None:
+        """Pipelined engine loop.
+
+        Each iteration schedules + dispatches one engine step (host-side,
+        fast), then — while the device executes it — keeps servicing the
+        event loop.  New requests that arrive mid-step are admitted
+        immediately through :meth:`LLMEngine.admission_step_begin`: their
+        prefill is dispatched behind the in-flight wave on the device
+        queue, so TTFT no longer pays "finish the current multi-step
+        decode wave, then a full scheduling round trip" (the round-2
+        online numbers' dominant term).  All scheduler mutations happen
+        on the loop thread; worker threads only fetch device results.
+        """
         assert self._wake is not None
+        loop = asyncio.get_event_loop()
+        max_sneaks = 4  # per in-flight step, bounds dispatch-queue growth
         while True:  # one iteration == one engine step (forever)
             if not (self._inbox or self._cancelled
                     or self.engine.has_unfinished_requests()):
                 await self._wake.wait()
             self._wake.clear()
+            self._fold_inbox()
 
-            # Fold queued submissions / cancellations into the engine.
-            inbox, self._inbox = self._inbox, []
-            for sub in inbox:
-                rid = sub["request_id"]
-                if rid in self._cancelled:
-                    continue
-                try:
-                    self.engine.add_request(**sub)
-                except ValueError as bad_request:
-                    feed = self._feeds.pop(rid, None)
-                    if feed is not None:
-                        feed.close(bad_request)
-            cancelled, self._cancelled = self._cancelled, set()
-            live_cancels = [r for r in cancelled if r in self._feeds]
-            if live_cancels:
-                self.engine.abort_request(live_cancels)
-                for rid in live_cancels:
-                    self._feeds.pop(rid).close()
+            fin, plan = self.engine.step_begin()
+            if fin is None:
+                self._emit(self.engine.step_finish([], plan))
+                await asyncio.sleep(0.0)
+                continue
 
-            # One engine step off the event loop.
-            outputs = await asyncio.get_event_loop().run_in_executor(
-                None, self.engine.step)
-            for out in outputs:
-                feed = self._feeds.get(out.request_id)
-                if feed is None:
-                    continue
-                feed.push(out)
-                if out.finished:
-                    if self.log_requests:
-                        logger.info("request %s finished", out.request_id)
-                    del self._feeds[out.request_id]
-                    feed.close()
+            fetch = loop.run_in_executor(None, fin)
+            sneaks = []
+            if self.pipeline_admission:
+                while not fetch.done() and len(sneaks) < max_sneaks:
+                    wake_task = asyncio.ensure_future(self._wake.wait())
+                    done, _ = await asyncio.wait(
+                        {fetch, wake_task},
+                        return_when=asyncio.FIRST_COMPLETED)
+                    wake_task.cancel()
+                    if fetch in done:
+                        break
+                    self._wake.clear()
+                    self._fold_inbox()
+                    fin2, plan2 = self.engine.admission_step_begin()
+                    if fin2 is not None:
+                        sneaks.append(
+                            (loop.run_in_executor(None, fin2), plan2))
+
+            raw = await fetch
+            self._emit(self.engine.step_finish(raw, plan))
+            for sneak_fetch, sneak_plan in sneaks:
+                raw2 = await sneak_fetch
+                self._emit(self.engine.step_finish(raw2, sneak_plan))
             await asyncio.sleep(0.0)  # let client coroutines drain feeds
 
     # -- request API --------------------------------------------------------------

@@ -210,24 +210,62 @@ class LLMEngine:
     # ------------------------------------------------------------------
 
     def step(self) -> List[RequestOutput]:
+        fin, plan = self.step_begin()
+        raw = fin() if fin is not None else []
+        return self.step_finish(raw, plan)
+
+    def step_begin(self):
+        """Schedule one step and dispatch its device work.
+
+        Returns ``(finish, plan)``: call ``finish()`` (safe from another
+        thread — it only fetches device results) and pass the result to
+        :meth:`step_finish` on the engine's thread.  ``finish`` is None
+        for an empty plan.  Splitting the step this way lets the async
+        engine overlap host work — including sneak prefill dispatches
+        for newly arrived requests (:meth:`admission_step_begin`) — with
+        the in-flight device step.
+        """
         t0 = time.perf_counter()
         metadata_list, plan = self.scheduler.schedule()
         t1 = time.perf_counter()
-
-        if plan.is_empty():
-            sampler_outputs = []
-        else:
-            sampler_outputs = self.model_executor.execute_model(
+        fin = None
+        if not plan.is_empty():
+            fin = self.model_executor.execute_model(
                 metadata_list, plan.blocks_to_swap_in,
                 plan.blocks_to_swap_out, plan.blocks_to_copy,
-                plan.num_lookahead_slots)
+                plan.num_lookahead_slots, defer=True)
         t2 = time.perf_counter()
-
-        outputs = self._process_model_outputs(sampler_outputs, plan)
-        t3 = time.perf_counter()
         st = self.step_times
         st["schedule_s"] += t1 - t0
         st["execute_s"] += t2 - t1
+        return fin, plan
+
+    def admission_step_begin(self):
+        """Admission-only step (new prefills only; never preempts) —
+        dispatched behind whatever is already in the device queue.  Same
+        contract as :meth:`step_begin`."""
+        t0 = time.perf_counter()
+        metadata_list, plan = self.scheduler.schedule_admissions()
+        t1 = time.perf_counter()
+        fin = None
+        if metadata_list:
+            fin = self.model_executor.execute_model(
+                metadata_list, plan.blocks_to_swap_in,
+                plan.blocks_to_swap_out, plan.blocks_to_copy,
+                plan.num_lookahead_slots, defer=True)
+        t2 = time.perf_counter()
+        st = self.step_times
+        st["schedule_s"] += t1 - t0
+        st["execute_s"] += t2 - t1
+        return fin, plan
+
+    def step_finish(self, sampler_outputs: List[SamplerOutput],
+                    plan: SchedulerOutputs) -> List[RequestOutput]:
+        """Process fetched device results on the engine's thread."""
+        t2 = time.perf_counter()
+        outputs = self._process_model_outputs(sampler_outputs, plan)
+        t3 = time.perf_counter()
+        st = self.step_times
         st["process_s"] += t3 - t2
         st["steps"] += 1
         return outputs

@@ -628,7 +628,17 @@ class TPUExecutor:
         blocks_to_swap_out: Dict[int, int],
         blocks_to_copy: Dict[int, List[int]],
         num_lookahead_slots: int = 0,
+        defer: bool = False,
     ) -> List[SamplerOutput]:
+        """Run one engine step's device work.
+
+        With ``defer=True`` the device programs are dispatched and a
+        zero-argument finish closure is returned instead of results; the
+        async engine uses this to overlap host work (and sneak prefill
+        dispatches) with the in-flight step.  All dispatches (and any
+        multi-host broadcasts) happen on the calling thread before this
+        returns; the closure only fetches.
+        """
         assert self.kv_cache is not None, "initialize_cache first"
 
         # KV maintenance in dependency order: read swap-outs before their
@@ -652,7 +662,7 @@ class TPUExecutor:
             self.kv_cache = run_copy_blocks(self.kv_cache, blocks_to_copy)
 
         if not seq_group_metadata_list:
-            return []
+            return (lambda: []) if defer else []
 
         # Load any new adapters before packing (on-demand, like the
         # reference's apply_loras path).
@@ -688,15 +698,19 @@ class TPUExecutor:
             fin_d = self._execute_batch(
                 [seq_group_metadata_list[i] for i in decode_idx],
                 defer=True)
-            out_p = fin_p()
-            out_d = fin_d()
-            merged = [None] * len(seq_group_metadata_list)
-            for j, i in enumerate(prefill_idx):
-                merged[i] = out_p[0].outputs[j]
-            for j, i in enumerate(decode_idx):
-                merged[i] = out_d[0].outputs[j]
-            return [SamplerOutput(outputs=merged)]
-        return self._execute_batch(seq_group_metadata_list)
+
+            def finish_mixed() -> List[SamplerOutput]:
+                out_p = fin_p()
+                out_d = fin_d()
+                merged = [None] * len(seq_group_metadata_list)
+                for j, i in enumerate(prefill_idx):
+                    merged[i] = out_p[0].outputs[j]
+                for j, i in enumerate(decode_idx):
+                    merged[i] = out_d[0].outputs[j]
+                return [SamplerOutput(outputs=merged)]
+
+            return finish_mixed if defer else finish_mixed()
+        return self._execute_batch(seq_group_metadata_list, defer=defer)
 
     def _execute_batch(self,
                        seq_group_metadata_list: List[SequenceGroupMetadata],
