@@ -84,6 +84,10 @@ class PolicyContext:
     distribution: Optional[Tuple[List[float], List[float]]] = None
     # constraint policy accumulates observed ranking scores
     records: List[float] = field(default_factory=list)
+    # xpt: request_id -> expected length (score mapped through the saved
+    # distribution once per request; owned by the scheduler so requests
+    # carry no hidden attributes across re-scoring)
+    expected_lengths: Dict[str, float] = field(default_factory=dict)
 
     def all_requests(self) -> List[SequenceGroup]:
         return list(self.waiting) + list(self.running) + list(self.swapped)
@@ -221,17 +225,18 @@ def _xpt(ctx: PolicyContext) -> List[SequenceGroup]:
     assert ctx.distribution is not None, "xpt policy needs a distribution"
     key, value = ctx.distribution
     reqs = ctx.all_requests()
+    exp = ctx.expected_lengths
     for req in reqs:
-        if not hasattr(req, "expected_length"):
+        if req.request_id not in exp:
             score = round(-req.aux_model_score, 2)
-            req.expected_length = -10000
+            exp[req.request_id] = -10000
             for kid in range(len(key) - 1, -1, -1):
                 if score >= key[kid]:
-                    req.expected_length = value[kid]
+                    exp[req.request_id] = value[kid]
                     break
     return sorted(
         reqs,
-        key=lambda req: req.expected_length - _first_seq_output_len(req))
+        key=lambda req: exp[req.request_id] - _first_seq_output_len(req))
 
 
 @register_policy("constraint")

@@ -203,6 +203,7 @@ class Scheduler:
             self._distribution = _load_distribution(
                 self.spec.distribution_path)
         self._policy_records: List[float] = []
+        self._xpt_expected: Dict[str, float] = {}
 
         # Synthetic-bound termination counters (one per bound).
         self._finished_req = [0] * len(self.spec.synthetic_bounds)
@@ -514,6 +515,7 @@ class Scheduler:
             starvation_period=starv.period if starv else 0,
             distribution=self._distribution,
             records=self._policy_records,
+            expected_lengths=self._xpt_expected,
         )
         return get_ordering_fn(self.spec.policy)(ctx)
 

@@ -17,14 +17,29 @@ a ~0.2 ms roofline).  The block loop consumes ``PPI`` pages per iteration
 so the online-softmax bookkeeping and loop overhead amortize over
 ``PPI * KH * Bs`` keys at a time.
 
-Measured profile (v5e, benchmarks/bench_kernels.py, 16 MHA heads x 128,
-page 16): 448 GB/s effective at 32 seqs x 576 ctx and 672 GB/s at
-2048 ctx — a fixed ~4 us per-sequence cost (program transition + first
-unhidden DMA + epilogue) dominates short contexts.  Variants measured and
-rejected: splitting K/V into two DMAs per page (parity), 256 KiB pages
-(parity), bf16 scores matmul (parity — MXU passes hide under the DMA
-stream), cross-program prefetch of the next sequence's first pages
-(2% WORSE — the extra hazard sync outweighs the hidden latency).
+Two kernels share this file (round 3):
+
+* ``_stream_decode_kernel`` (default) — ONE program walks a flattened
+  (sequence, page-group) schedule for the whole batch, precomputed as
+  SMEM tables by vectorized XLA prework; the page-DMA pipeline never
+  drains between sequences.  507 GB/s at 32 seqs x 576 ctx AND ~500 at
+  2048 ctx (v5e, benchmarks/bench_kernels.py) — flat across context.
+* ``_fused_decode_kernel`` (grid=(S,), ``LTR_TPU_DECODE_STREAM=0``) —
+  one program per sequence; a fixed ~4 us per-sequence pipeline
+  fill/drain caps it at 437 GB/s at 576 ctx.
+
+The stream kernel is DMA-bound at ~500 GB/s — the platform ceiling for
+paged HBM->VMEM streaming here, not a kernel artifact.  Evidence
+(32x576, 110-call chained loop): the DMA-only ablation
+(``LTR_TPU_DECODE_ABLATE=dma``) equals the full kernel's time while
+compute-only runs 1.5x faster, and six structural variants land within
++-5%: per-page parallel DMAs (507), one fused whole-group DMA (470-503
+at 2-3 in flight), split K/V half-page copies (507), 3- vs 4-deep
+buffering (parity), 256-key groups (456), f32 vs bf16 matmuls (parity).
+XLA's dense-matmul weight streaming reaches 790-840 GB/s on the same
+part via MXU operand prefetch — a different mechanism unavailable to
+scatter-paged reads.  Cutting KV *bytes* (FP8 cache) is the remaining
+lever, which serving exposes as ``kv_cache_dtype=fp8``.
 
 GQA across heads runs as ONE block-diagonal matmul pair per iteration:
 queries flatten to ``[QH, Dp]`` rows (row r = head r//G), keys/values to
@@ -35,15 +50,14 @@ sum each row over its own head's values only.  The padding FLOPs keep
 both matmuls MXU-shaped instead of ``KH`` separate [G, Dp] x [Dp, Bs]
 slivers that would leave the kernel VPU-bound.
 
-Grid: (S,). Each program serves one sequence: it streams the sequence's
-pages with double-buffered DMA and accumulates the online softmax; when
-the stream reaches the sequence's LAST page it injects the new token's
-K/V row into the fetched page in VMEM (a masked select — Mosaic cannot
-DMA a single sublane row at a dynamic offset) and DMAs the whole updated
-page back to HBM, so the cache write costs one extra aligned page-store
-per sequence.  TPU grid programs run sequentially, and distinct sequences
-never write the same page (shared prefix pages are full and immutable;
-CoW is resolved before the step), so the in-place update is race-free.
+Cache write: when the stream reaches a sequence's LAST page it injects
+the new token's K/V row into the fetched page in VMEM (a masked select —
+Mosaic cannot DMA a single sublane row at a dynamic offset) and DMAs the
+whole updated page back to HBM, so the write costs one extra aligned
+page-store per sequence.  Programs/iterations run sequentially, and
+distinct sequences never write the same page (shared prefix pages are
+full and immutable; CoW is resolved before the step), so the in-place
+update is race-free.
 
 Supports GQA/MHA, sliding windows (whole pages left of the window are
 skipped), ALiBi biases, and FP8 caches (values are quantized outside, the

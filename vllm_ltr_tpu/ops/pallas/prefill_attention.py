@@ -47,7 +47,7 @@ def _prefill_kernel(
     seq_lens_ref,  # [S] i32
     # inputs
     q_ref,  # [1, 1, R, Dp] VMEM (R = tile * G query rows)
-    alibi_ref,  # [1, 128] f32 VMEM: this kv-head's ALiBi slope (zeros = off)
+    alibi_ref,  # [KH, 128] f32 VMEM: per-kv-head ALiBi slopes (zeros = off)
     cache_hbm,  # [L, N+1, 2, KH, Bs, Dp] HBM (page-major, see ops/kv_cache)
     # outputs
     o_ref,  # [1, 1, R, Dp] VMEM
@@ -150,7 +150,12 @@ def _prefill_kernel(
             # ALiBi: score += -slope * (q_pos - key_pos).  MHA only
             # (G == 1, every ALiBi arch in the zoo), so the whole tile
             # shares this kv-head's single slope.
-            slope = alibi_ref[0:1, 0:1]  # [1, 1]
+            # The whole [KH, 128] slope table is resident (a (1, 128)
+            # block would violate Mosaic's 8-sublane block minimum);
+            # pick this program's kv-head row (h from the kernel top —
+            # program_id is not available inside the fori_loop body in
+            # interpret mode).
+            slope = alibi_ref[pl.ds(h, 1), 0:1]  # [1, 1]
             scores = scores + slope * (key_pos - q_pos).astype(jnp.float32)
         scores = jnp.where(live, scores, NEG_INF)
 
@@ -240,7 +245,7 @@ def paged_prefill_attention_pallas(
         grid=(NT, KH),
         in_specs=[
             pl.BlockSpec((1, 1, R, Dp), lambda t, h, *_: (h, t, 0, 0)),
-            pl.BlockSpec((1, 128), lambda t, h, *_: (h, 0)),
+            pl.BlockSpec((KH, 128), lambda t, h, *_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, R, Dp), lambda t, h, *_: (h, t, 0, 0)),
