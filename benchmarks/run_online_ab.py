@@ -105,10 +105,20 @@ def main():
     ap.add_argument("--decode-steps", type=int, default=8)
     ap.add_argument("--max-num-seqs", type=int, default=32)
     ap.add_argument("--max-model-len", type=int, default=1024)
-    ap.add_argument("--blocks", type=int, default=1792)
+    ap.add_argument("--blocks", type=int, default=1536,
+                    help="default matches bench.py's engine config so the "
+                    "persistent compile cache is shared")
+    ap.add_argument("--precompile", action="store_true",
+                    help="walk every shape bucket at startup (tens of "
+                    "minutes through a remote-compile relay); the default "
+                    "relies on the discarded warm pass compiling just the "
+                    "shapes the trace actually hits")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--health-timeout", type=float, default=2400)
     ap.add_argument("--out", default="/tmp/online_ab.json")
+    ap.add_argument("--extra-server-arg", action="append", default=[],
+                    help="extra flag(s) passed to every server, e.g. "
+                    "--extra-server-arg=--disable-pipeline-admission")
     args = ap.parse_args()
 
     results = []
@@ -122,11 +132,13 @@ def main():
             "--max-num-seqs", str(args.max_num_seqs),
             "--max-num-batched-tokens", str(2048),
             "--num-gpu-blocks-override", str(args.blocks),
-            "--block-size", "16", "--swap-space", "0.5",
+            "--block-size", "16", "--swap-space", "0.25",
             "--decode-steps-per-dispatch", str(args.decode_steps),
-            "--precompile-shapes", "--port", str(args.port),
+            "--port", str(args.port),
             "--disable-log-requests",
-        ]
+        ] + list(args.extra_server_arg)
+        if args.precompile:
+            cmd.append("--precompile-shapes")
         if args.predictor and sched not in ("fcfs", "fifo", "mlfq"):
             cmd += ["--prefill-predictor-model-config", args.predictor]
         log_path = f"/tmp/ab_server_{sched}.log"
@@ -138,10 +150,11 @@ def main():
                 raise RuntimeError(
                     f"server ({sched}) never became healthy; see "
                     f"{log_path}")
-            # Discarded priming pass (compiles every live shape).
+            # Discarded priming pass (compiles every live shape) — paced
+            # like the measured runs so the same step shapes occur.
             warm_args = argparse.Namespace(**vars(args))
             warm_args.num_prompts = args.warm_prompts
-            run_client(warm_args, rate=float("inf"), tag=f"{sched}_warm")
+            run_client(warm_args, rate=max(args.rates), tag=f"{sched}_warm")
             for rate in args.rates:
                 before = scrape_metrics(args.port)
                 res = run_client(args, rate, f"{sched}_r{rate:g}")

@@ -332,4 +332,9 @@ class AsyncLLMEngine:
     async def check_health(self) -> None:
         if self.is_stopped:
             raise AsyncEngineDeadError("engine driver is stopped")
-        self.engine.check_health()
+        # Off the event loop: the liveness probe runs a device program,
+        # which can take minutes on a congested remote-compile relay — a
+        # synchronous call here froze every other HTTP request (incl.
+        # /metrics and in-flight SSE streams) for that long.
+        await asyncio.get_event_loop().run_in_executor(
+            None, self.engine.check_health)

@@ -68,6 +68,18 @@ async def show_available_models(request: web.Request) -> web.Response:
     return _json_response(models)
 
 
+async def debug_stats(request: web.Request) -> web.Response:
+    """Engine-internal timing attribution (host scheduling vs dispatch vs
+    output processing, per-kind dispatch counts/seconds) — the observability
+    needed to localize serving regressions without a profiler attached."""
+    eng = engine.engine
+    ex = eng.model_executor
+    return web.json_response({
+        "step_times": dict(eng.step_times),
+        "dispatch_stats": dict(getattr(ex, "dispatch_stats", {})),
+    })
+
+
 async def metrics(request: web.Request) -> web.Response:
     try:
         from prometheus_client import REGISTRY, generate_latest
@@ -128,6 +140,7 @@ def build_app() -> web.Application:
     app.router.add_get("/version", version)
     app.router.add_get("/v1/models", show_available_models)
     app.router.add_get("/metrics", metrics)
+    app.router.add_get("/debug/stats", debug_stats)
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     return app

@@ -17,6 +17,7 @@ the same mesh — the entire dual-worker Ray machinery of the reference
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -1603,6 +1604,15 @@ class TPUExecutor:
         probe; throttled so per-request /health polls stay cheap."""
         if not jax.devices():
             raise RuntimeError("No devices available")
+        # The execution probe can be disabled (LTR_TPU_HEALTH_PROBE=0):
+        # on a relayed/experimental backend a stuck device call may hold
+        # the GIL and freeze the whole serving process — worse than the
+        # wedged-runtime condition it detects. Device enumeration above
+        # still catches detachment (the reference's own health check is
+        # a liveness poll with no device program, ray_gpu_executor
+        # :628-643).
+        if os.environ.get("LTR_TPU_HEALTH_PROBE", "1") == "0":
+            return
         now = time.time()
         if now - self._last_health_probe < 10.0:
             return
