@@ -114,11 +114,16 @@ async def benchmark(api_url: str, model: str, entries: List[TraceEntry],
                     request_rate: float, cv: float,
                     backend: str = "openai") -> dict:
     import aiohttp
+
+    from backend_request_func import _NO_TIMEOUT
     send = ASYNC_REQUEST_FUNCS[backend]
     gaps = arrival_gaps(len(entries), request_rate, cv)
 
     t0 = time.perf_counter()
-    async with aiohttp.ClientSession() as session:
+    # aiohttp's default ClientTimeout(total=300) silently failed every
+    # request of the round-3 opt warm pass while the server compiled its
+    # first aux-score shapes; benchmarks must never time out client-side.
+    async with aiohttp.ClientSession(timeout=_NO_TIMEOUT) as session:
         inflight = []
         for i, entry in enumerate(entries):
             spec = RequestFuncInput(

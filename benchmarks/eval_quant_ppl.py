@@ -46,10 +46,18 @@ def build_eval_tokens(args, vocab: int) -> np.ndarray:
         args.eval_set = "markov_heldout"
         from train_tiny_lm import build_markov_corpus
         cfg = json.load(open(corpus_path))
-        # Held-out tail: the trainer samples starts from a 400k-token
-        # stream; continue the same chain past it.
-        toks, _ = build_markov_corpus(cfg["vocab"], 500_000, cfg["seed"])
-        tail = toks[420_000:]
+        # Held-out tail: the trainer samples starts from its
+        # corpus_len-token stream (400k historically; the trained value
+        # is persisted in corpus.json); continue the same chain past it
+        # with enough margin for the requested eval size.
+        train_len = int(cfg.get("corpus_len", 400_000))
+        need = args.num_seqs * args.seq_len
+        margin = 20_000  # trainer windows end at train_len + seq_len
+        toks, _ = build_markov_corpus(cfg["vocab"],
+                                      train_len + margin + need,
+                                      cfg["seed"])
+        tail = toks[train_len + margin:]
+        assert len(tail) >= need
         rows = [
             tail[i * args.seq_len:(i + 1) * args.seq_len]
             for i in range(args.num_seqs)

@@ -125,6 +125,7 @@ def main():
     # Persist the corpus recipe so eval scripts rebuild the same stream.
     with open(os.path.join(args.out, "corpus.json"), "w") as f:
         json.dump({"vocab": args.vocab, "seed": args.seed,
+                   "corpus_len": args.corpus_len,
                    "chain_entropy": chain_entropy}, f)
     print(json.dumps({"final_loss": round(final_loss, 4),
                       "random_loss": round(random_loss, 4),

@@ -294,6 +294,53 @@ def test_opt_policy_preempts_lower_ranked_requests():
     assert len(scheduler.swapped) == 0
 
 
+def test_sneak_admission_follows_policy_order():
+    """schedule_admissions must admit in the ranked policy's order, not
+    FCFS: under ``opt`` with one free seat, the shorter-predicted of two
+    simultaneous arrivals prefills first (VERDICT r3 item 5)."""
+    scheduler = make_scheduler(schedule_type="opt",
+                               max_num_seqs=2,
+                               num_gpu_blocks=64)
+    scheduler.aux_model = FakeScorer()
+    # One running request occupies a seat.
+    _, running = create_dummy_prompt("running", 8, block_size=4,
+                                     est_tokens=50)
+    scheduler.add_seq_group(running)
+    _, out = schedule_and_update_computed_tokens(scheduler)
+    assert [s.seq_group.request_id
+            for s in out.scheduled_seq_groups] == ["running"]
+    append_new_token(running, 1)
+
+    # Burst: long arrives BEFORE short (FCFS order would pick "long").
+    _, long_g = create_dummy_prompt("long", 8, block_size=4,
+                                    est_tokens=500)
+    _, short_g = create_dummy_prompt("short", 8, block_size=4,
+                                     est_tokens=10)
+    scheduler.add_seq_group(long_g)
+    scheduler.add_seq_group(short_g)
+
+    metas, out = scheduler.schedule_admissions()
+    ids = [s.seq_group.request_id for s in out.scheduled_seq_groups]
+    assert ids == ["short"], ids  # policy order, one free seat
+    # Scored exactly once, before first scheduling (contract kept).
+    assert scheduler.aux_model.calls == 2  # initial pass + sneak pass
+    assert not long_g.need_aux_model_score()
+    assert not short_g.need_aux_model_score()
+
+
+def test_sneak_admission_fcfs_keeps_arrival_order():
+    scheduler = make_scheduler(schedule_type="fcfs",
+                               max_num_seqs=2,
+                               num_gpu_blocks=64)
+    _, a = create_dummy_prompt("a", 8, block_size=4)
+    _, b = create_dummy_prompt("b", 8, block_size=4)
+    scheduler.add_seq_group(a)
+    scheduler.add_seq_group(b)
+    _, out = scheduler.schedule_admissions()
+    ids = [s.seq_group.request_id for s in out.scheduled_seq_groups]
+    assert ids == ["a", "b"]
+
+
 def test_starvation_promotion():
     """With starv2-period2, a request idle for >=2 steps is promoted above
     higher-scored requests for 2 scheduled steps, then demoted."""

@@ -255,6 +255,7 @@ class Scheduler:
                     keep.append(group)
                     continue
                 wanted.discard(group.request_id)
+                self._xpt_expected.pop(group.request_id, None)
                 for seq in group.get_seqs():
                     if not seq.is_finished():
                         seq.status = SequenceStatus.FINISHED_ABORTED
@@ -786,17 +787,7 @@ class Scheduler:
             budget.add_num_seqs(group.request_id,
                                 group.get_max_num_running_seqs())
 
-        if self.spec.policy in ("sjf", "ljf"):
-            flip = -1 if self.spec.policy == "ljf" else 1
-            self.waiting.sort(
-                key=lambda g: flip * g.sampling_params.est_tokens)
-        elif self.spec.needs_scores and self.aux_model is not None:
-            # Ranked policies: keep the scored-before-first-scheduling
-            # contract (policy.py ensure_scores) for sneak admissions too.
-            unscored = [g for g in self.waiting
-                        if g.need_aux_model_score()]
-            if unscored:
-                self.aux_model.obtain_aux_scores(unscored)
+        self._order_waiting_for_admission()
 
         chunking = self.scheduler_config.chunked_prefill_enabled
         self._admit(plan, budget, chunking=chunking)
@@ -804,6 +795,45 @@ class Scheduler:
                                need_score=self.spec.needs_scores,
                                allow_both_swap=False)
         return self._build_metadata(outputs), outputs
+
+    def _order_waiting_for_admission(self) -> None:
+        """Sort the waiting lane by the active policy before a sneak
+        admission pass, so ``_admit`` (which consumes the lane in order)
+        sees policy order, not FCFS — otherwise a mid-step burst under
+        ``opt`` would prefill in arrival order and forfeit the
+        short-job-first effect exactly where pipelined admission matters.
+
+        Uses the same ordering functions as :meth:`_general_schedule`
+        with a waiting-only context; ``ensure_scores`` inside the
+        ordering fn keeps the scored-before-first-scheduling contract.
+        Starvation promotion is disabled here (brand-new arrivals cannot
+        be starved, and the full ranked pass owns that bookkeeping).
+        """
+        if self.spec.policy in ("sjf", "ljf"):
+            flip = -1 if self.spec.policy == "ljf" else 1
+            self.waiting.sort(
+                key=lambda g: flip * g.sampling_params.est_tokens)
+            return
+        if self.spec.policy in ("fcfs", "fifo"):
+            return  # lane order is arrival order already
+        if self.spec.needs_scores and self.aux_model is None:
+            return  # scoreless engine: keep lane order (tests/offline)
+        try:
+            ordering = get_ordering_fn(self.spec.policy)
+        except KeyError:
+            return
+        ctx = PolicyContext(
+            waiting=list(self.waiting),
+            running=[],
+            swapped=[],
+            aux_scorer=self.aux_model,
+            starvation_threshold=-1,
+            starvation_period=0,
+            distribution=self._distribution,
+            records=self._policy_records,
+            expected_lengths=self._xpt_expected,
+        )
+        self.waiting[:] = ordering(ctx)
 
     def _build_metadata(
             self,
@@ -891,7 +921,14 @@ class Scheduler:
                             seq.status = SequenceStatus.FINISHED_ABORTED
                             self.free_seq(seq)
                 lane.clear()
+            self._xpt_expected.clear()
 
+        for g in self.running:
+            if g.is_finished():
+                # Per-request policy state dies with the request (the
+                # expected-length table would otherwise grow without
+                # bound in a long-running server under xpt).
+                self._xpt_expected.pop(g.request_id, None)
         self.running = [g for g in self.running if not g.is_finished()]
 
     # ------------------------------------------------------------------

@@ -13,7 +13,7 @@ output feeds:
 """
 from __future__ import annotations
 
-import asyncio, time
+import asyncio, concurrent.futures, functools, time
 from typing import AsyncIterator
 
 from vllm_ltr_tpu.config import EngineConfig
@@ -94,6 +94,16 @@ class AsyncLLMEngine:
                                if self.engine.tokenizer is not None else
                                None)
 
+        # All engine/scheduler host work (add_request, step_begin,
+        # step_finish) runs on this single worker thread: the scheduler
+        # is not thread-safe, and a first-seen step shape triggers a JIT
+        # compile (20-140 s through a remote-compile relay) — on the
+        # event-loop thread that froze /health, /metrics and every
+        # in-flight SSE stream for the duration.  One worker serializes
+        # scheduler access; the loop thread only routes feeds.
+        self._host_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="engine-host")
+
         self._feeds: dict[str, _OutputFeed] = {}
         self._inbox: list[dict] = []
         self._cancelled: set[str] = set()
@@ -172,26 +182,42 @@ class AsyncLLMEngine:
 
     # -- driver loop -------------------------------------------------------------
 
-    def _fold_inbox(self) -> None:
-        """Queued submissions / cancellations into the engine (loop
-        thread only — the scheduler is not thread-safe)."""
-        inbox, self._inbox = self._inbox, []
+    def _run_host(self, fn, *args) -> asyncio.Future:
+        """Run an engine host call on the dedicated serialized worker."""
+        return asyncio.get_event_loop().run_in_executor(
+            self._host_pool, functools.partial(fn, *args))
+
+    def _fold_inbox_engine(self, inbox: list[dict],
+                           cancels: list[str]) -> list:
+        """Engine mutations only — runs on the host worker."""
+        bad = []
         for sub in inbox:
-            rid = sub["request_id"]
-            if rid in self._cancelled:
-                continue
             try:
                 self.engine.add_request(**sub)
             except ValueError as bad_request:
-                feed = self._feeds.pop(rid, None)
-                if feed is not None:
-                    feed.close(bad_request)
+                bad.append((sub["request_id"], bad_request))
+        if cancels:
+            self.engine.abort_request(cancels)
+        return bad
+
+    async def _fold_inbox(self) -> None:
+        """Queued submissions / cancellations into the engine.  Feed
+        bookkeeping stays on the loop thread; engine calls go through
+        the serialized host worker."""
+        inbox, self._inbox = self._inbox, []
         cancelled, self._cancelled = self._cancelled, set()
+        inbox = [s for s in inbox if s["request_id"] not in cancelled]
         live_cancels = [r for r in cancelled if r in self._feeds]
-        if live_cancels:
-            self.engine.abort_request(live_cancels)
-            for rid in live_cancels:
-                self._feeds.pop(rid).close()
+        bad = await self._run_host(self._fold_inbox_engine, inbox,
+                                   live_cancels)
+        for rid, bad_request in bad:
+            feed = self._feeds.pop(rid, None)
+            if feed is not None:
+                feed.close(bad_request)
+        for rid in live_cancels:
+            feed = self._feeds.pop(rid, None)
+            if feed is not None:
+                feed.close()
 
     def _emit(self, outputs) -> None:
         for out in outputs:
@@ -215,8 +241,10 @@ class AsyncLLMEngine:
         prefill is dispatched behind the in-flight wave on the device
         queue, so TTFT no longer pays "finish the current multi-step
         decode wave, then a full scheduling round trip" (the round-2
-        online numbers' dominant term).  All scheduler mutations happen
-        on the loop thread; worker threads only fetch device results.
+        online numbers' dominant term).  All scheduler mutations run on
+        one dedicated worker thread (``self._host_pool``) so a JIT
+        compile inside a dispatch never blocks the event loop; the
+        default pool only fetches device results.
         """
         assert self._wake is not None
         loop = asyncio.get_event_loop()
@@ -226,11 +254,12 @@ class AsyncLLMEngine:
                     or self.engine.has_unfinished_requests()):
                 await self._wake.wait()
             self._wake.clear()
-            self._fold_inbox()
+            await self._fold_inbox()
 
-            fin, plan = self.engine.step_begin()
+            fin, plan = await self._run_host(self.engine.step_begin)
             if fin is None:
-                self._emit(self.engine.step_finish([], plan))
+                self._emit(await self._run_host(
+                    self.engine.step_finish, [], plan))
                 await asyncio.sleep(0.0)
                 continue
 
@@ -246,17 +275,27 @@ class AsyncLLMEngine:
                     if fetch in done:
                         break
                     self._wake.clear()
-                    self._fold_inbox()
-                    fin2, plan2 = self.engine.admission_step_begin()
+                    await self._fold_inbox()
+                    fin2, plan2 = await self._run_host(
+                        self.engine.admission_step_begin)
                     if fin2 is not None:
                         sneaks.append(
                             (loop.run_in_executor(None, fin2), plan2))
+                    elif (plan2.ignored_seq_groups
+                          or not plan2.is_empty()):
+                        # Admission can finalize requests without device
+                        # work (over-long prompt, AllocStatus.NEVER):
+                        # emit them now or the client hangs forever.
+                        self._emit(await self._run_host(
+                            self.engine.step_finish, [], plan2))
 
             raw = await fetch
-            self._emit(self.engine.step_finish(raw, plan))
+            self._emit(await self._run_host(
+                self.engine.step_finish, raw, plan))
             for sneak_fetch, sneak_plan in sneaks:
                 raw2 = await sneak_fetch
-                self._emit(self.engine.step_finish(raw2, sneak_plan))
+                self._emit(await self._run_host(
+                    self.engine.step_finish, raw2, sneak_plan))
             await asyncio.sleep(0.0)  # let client coroutines drain feeds
 
     # -- request API --------------------------------------------------------------

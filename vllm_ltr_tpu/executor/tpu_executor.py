@@ -1032,7 +1032,15 @@ class TPUExecutor:
 
         self._aux_score_fn = score_fn
 
-        if getattr(self.config.scheduler_config, "precompile_shapes", False):
+        # Warm by default on real devices: a cold aux-score shape costs a
+        # 20-140 s relay compile inside schedule() — the round-3 online
+        # A/B's opt server streamed zero bytes for 300 s (every client
+        # timed out) for exactly this reason.  CPU (tests) compiles in
+        # milliseconds, so live compilation there is fine.
+        if (getattr(self.config.scheduler_config, "precompile_shapes",
+                    False)
+                or (jax.default_backend() != "cpu" and not int(
+                    os.environ.get("VLLM_LTR_TPU_SKIP_AUX_WARMUP", "0")))):
             self._warm_aux_shapes()
 
     def _warm_aux_shapes(self) -> None:
