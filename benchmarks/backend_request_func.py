@@ -56,7 +56,8 @@ async def stream_openai_completion(
     body = dict(model=spec.model, prompt=spec.prompt, temperature=0.0,
                 best_of=spec.best_of, max_tokens=spec.max_new_tokens,
                 stream=True, ignore_eos=spec.ignore_eos,
-                est_tokens=spec.est_tokens)
+                est_tokens=spec.est_tokens,
+                stream_options={"include_usage": True})
     result = RequestFuncOutput(prompt_tokens=spec.prompt_tokens)
 
     owned = session is None
@@ -65,11 +66,19 @@ async def stream_openai_completion(
     try:
         t_sent = t_last = time.perf_counter()
         pieces: list[str] = []
+        usage_tokens = None
         async with session.post(url=spec.endpoint, json=body) as resp:
             if resp.status != 200:
                 result.error = f"HTTP {resp.status}: {await resp.text()}"
                 return result
             async for frame in _sse_frames(resp):
+                usage = frame.get("usage")
+                if usage:
+                    # Final stream_options.include_usage frame: the exact
+                    # token count.  A fused multi-step decode wave emits
+                    # many tokens per SSE frame, so counting frames (the
+                    # round-3 accounting) under-reports tokens ~K-fold.
+                    usage_tokens = usage.get("completion_tokens")
                 choices = frame.get("choices")
                 if not choices:
                     continue
@@ -80,7 +89,9 @@ async def stream_openai_completion(
                     result.itl.append(now - t_last)
                 t_last = now
                 pieces.append(choices[0].get("text", ""))
-        result.text, result.new_tokens = "".join(pieces), len(pieces)
+        result.text = "".join(pieces)
+        result.new_tokens = (usage_tokens if usage_tokens is not None else
+                             len(pieces))
         result.latency, result.success = t_last - t_sent, True
     except Exception:
         result.error, result.success = traceback.format_exc(), False

@@ -875,6 +875,7 @@ class Scheduler:
                     multi_modal_data=group.multi_modal_data
                     if outputs.num_prefill_groups > 0 else None,
                     need_score=outputs.need_score,
+                    guide=group.guide,
                 ))
 
         # This batch's blocks are computed before the next schedule call.

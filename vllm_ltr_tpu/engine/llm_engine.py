@@ -184,6 +184,14 @@ class LLMEngine:
         # Leave ignoring/aborting decisions to the scheduler path.
         token_ids = token_ids[:self.model_config.max_model_len]
 
+        guide = None
+        if params.guided_choice or params.guided_regex or params.guided_json:
+            from vllm_ltr_tpu.guided import guide_from_sampling_params
+            # Compile (or fetch from cache) before admitting: a bad
+            # pattern/schema must fail the request here, not a later step.
+            guide = guide_from_sampling_params(self._guided_manager(),
+                                               params)
+
         # NOTE: EOS handling stays on the ignore_eos-gated path in the stop
         # checker; adding EOS to stop_token_ids here would defeat ignore_eos.
         root = Sequence(next(self.seq_ids), prompt, token_ids,
@@ -192,9 +200,23 @@ class LLMEngine:
         # best_of > 1 (parallel sampling): children fork at prefill
         # completion (reference single-step output processor behavior);
         # the scheduler reserves capacity via get_max_num_running_seqs.
-        self.scheduler.add_seq_group(
-            SequenceGroup(request_id, [root], params, born, lora_request,
-                          multi_modal_data))
+        group = SequenceGroup(request_id, [root], params, born, lora_request,
+                              multi_modal_data)
+        group.guide = guide
+        self.scheduler.add_seq_group(group)
+
+    def _guided_manager(self):
+        """Lazily built per-tokenizer guide compiler (guided decoding)."""
+        mgr = getattr(self, "_guided_mgr", None)
+        if mgr is None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "guided decoding requires a tokenizer; the engine was "
+                    "started with skip_tokenizer_init")
+            from vllm_ltr_tpu.guided import GuidedDecodingManager
+            mgr = GuidedDecodingManager(self.tokenizer, self.eos_token_id)
+            self._guided_mgr = mgr
+        return mgr
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
         self.scheduler.abort_seq_group(request_id)

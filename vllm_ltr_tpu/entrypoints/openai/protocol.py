@@ -73,6 +73,12 @@ class ModelList(BaseModel):
     data: List[ModelCard] = Field(default_factory=list)
 
 
+class StreamOptions(BaseModel):
+    include_usage: bool = Field(
+        False, description="emit a final SSE frame with empty choices and "
+        "a usage object (exact token counts for streaming clients)")
+
+
 class UsageInfo(BaseModel):
     prompt_tokens: int = Field(0, description="tokens in the prompt(s)")
     total_tokens: int = Field(0, description="prompt + completion tokens")
@@ -132,12 +138,26 @@ class SamplingKnobs(BaseModel):
     spaces_between_special_tokens: bool = Field(
         True, description="space-join special tokens when rendering")
     stream: bool = Field(False, description="SSE streaming mode")
+    stream_options: Optional[StreamOptions] = Field(
+        None, description="streaming extras (include_usage: emit a final "
+        "frame with token usage, per the OpenAI streaming API)")
     user: Optional[str] = Field(
         None, description="end-user id (accepted, unused)")
     est_tokens: Optional[int] = Field(
         16,
         description="LTR oracle hint: estimated output length, consumed "
         "by the sjf/srtf/PO scheduler policies")
+    # Guided decoding (reference protocol.py:129-151); compiled to a
+    # token-level FSM served as a device-side logits mask (guided/).
+    guided_choice: Optional[List[str]] = Field(
+        None, description="constrain the output to one of these strings")
+    guided_regex: Optional[str] = Field(
+        None, description="constrain the output to match this regex")
+    guided_json: Optional[Union[dict, str]] = Field(
+        None, description="constrain the output to this JSON schema")
+    guided_grammar: Optional[str] = Field(
+        None, description="EBNF grammar constraint (not supported; "
+        "requests carrying it are rejected with a clear error)")
 
     # Knobs copied verbatim into SamplingParams (same name both sides).
     _FORWARDED = ("n", "best_of", "presence_penalty", "frequency_penalty",
@@ -146,12 +166,17 @@ class SamplingKnobs(BaseModel):
                   "early_stopping", "stop", "stop_token_ids",
                   "include_stop_str_in_output", "ignore_eos", "max_tokens",
                   "min_tokens", "skip_special_tokens",
-                  "spaces_between_special_tokens", "est_tokens")
+                  "spaces_between_special_tokens", "est_tokens",
+                  "guided_choice", "guided_regex", "guided_json")
 
     def _effective_logprobs(self) -> Optional[int]:
         raise NotImplementedError
 
     def to_sampling_params(self) -> SamplingParams:
+        if self.guided_grammar:
+            raise ValueError(
+                "guided_grammar is not supported; use guided_json, "
+                "guided_regex or guided_choice")
         knobs = {name: getattr(self, name) for name in self._FORWARDED}
         return SamplingParams(logprobs=self._effective_logprobs(), **knobs)
 

@@ -91,8 +91,13 @@ class OpenAIServingChat(OpenAIServing):
                       ) -> AsyncGenerator[str, None]:
         sent_chars = [0] * request.n
         role_announced = False
+        prompt_tokens = completion_tokens = 0
         try:
             async for res in feed:
+                if res.finished:
+                    prompt_tokens = len(res.prompt_token_ids or ())
+                    completion_tokens = sum(
+                        len(o.token_ids) for o in res.outputs)
                 if not role_announced:
                     # First frame per choice names the assistant role.
                     for idx in range(request.n):
@@ -116,6 +121,15 @@ class OpenAIServingChat(OpenAIServing):
         except ValueError as bad:
             err = self.create_error_response(str(bad))
             yield f"data: {err.model_dump_json()}\n\n"
+        if request.stream_options and request.stream_options.include_usage:
+            usage_frame = ChatCompletionStreamResponse(
+                id=request_id, created=created, model=self.served_model,
+                choices=[],
+                usage=UsageInfo(
+                    prompt_tokens=prompt_tokens,
+                    completion_tokens=completion_tokens,
+                    total_tokens=prompt_tokens + completion_tokens))
+            yield f"data: {usage_frame.model_dump_json()}\n\n"
         yield "data: [DONE]\n\n"
 
     # -- non-streaming ------------------------------------------------------------

@@ -97,9 +97,12 @@ class OpenAIServingCompletion(OpenAIServing):
                       created: int) -> AsyncGenerator[str, None]:
         fanout = request.n or 1
         cursors = [_StreamCursor() for _ in range(fanout * len(feeds))]
+        prompt_tokens = 0
         try:
             for p, feed in enumerate(feeds):
                 async for res in feed:
+                    if res.finished:
+                        prompt_tokens += len(res.prompt_token_ids or ())
                     for out in res.outputs:
                         slot = p * fanout + out.index
                         cur = cursors[slot]
@@ -136,6 +139,19 @@ class OpenAIServingCompletion(OpenAIServing):
         except ValueError as e:
             err = self.create_error_response(str(e))
             yield f"data: {err.model_dump_json()}\n\n"
+        if request.stream_options and request.stream_options.include_usage:
+            # OpenAI stream_options.include_usage: final frame with exact
+            # token counts (streaming clients can't count tokens from text
+            # deltas — a fused multi-step wave emits many tokens per frame).
+            completion_tokens = sum(c.tokens for c in cursors)
+            usage_frame = CompletionStreamResponse(
+                id=request_id, created=created, model=self.served_model,
+                choices=[],
+                usage=UsageInfo(
+                    prompt_tokens=prompt_tokens,
+                    completion_tokens=completion_tokens,
+                    total_tokens=prompt_tokens + completion_tokens))
+            yield f"data: {usage_frame.model_dump_json()}\n\n"
         yield "data: [DONE]\n\n"
 
     # -- non-streaming -------------------------------------------------------------

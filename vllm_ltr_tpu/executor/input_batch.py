@@ -69,6 +69,12 @@ class PreparedBatch:
     lora_slots: Optional[np.ndarray] = None
     # token counts for penalties, or None when no request uses penalties
     token_counts: Optional[np.ndarray] = None  # u8[S, V]
+    # guided decoding: bit-packed allowed-token mask, or None when no
+    # scheduled request carries a guide (u8[S, ceil(V/8)], np.packbits)
+    logits_mask: Optional[np.ndarray] = None
+    # True when any row's SamplingParams carries host-side
+    # logits_processors (forces the two-phase sample dispatch)
+    has_host_processors: bool = False
 
 
 def prepare_batch(
@@ -100,12 +106,18 @@ def prepare_batch(
     seq_rows: List[Dict] = []
     any_penalty = False
 
+    any_guide = False
+    any_processors = False
     row = 0
     for g_idx, meta in enumerate(seq_group_metadata_list):
         sp = meta.sampling_params
         if (sp.presence_penalty != 0.0 or sp.frequency_penalty != 0.0
                 or sp.repetition_penalty != 1.0):
             any_penalty = True
+        if getattr(meta, "guide", None) is not None:
+            any_guide = True
+        if sp.logits_processors:
+            any_processors = True
         lora_slot = 0
         if any_lora and meta.lora_request is not None:
             assert lora_slot_of is not None, "LoRA request without a bank"
@@ -126,6 +138,7 @@ def prepare_batch(
                 "seq_len": computed + chunk,
                 "params": sp,
                 "data": data,
+                "guide": getattr(meta, "guide", None),
             })
             if computed + chunk == data.get_len():
                 rows_to_sample.append(row)
@@ -143,6 +156,7 @@ def prepare_batch(
                     "seq_len": pos + 1,
                     "params": sp,
                     "data": data,
+                    "guide": getattr(meta, "guide", None),
                 })
                 rows_to_sample.append(row)
                 row += 1
@@ -263,6 +277,29 @@ def prepare_batch(
         token_counts = np.zeros((S, vocab_size), np.uint8)
         token_counts[:num_real_seqs] = counts
 
+    logits_mask = None
+    if any_guide:
+        # One bit-packed allowed-token row per guided sequence (all-ones
+        # for unguided rows).  The DFA state is cached on the Sequence as
+        # (#output tokens consumed, state) and advanced by the delta, so
+        # a step costs one cached mask lookup per guided row; a preempted
+        # + recomputed sequence replays from the start automatically.
+        mask8 = np.ones((S, vocab_size), np.uint8)
+        for i, sr in enumerate(seq_rows):
+            guide = sr["guide"]
+            if guide is None:
+                continue
+            data = sr["data"]
+            out_ids = data.get_output_token_ids()
+            pos, state = getattr(data, "_guide_progress", (0, 0))
+            if pos > len(out_ids):
+                pos, state = 0, guide.start_state
+            for tok in out_ids[pos:]:
+                state = guide.advance(state, tok)
+            data._guide_progress = (len(out_ids), state)
+            mask8[i] = guide.mask(state, vocab_size)
+        logits_mask = np.packbits(mask8, axis=1)
+
     lora_slots = None
     if any_lora:
         lora_slots = np.zeros(T, np.int32)
@@ -294,4 +331,6 @@ def prepare_batch(
         prefill_aligned=prefill_aligned,
         lora_slots=lora_slots,
         token_counts=token_counts,
+        logits_mask=logits_mask,
+        has_host_processors=any_processors,
     )

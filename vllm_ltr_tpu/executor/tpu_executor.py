@@ -29,7 +29,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vllm_ltr_tpu.config import EngineConfig
 from vllm_ltr_tpu.executor.input_batch import (PreparedBatch, make_buckets,
                                                prepare_batch)
-from vllm_ltr_tpu.layers.sampler import SamplingTensors, sample
+from vllm_ltr_tpu.layers.sampler import (SamplingTensors, apply_token_mask,
+                                         sample)
 from vllm_ltr_tpu.logger import init_logger
 from vllm_ltr_tpu.models import resolve_model_cls
 from vllm_ltr_tpu.models.common import AttentionMetadata, dtype_by_name
@@ -265,6 +266,11 @@ class TPUExecutor:
                 self.pred_config.n_features)
 
         self._step_fn = self._build_step_fn()
+        self._sample_fn = self._build_sample_fn()
+        # Independent PRNG stream for the two-phase (host logits_processor)
+        # sample dispatch: it runs from the fetch thread, which must not
+        # race the dispatch thread's self._rng.
+        self._rng2 = None
 
         # Fused multi-step decode (executor/multi_step.py): K decode
         # iterations chained on-device per host dispatch.
@@ -541,13 +547,16 @@ class TPUExecutor:
             donate_argnums=(2, ),
             static_argnames=("use_penalties", "decode_mode",
                              "capture_layer", "has_lora", "prefill_tile",
-                             "exact_sampling"))
+                             "exact_sampling", "has_logits_mask",
+                             "return_logits"))
         def step_fn(params, pred_params, kv_cache, i32_t, i32_s, f32_s,
                     block_tables, token_counts, rng,
                     use_penalties: bool, decode_mode: bool,
                     capture_layer=None, has_lora: bool = False,
                     prefill_tile=None, image_embeds=None,
-                    exact_sampling: bool = True):
+                    exact_sampling: bool = True, logits_mask=None,
+                    has_logits_mask: bool = False,
+                    return_logits: bool = False):
             # The PRNG key lives on device: split here and thread the next
             # key back through the return value — an eager host-side
             # jax.random.split costs a full relay round trip per step.
@@ -588,6 +597,19 @@ class TPUExecutor:
                     decode_mode=decode_mode, **vlm_kwargs)
             sel = hidden[sample_idx]  # [S, H] last-token hidden states
             logits = model_cls.compute_logits(params, sel, cfg)
+            if return_logits:
+                # Two-phase path (host logits_processors): hand the raw
+                # logits to the host; sampling happens in _sample_fn after
+                # the processors run.  Guided masks still apply on-device.
+                out_logits = logits.astype(jnp.float32)
+                if has_logits_mask:
+                    out_logits = apply_token_mask(out_logits, logits_mask)
+                rep0 = NamedSharding(mesh, P())
+                out_logits = jax.lax.with_sharding_constraint(
+                    out_logits, rep0)
+                pred_out = jax.lax.with_sharding_constraint(
+                    pred_scores, rep0)
+                return kv_cache, out_logits, pred_out, next_rng
             st = SamplingTensors(temperature=temperature,
                                  top_p=top_p,
                                  top_k=top_k,
@@ -600,7 +622,9 @@ class TPUExecutor:
                          st,
                          rng,
                          token_counts=token_counts if use_penalties else None,
-                         exact=exact_sampling)
+                         exact=exact_sampling,
+                         packed_mask=logits_mask if has_logits_mask else
+                         None)
             # Pack outputs: 2 D2H transfers per step. Outputs are pinned
             # fully-replicated so every host can read its local copy
             # without a collective (multi-host leader fetch).
@@ -616,6 +640,47 @@ class TPUExecutor:
             return kv_cache, out_i32, out_f32, next_rng
 
         return step_fn
+
+    def _build_sample_fn(self):
+        """Phase 2 of the two-phase (host logits_processor) step: sample
+        host-adjusted logits with the same device sampler semantics as
+        the fused step (reference applies per-request processors between
+        logits and sampling, vllm/model_executor/layers/
+        logits_processor.py:82-98 — here that seam is an explicit
+        dispatch boundary)."""
+        mesh = self.mesh
+
+        @functools.partial(jax.jit,
+                           static_argnames=("use_penalties",
+                                            "exact_sampling"))
+        def sample_fn(logits, i32_s, f32_s, token_counts, pred_scores, rng,
+                      use_penalties: bool, exact_sampling: bool):
+            rng, next_rng = jax.random.split(rng)
+            top_k = i32_s[2]
+            greedy = i32_s[3] > 0
+            (temperature, top_p, min_p, presence, frequency,
+             repetition) = (f32_s[0], f32_s[1], f32_s[2], f32_s[3],
+                            f32_s[4], f32_s[5])
+            st = SamplingTensors(temperature=temperature, top_p=top_p,
+                                 top_k=top_k, min_p=min_p, greedy=greedy,
+                                 presence_penalty=presence,
+                                 frequency_penalty=frequency,
+                                 repetition_penalty=repetition)
+            res = sample(logits, st, rng,
+                         token_counts=token_counts if use_penalties else
+                         None, exact=exact_sampling)
+            rep = NamedSharding(mesh, P())
+            out_i32 = jax.lax.with_sharding_constraint(
+                jnp.concatenate([res.tokens[:, None], res.topk_ids],
+                                axis=1), rep)
+            out_f32 = jax.lax.with_sharding_constraint(
+                jnp.concatenate([
+                    res.logprobs[:, None], pred_scores[:, None],
+                    res.topk_logprobs
+                ], axis=1), rep)
+            return out_i32, out_f32, next_rng
+
+        return sample_fn
 
     # ------------------------------------------------------------------
     # Engine-facing API (counterpart of ExecutorBase.execute_model,
@@ -824,24 +889,74 @@ class TPUExecutor:
             image_embeds = self._build_image_embeds(seq_group_metadata_list,
                                                     batch)
         exact_sampling = self._needs_exact_sampling(batch)
+        has_mask = batch.logits_mask is not None
+        logits_mask = (jnp.asarray(batch.logits_mask) if has_mask else
+                       jnp.zeros((1, 1), jnp.uint8))
+        two_phase = batch.has_host_processors
         if self.multihost:
             assert image_embeds is None, (
                 "multi-host VLM serving is not wired yet")
+            assert not two_phase, (
+                "per-request logits_processors run host-side and are "
+                "single-host only (guided decoding's mask path is "
+                "multi-host safe)")
             # Followers keep their own device-resident PRNG key in sync by
             # replaying the identical split sequence — no key broadcast.
             self._mh_broadcast_step(i32_t, i32_s, f32_s, block_tables,
                                     token_counts, use_penalties,
                                     batch.decode_only, capture_layer,
-                                    step_tile, exact_sampling)
+                                    step_tile, exact_sampling,
+                                    logits_mask if has_mask else None)
         if needs_draft_mirror:
             self.draft_kv_cache = self._draft_prefill_fn(
                 self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
                 i32_t[2], i32_t[3], block_tables, i32_s[0])
+
+        if two_phase:
+            # Host logits_processors: forward-only dispatch, host applies
+            # the per-request processors to the fetched logits, then a
+            # second (tiny) dispatch samples with identical semantics.
+            self.kv_cache, logits_dev, pred_dev, self._rng = self._step_fn(
+                params, self.pred_params, self.kv_cache, i32_t, i32_s,
+                f32_s, block_tables, token_counts, self._rng,
+                use_penalties, batch.decode_only, capture_layer, has_lora,
+                step_tile, image_embeds, exact_sampling=exact_sampling,
+                logits_mask=logits_mask, has_logits_mask=has_mask,
+                return_logits=True)
+            if self._rng2 is None:
+                self._rng2 = jax.device_put(jax.random.PRNGKey(4242))
+
+            def finish_two_phase():
+                logits = np.array(self._fetch(logits_dev))
+                for row, (g_idx, seq_id) in enumerate(batch.row_owners):
+                    meta = seq_group_metadata_list[g_idx]
+                    procs = meta.sampling_params.logits_processors
+                    if not procs:
+                        continue
+                    out_ids = meta.seq_data[seq_id].get_output_token_ids()
+                    row_logits = logits[row]
+                    for proc in procs:
+                        row_logits = proc(out_ids, row_logits)
+                    logits[row] = np.asarray(row_logits)
+                out_i32p, out_f32p, self._rng2 = self._sample_fn(
+                    jnp.asarray(logits), i32_s, f32_s, token_counts,
+                    pred_dev, self._rng2, use_penalties=use_penalties,
+                    exact_sampling=exact_sampling)
+                h_i32 = self._fetch(out_i32p)
+                h_f32 = self._fetch(out_f32p)
+                return self._assemble_outputs(
+                    seq_group_metadata_list, batch, h_i32[:, 0],
+                    h_f32[:, 0], h_i32[:, 1:], h_f32[:, 2:],
+                    h_f32[:, 1] if capture_layer is not None else None)
+
+            return finish_two_phase
+
         self.kv_cache, out_i32, out_f32, self._rng = self._step_fn(
             params, self.pred_params, self.kv_cache, i32_t, i32_s, f32_s,
             block_tables, token_counts, self._rng, use_penalties,
             batch.decode_only, capture_layer, has_lora, step_tile,
-            image_embeds, exact_sampling=exact_sampling)
+            image_embeds, exact_sampling=exact_sampling,
+            logits_mask=logits_mask, has_logits_mask=has_mask)
 
         def finish():
             h_i32 = self._fetch(out_i32)
@@ -1132,9 +1247,13 @@ class TPUExecutor:
 
     @staticmethod
     def _multi_step_eligible(seq_group_metadata_list) -> bool:
-        """Beam search needs a host-side selection step after every token,
-        so beam groups fall back to one-step dispatch."""
+        """Beam search needs a host-side selection step after every token;
+        guided decoding needs a fresh host-built token mask per token and
+        per-request logits_processors run host-side — all three fall back
+        to one-step dispatch."""
         return not any(m.sampling_params.use_beam_search
+                       or m.sampling_params.logits_processors
+                       or getattr(m, "guide", None) is not None
                        for m in seq_group_metadata_list)
 
     def _execute_multi_step(self, seq_group_metadata_list,
@@ -1279,7 +1398,9 @@ class TPUExecutor:
                     or sp.presence_penalty != 0.0
                     or sp.frequency_penalty != 0.0
                     or sp.repetition_penalty != 1.0 or sp.logprobs
-                    or sp.best_of > 1 or m.lora_request is not None):
+                    or sp.best_of > 1 or m.lora_request is not None
+                    or sp.logits_processors
+                    or getattr(m, "guide", None) is not None):
                 return False
         return True
 
@@ -1441,7 +1562,7 @@ class TPUExecutor:
     def _mh_broadcast_step(self, i32_t, i32_s, f32_s, block_tables,
                            token_counts, use_penalties,
                            decode_mode, capture_layer, step_tile,
-                           exact_sampling) -> None:
+                           exact_sampling, logits_mask=None) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
         header[0] = dist.OP_STEP
         header[1] = int(use_penalties)
@@ -1452,11 +1573,16 @@ class TPUExecutor:
         header[7], header[8] = i32_s.shape[1], block_tables.shape[1]  # S, MB
         header[9] = token_counts.shape[1]  # vocab (or 1)
         header[10] = int(exact_sampling)
+        # Guided decoding mask (packed): width, or 0 when absent.
+        header[11] = 0 if logits_mask is None else logits_mask.shape[1]
         dist.broadcast_header(header)
         for arr, dt in ((i32_t, np.int32), (i32_s, np.int32),
                         (f32_s, np.float32), (block_tables, np.int32),
                         (token_counts, np.uint8)):
             dist.broadcast_array(np.asarray(arr), arr.shape, dt)
+        if logits_mask is not None:
+            dist.broadcast_array(np.asarray(logits_mask),
+                                 logits_mask.shape, np.uint8)
 
     def _mh_broadcast_aux(self, tokens, positions, mask) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
@@ -1518,6 +1644,11 @@ class TPUExecutor:
                 tc_shape = (S, V) if use_penalties else (1, V)
                 token_counts = jnp.asarray(
                     dist.broadcast_array(None, tc_shape, np.uint8))
+                mask_w = int(header[11])
+                has_mask = mask_w > 0
+                logits_mask = (jnp.asarray(
+                    dist.broadcast_array(None, (S, mask_w), np.uint8))
+                               if has_mask else jnp.zeros((1, 1), np.uint8))
                 has_lora = Kt > 4
                 if self.draft_params is not None:
                     # Mirror the leader's draft-cache sync for prefill /
@@ -1531,7 +1662,8 @@ class TPUExecutor:
                     params, self.pred_params, self.kv_cache, i32_t,
                     i32_s, f32_s, block_tables, token_counts, self._rng,
                     use_penalties, decode_mode, capture_layer, has_lora,
-                    step_tile, exact_sampling=bool(header[10]))
+                    step_tile, exact_sampling=bool(header[10]),
+                    logits_mask=logits_mask, has_logits_mask=has_mask)
             elif op == dist.OP_MULTI_STEP:
                 use_penalties = bool(header[1])
                 has_lora = bool(header[2])

@@ -1,0 +1,104 @@
+"""JSON schema -> regex pattern for guided_json.
+
+Counterpart of outlines' ``build_regex_from_schema`` (the reference routes
+guided_json through it, vllm/model_executor/guided_decoding/
+outlines_decoding.py:100-113): compile the schema's practical core to a
+regular expression over *compact* JSON (no inter-token whitespace), then
+reuse the regex DFA pipeline.
+
+Supported schema subset: ``type`` object/array/string/integer/number/
+boolean/null, ``enum`` (string/number/bool/null literals), ``const``,
+``properties`` (emitted in declaration order, all required — optional
+properties would need backtracking-free optionality which the strict
+compact form keeps unambiguous via the separating comma), ``items``,
+``minItems``/``maxItems``, ``minLength``/``maxLength`` for strings,
+``pattern`` (embedded verbatim), and ``anyOf``/``oneOf`` unions.
+"""
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+from vllm_ltr_tpu.guided.regex_dfa import escape_literal
+
+_STRING_CHAR = r'[^"\\\x00-\x1f]'  # no escapes/quotes/control chars
+_INTEGER = r"-?(0|[1-9][0-9]*)"
+_NUMBER = r"-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?"
+_BOOLEAN = r"(true|false)"
+_NULL = r"null"
+
+
+class SchemaError(ValueError):
+    pass
+
+
+def _json_literal(value: Any) -> str:
+    return escape_literal(json.dumps(value, separators=(",", ":")))
+
+
+def schema_to_regex(schema: Dict[str, Any] | str) -> str:
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    return _compile(schema)
+
+
+def _compile(schema: Dict[str, Any]) -> str:
+    if not isinstance(schema, dict):
+        raise SchemaError(f"schema must be an object, got {type(schema)}")
+    if "enum" in schema:
+        options = [_json_literal(v) for v in schema["enum"]]
+        return "(" + "|".join(options) + ")"
+    if "const" in schema:
+        return _json_literal(schema["const"])
+    for union_key in ("anyOf", "oneOf"):
+        if union_key in schema:
+            branches = [_compile(s) for s in schema[union_key]]
+            return "(" + "|".join(branches) + ")"
+
+    stype = schema.get("type")
+    if isinstance(stype, list):
+        return "(" + "|".join(
+            _compile({**schema, "type": t}) for t in stype) + ")"
+    if stype == "string":
+        if "pattern" in schema:
+            # Embedded pattern constrains the *content* between quotes.
+            return '"' + schema["pattern"] + '"'
+        lo = schema.get("minLength", 0)
+        hi = schema.get("maxLength")
+        rep = (f"{{{lo},{hi}}}" if hi is not None else
+               f"{{{lo},}}" if lo else "*")
+        return f'"{_STRING_CHAR}{rep}"'
+    if stype == "integer":
+        return _INTEGER
+    if stype == "number":
+        return _NUMBER
+    if stype == "boolean":
+        return _BOOLEAN
+    if stype == "null":
+        return _NULL
+    if stype == "array":
+        item = _compile(schema.get("items", {"type": "string"}))
+        lo = schema.get("minItems", 0)
+        hi = schema.get("maxItems")
+        if hi is not None and hi < lo:
+            raise SchemaError("maxItems < minItems")
+        if hi == 0:
+            return r"\[\]"
+        more = f"(,{item})"
+        if hi is None:
+            tail = f"{more}{{{max(lo - 1, 0)},}}"
+        else:
+            tail = f"{more}{{{max(lo - 1, 0)},{hi - 1}}}"
+        body = f"{item}{tail}"
+        if lo == 0:
+            body = f"({body})?"
+        return rf"\[{body}\]"
+    if stype == "object" or "properties" in schema:
+        props = schema.get("properties", {})
+        if not props:
+            return r"\{\}"
+        parts = []
+        for name, sub in props.items():
+            parts.append(f'"{escape_literal(name)}":{_compile(sub)}')
+        return r"\{" + ",".join(parts) + r"\}"
+    raise SchemaError(f"unsupported schema: {schema!r}")

@@ -1,0 +1,216 @@
+"""Token-level guides: lift a character DFA onto a tokenizer vocabulary.
+
+Reference counterpart: outlines' ``RegexFSM`` / ``RegexLogitsProcessor``
+(vllm/model_executor/guided_decoding/outlines_logits_processors.py), which
+bias logits row-by-row inside the sampler.  Here the guide produces a
+packed allowed-token bitmask per (request, step) on the host; the device
+program applies it inside the jitted sampler (see layers/sampler.py
+``apply_token_mask``), keeping the TPU step static-shaped.
+
+Mask computation walks a token *trie* against the DFA so shared token
+prefixes are evaluated once and dead branches prune entire subtrees —
+per-state cost is proportional to the live frontier, not |vocab| x chars.
+"""
+from __future__ import annotations
+
+import json as _json
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from vllm_ltr_tpu.guided.json_schema import schema_to_regex
+from vllm_ltr_tpu.guided.regex_dfa import CharDFA, escape_literal
+from vllm_ltr_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class _TrieNode:
+    __slots__ = ("children", "token_ids")
+
+    def __init__(self):
+        self.children: Dict[str, "_TrieNode"] = {}
+        self.token_ids: List[int] = []
+
+
+def _gpt2_byte_decoder() -> Dict[str, int]:
+    """Inverse of the standard GPT-2 bytes->unicode table."""
+    bs = (list(range(ord("!"), ord("~") + 1)) +
+          list(range(ord("\xa1"), ord("\xac") + 1)) +
+          list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
+def token_strings(tokenizer) -> List[str]:
+    """Decode every vocab entry to the text it contributes when
+    concatenated mid-sequence.  Handles SentencePiece ('▁' word
+    boundary, '<0xNN>' byte fallback) and GPT-2 byte-level BPE ('Ġ'
+    style) vocabularies; special tokens decode to "" (never allowed by a
+    guide)."""
+    vocab: Dict[str, int] = tokenizer.get_vocab()
+    size = max(vocab.values()) + 1
+    out = [""] * size
+    special_ids = set(getattr(tokenizer, "all_special_ids", []) or [])
+    byte_level = any("Ġ" in t or "Ċ" in t for t in vocab)
+    byte_dec = _gpt2_byte_decoder() if byte_level else None
+    for tok, idx in vocab.items():
+        if idx in special_ids:
+            continue
+        if (len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">")):
+            try:  # SentencePiece byte-fallback token
+                out[idx] = chr(int(tok[3:5], 16))
+                continue
+            except ValueError:
+                pass
+        if byte_dec is not None:
+            try:
+                raw = bytes(byte_dec[c] for c in tok)
+                out[idx] = raw.decode("utf-8", errors="ignore")
+                continue
+            except KeyError:
+                pass
+        out[idx] = tok.replace("▁", " ")
+    return out
+
+
+def _build_trie(strings: List[str]) -> _TrieNode:
+    root = _TrieNode()
+    for tid, s in enumerate(strings):
+        if not s:
+            continue  # zero-progress tokens would allow infinite loops
+        node = root
+        for ch in s:
+            nxt = node.children.get(ch)
+            if nxt is None:
+                nxt = node.children[ch] = _TrieNode()
+            node = nxt
+        node.token_ids.append(tid)
+    return root
+
+
+class TokenGuide:
+    """One compiled constraint, shared by every request using the same
+    (constraint, tokenizer) pair; per-request progress is just an int
+    DFA state carried by the sequence."""
+
+    def __init__(self, dfa: CharDFA, trie: _TrieNode,
+                 strings: List[str], eos_token_id: Optional[int]):
+        self._dfa = dfa
+        self._trie = trie
+        self._strings = strings
+        self.eos_token_id = eos_token_id
+        self._mask_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+    @property
+    def start_state(self) -> int:
+        return 0
+
+    def advance(self, state: int, token_id: int) -> int:
+        """Next DFA state after emitting ``token_id`` (-1 == dead; the
+        mask should make that unreachable, but a preempted+recomputed
+        sequence replays its history through here, so stay total)."""
+        if state < 0:
+            return -1
+        if token_id == self.eos_token_id:
+            return state
+        if token_id >= len(self._strings):
+            return -1
+        return self._dfa.walk(state, self._strings[token_id])
+
+    def mask(self, state: int, vocab_size: int) -> np.ndarray:
+        """uint8[vocab_size] allowed-token mask for a row in ``state``."""
+        key = (state, vocab_size)
+        hit = self._mask_cache.get(key)
+        if hit is not None:
+            return hit
+        mask = np.zeros(vocab_size, np.uint8)
+        if state >= 0:
+            dfa = self._dfa
+            stack = [(self._trie, state)]
+            while stack:
+                node, s = stack.pop()
+                for ch, child in node.children.items():
+                    s2 = dfa.step(s, ch)
+                    if s2 < 0:
+                        continue
+                    if child.token_ids and dfa.live(s2):
+                        for tid in child.token_ids:
+                            if tid < vocab_size:
+                                mask[tid] = 1
+                    stack.append((child, s2))
+            if self.eos_token_id is not None and \
+                    self.eos_token_id < vocab_size:
+                if dfa.accepting(state) or not mask.any():
+                    # EOS on acceptance; also as the bail-out when the
+                    # vocabulary cannot make progress (degenerate guide).
+                    mask[self.eos_token_id] = 1
+        elif self.eos_token_id is not None and \
+                self.eos_token_id < vocab_size:
+            mask[self.eos_token_id] = 1
+        self._mask_cache[key] = mask
+        return mask
+
+
+class GuidedDecodingManager:
+    """Compiles and caches guides per tokenizer (the engine owns one)."""
+
+    def __init__(self, tokenizer, eos_token_id: Optional[int] = None):
+        self._strings = token_strings(tokenizer)
+        self._trie = _build_trie(self._strings)
+        eos = eos_token_id
+        if eos is None:
+            eos = getattr(tokenizer, "eos_token_id", None)
+        self._eos = eos
+        self._guides: Dict[Tuple[str, str], TokenGuide] = {}
+
+    def guide_for(self, kind: str, spec) -> TokenGuide:
+        if kind == "choice":
+            if not isinstance(spec, (list, tuple)) or not spec:
+                raise ValueError("guided_choice needs a non-empty list")
+            pattern = "(" + "|".join(
+                escape_literal(str(c)) for c in spec) + ")"
+            key = ("choice", _json.dumps(list(map(str, spec))))
+        elif kind == "regex":
+            pattern = str(spec)
+            key = ("regex", pattern)
+        elif kind == "json":
+            pattern = schema_to_regex(spec)
+            key = ("json", pattern)
+        else:
+            raise ValueError(f"unknown guide kind {kind!r}")
+        guide = self._guides.get(key)
+        if guide is None:
+            guide = TokenGuide(CharDFA(pattern), self._trie, self._strings,
+                               self._eos)
+            self._guides[key] = guide
+            logger.info("Compiled %s guide (%d cached)", kind,
+                        len(self._guides))
+        return guide
+
+
+def guide_from_sampling_params(manager: Optional[GuidedDecodingManager],
+                               sampling_params) -> Optional[TokenGuide]:
+    """Build the guide a request's SamplingParams asks for (or None)."""
+    sp = sampling_params
+    wanted = [("choice", sp.guided_choice), ("regex", sp.guided_regex),
+              ("json", sp.guided_json)]
+    wanted = [(k, v) for k, v in wanted if v]
+    if not wanted:
+        return None
+    if manager is None:
+        raise ValueError(
+            "guided decoding requires a tokenizer (the token-level "
+            "constraint is compiled over the vocab); the engine was "
+            "started with skip_tokenizer_init")
+    if len(wanted) > 1:
+        raise ValueError("at most one of guided_choice / guided_regex / "
+                         "guided_json may be set")
+    kind, spec = wanted[0]
+    return manager.guide_for(kind, spec)

@@ -46,6 +46,25 @@ class SampleResult:
     sampled_ranks: jax.Array  # i32[S] rank of sampled token in the dist
 
 
+def unpack_token_mask(packed: jax.Array, vocab_size: int) -> jax.Array:
+    """bool[S, V] from a bit-packed uint8[S, ceil(V/8)] mask (np.packbits
+    layout: MSB first).  8x smaller H2D transfer than a byte mask; the
+    unpack is a handful of VPU ops."""
+    S = packed.shape[0]
+    bytes_rep = jnp.repeat(packed, 8, axis=1)[:, :vocab_size]
+    shifts = 7 - (jax.lax.broadcasted_iota(jnp.int32, (S, vocab_size), 1)
+                  & 7)
+    return ((bytes_rep.astype(jnp.int32) >> shifts) & 1) > 0
+
+
+def apply_token_mask(logits: jax.Array, packed_mask: jax.Array) -> jax.Array:
+    """Guided decoding: disallowed tokens to -inf (reference applies the
+    equivalent bias row-by-row in its outlines logits processor,
+    vllm/model_executor/guided_decoding/outlines_logits_processors.py)."""
+    allowed = unpack_token_mask(packed_mask, logits.shape[-1])
+    return jnp.where(allowed, logits, NEG_INF)
+
+
 def apply_penalties(logits: jax.Array, token_counts: jax.Array,
                     t: SamplingTensors) -> jax.Array:
     """Repetition / frequency / presence penalties from the count matrix."""
@@ -67,6 +86,7 @@ def sample(
     token_counts: Optional[jax.Array] = None,  # u8[S, V]
     num_logprobs: int = 8,
     exact: bool = True,
+    packed_mask: Optional[jax.Array] = None,  # u8[S, ceil(V/8)] bitmask
 ) -> SampleResult:
     """``exact=False`` (static, host-chosen) selects the fast path for
     batches with no top-p / top-k / min-p filters: Gumbel-argmax over the
@@ -78,6 +98,10 @@ def sample(
 
     if token_counts is not None:
         logits = apply_penalties(logits, token_counts, t)
+    if packed_mask is not None:
+        # Guided rows: before the softmax so logprobs describe the
+        # constrained distribution (all-ones rows are unaffected).
+        logits = apply_token_mask(logits, packed_mask)
 
     raw_logprobs = jax.nn.log_softmax(logits, axis=-1)
 

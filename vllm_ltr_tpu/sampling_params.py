@@ -84,6 +84,13 @@ class SamplingParams:
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
     logits_processors: list[LogitsProcessor] | None = None
+    # Guided decoding (at most one): constrain generation to one of the
+    # listed strings, a regular expression, or a JSON schema (dict or
+    # JSON string).  Compiled to a token-level FSM by the engine; see
+    # vllm_ltr_tpu/guided/.
+    guided_choice: list[str] | None = None
+    guided_regex: str | None = None
+    guided_json: Union[dict, str, None] = None
     est_tokens: int = 16
 
     def __post_init__(self) -> None:
@@ -131,6 +138,16 @@ class SamplingParams:
             value = getattr(self, name)
             if value is not None and value < 0:
                 raise ValueError(f"{name} must be >= 0, got {value}.")
+        guided = [
+            n for n in ("guided_choice", "guided_regex", "guided_json")
+            if getattr(self, n)
+        ]
+        if len(guided) > 1:
+            raise ValueError("at most one of guided_choice / guided_regex"
+                             f" / guided_json may be set, got {guided}.")
+        if guided and self.use_beam_search:
+            raise ValueError("guided decoding is incompatible with beam "
+                             "search.")
 
     def _check_beam_mode(self) -> None:
         problems = []

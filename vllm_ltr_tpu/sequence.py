@@ -243,6 +243,7 @@ class SequenceGroup:
                                                     multi_modal_data)
         self.prompt_logprobs: PromptLogprobs | None = None
         self.state = SequenceGroupState()  # seeded-sampling step counter
+        self.guide: Any | None = None  # TokenGuide (guided decoding)
 
         # LTR scheduling state (reference sequence.py:426-433):
         self.pred_score: float | None = None      # embedded predictor
@@ -390,6 +391,10 @@ class SequenceGroupMetadata:
     state: SequenceGroupState | None = None
     multi_modal_data: Any | None = None
     need_score: bool = False
+    # Compiled TokenGuide when the request uses guided decoding
+    # (vllm_ltr_tpu/guided/); the executor turns it into a per-row
+    # allowed-token bitmask each step.
+    guide: Any | None = None
 
     def __post_init__(self) -> None:
         self.state = self.state or SequenceGroupState()
