@@ -69,6 +69,44 @@ CONFIGS = {
                            num_gpu_blocks_override=1536,
                            vocab=32000,
                            kv_cache_dtype="fp8"),
+    # INT4-quantized 8B (Llama-3-8B shape): the memory-bound regime INT4
+    # exists for — bf16 weights are 16.1 GB and cannot load on a 16 GB
+    # v5e at all; INT4 (~4.3 GB incl. group scales) serves with room for
+    # KV.  Weights quantize on the fly from random init (same numerics
+    # as an AWQ/GPTQ checkpoint load).
+    "llama-8b-int4": dict(model="test-llama-8b",
+                          num_requests=32,
+                          prompt_len=512,
+                          max_tokens=64,
+                          max_model_len=1024,
+                          max_num_batched_tokens=2048,
+                          num_gpu_blocks_override=1536,
+                          vocab=128256,
+                          quantization="int4"),
+    # FP8-KV capacity A/B (VERDICT r3 item 3b): equal KV HBM BYTES
+    # (bf16@1536 blocks == fp8@3072 blocks), 64 concurrent sequences
+    # needing ~2300 blocks.  bf16 must swap/preempt; fp8 runs clean —
+    # the capacity win the reference states as fp8's purpose
+    # (vllm/config.py:330-343).
+    "llama-1b-cap-bf16": dict(model="test-llama-1b",
+                              num_requests=64,
+                              prompt_len=512,
+                              max_tokens=64,
+                              max_model_len=1024,
+                              max_num_batched_tokens=2048,
+                              num_gpu_blocks_override=1536,
+                              vocab=32000,
+                              swap_space=3.0),
+    "llama-1b-cap-fp8": dict(model="test-llama-1b",
+                             num_requests=64,
+                             prompt_len=512,
+                             max_tokens=64,
+                             max_model_len=1024,
+                             max_num_batched_tokens=2048,
+                             num_gpu_blocks_override=3072,
+                             vocab=32000,
+                             swap_space=3.0,
+                             kv_cache_dtype="fp8"),
     # Round-1 toy config, kept for regression tracking.
     "toy": dict(model="bench-llama-s",
                 num_requests=32,
@@ -123,8 +161,9 @@ def main():
     eff_k = max(1, min(args.decode_steps_per_dispatch,
                        cfg["max_tokens"] - 1))
     extra = {"decode_steps_per_dispatch": eff_k}
-    if cfg.get("kv_cache_dtype"):
-        extra["kv_cache_dtype"] = cfg["kv_cache_dtype"]
+    for key in ("kv_cache_dtype", "quantization"):
+        if cfg.get(key):
+            extra[key] = cfg[key]
     llm = LLM(model=cfg["model"],
               skip_tokenizer_init=True,
               dtype="bfloat16",
@@ -133,7 +172,7 @@ def main():
               max_num_batched_tokens=cfg["max_num_batched_tokens"],
               num_gpu_blocks_override=cfg["num_gpu_blocks_override"],
               block_size=16,
-              swap_space=0.25,
+              swap_space=cfg.get("swap_space", 0.25),
               schedule_type=args.schedule_type,
               disable_log_stats=True,
               **extra)
@@ -187,6 +226,7 @@ def main():
     tput = statistics.median(decode_rates)
     gen_tokens = sum(len(o.outputs[0].token_ids) for o in outputs)
     prompt_tokens = sum(len(o.prompt_token_ids) for o in outputs)
+    swap_outs = sum(o.swap_out for o in outputs)
 
     # MFU over the full measured pass (prefill + decode): every processed
     # token costs ~2*N matmul FLOPs.
@@ -225,7 +265,8 @@ def main():
         f"warmup={warmup_s:.1f}s prefill={prefill_s:.1f}s "
         f"decode_tok_s={'/'.join(f'{r:.0f}' for r in decode_rates)} "
         f"gen={gen_tokens} prompt={prompt_tokens} "
-        f"requests={cfg['num_requests']} schedule={args.schedule_type}",
+        f"requests={cfg['num_requests']} schedule={args.schedule_type} "
+        f"swap_outs={swap_outs}",
         file=sys.stderr)
 
 

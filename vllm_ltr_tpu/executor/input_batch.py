@@ -72,6 +72,10 @@ class PreparedBatch:
     # guided decoding: bit-packed allowed-token mask, or None when no
     # scheduled request carries a guide (u8[S, ceil(V/8)], np.packbits)
     logits_mask: Optional[np.ndarray] = None
+    # i32[T // block_size] destination cache block per flat token page
+    # when the layout permits page-granular KV writes (prefill batches;
+    # see ops/kv_cache.py write_kv_pages); None = token-scatter fallback
+    page_dst: Optional[np.ndarray] = None
     # True when any row's SamplingParams carries host-side
     # logits_processors (forces the two-phase sample dispatch)
     has_host_processors: bool = False
@@ -233,6 +237,28 @@ def prepare_batch(
         block_size, T)
     block_tables = np.maximum(block_tables, 0)
 
+    # Page-granular KV write map (ops/kv_cache.py write_kv_pages): valid
+    # when every token's slot offset matches its flat offset mod
+    # block_size (tile-aligned runs starting on page boundaries) and each
+    # flat page targets a single destination block.  Padding pages get
+    # unique out-of-range indices so the device scatter both drops them
+    # and keeps its unique_indices promise.
+    page_dst = None
+    if not decode_only and T % block_size == 0 and num_real_tokens:
+        valid = slot_mapping >= 0
+        t_idx = np.arange(T, dtype=np.int32)
+        if np.array_equal(slot_mapping[valid] % block_size,
+                          t_idx[valid] % block_size):
+            P = T // block_size
+            blk = np.where(valid, slot_mapping // block_size,
+                           -1).reshape(P, block_size)
+            mx = blk.max(axis=1)
+            if bool(np.all((blk == mx[:, None]) | (blk < 0))):
+                page_dst = np.where(
+                    mx >= 0, mx,
+                    (1 << 28) + np.arange(P, dtype=np.int32)).astype(
+                        np.int32)
+
     # Per-row sample index: last token of each row in the flat layout.
     sample_idx = np.zeros((S, ), np.int32)
     if num_real_seqs:
@@ -333,4 +359,5 @@ def prepare_batch(
         token_counts=token_counts,
         logits_mask=logits_mask,
         has_host_processors=any_processors,
+        page_dst=page_dst,
     )

@@ -535,6 +535,7 @@ class TPUExecutor:
         model_cls = self.model_cls
         cfg = self.hf_config
         mesh = self.mesh
+        block_size = self.block_size
 
         pred_config = self.pred_config
 
@@ -548,7 +549,7 @@ class TPUExecutor:
             static_argnames=("use_penalties", "decode_mode",
                              "capture_layer", "has_lora", "prefill_tile",
                              "exact_sampling", "has_logits_mask",
-                             "return_logits"))
+                             "return_logits", "has_page_dst"))
         def step_fn(params, pred_params, kv_cache, i32_t, i32_s, f32_s,
                     block_tables, token_counts, rng,
                     use_penalties: bool, decode_mode: bool,
@@ -556,7 +557,8 @@ class TPUExecutor:
                     prefill_tile=None, image_embeds=None,
                     exact_sampling: bool = True, logits_mask=None,
                     has_logits_mask: bool = False,
-                    return_logits: bool = False):
+                    return_logits: bool = False,
+                    has_page_dst: bool = False):
             # The PRNG key lives on device: split here and thread the next
             # key back through the return value — an eager host-side
             # jax.random.split costs a full relay round trip per step.
@@ -566,6 +568,10 @@ class TPUExecutor:
             tokens, positions, token_seq, slot_mapping = (i32_t[0], i32_t[1],
                                                           i32_t[2], i32_t[3])
             lora_slots = i32_t[4] if has_lora else None
+            page_dst = None
+            if has_page_dst:
+                n_pages = i32_t.shape[1] // block_size
+                page_dst = i32_t[4 + int(has_lora), :n_pages]
             seq_lens, sample_idx, top_k = i32_s[0], i32_s[1], i32_s[2]
             greedy = i32_s[3] > 0
             (temperature, top_p, min_p, presence, frequency,
@@ -577,7 +583,8 @@ class TPUExecutor:
                                      block_tables=block_tables,
                                      seq_lens=seq_lens,
                                      lora_slots=lora_slots,
-                                     prefill_tile=prefill_tile)
+                                     prefill_tile=prefill_tile,
+                                     page_dst=page_dst)
             pred_scores = jnp.zeros(sample_idx.shape, jnp.float32)
             vlm_kwargs = ({} if image_embeds is None else
                           {"image_embeds": image_embeds})
@@ -843,10 +850,18 @@ class TPUExecutor:
 
         # Pack host buffers once: [Kt, T] ints, [4, S] ints, [6, S] floats.
         has_lora = batch.lora_slots is not None
+        has_page_dst = batch.page_dst is not None
         i32_t_rows = [batch.tokens, batch.positions, batch.token_seq,
                       batch.slot_mapping]
         if has_lora:
             i32_t_rows.append(batch.lora_slots)
+        if has_page_dst:
+            # Page-write map rides the packed buffer (padded to T) — one
+            # H2D transfer per step is ~7 ms through the relay, so no new
+            # transfers for the fast prefill KV write.
+            padded = np.full(len(batch.tokens), 1 << 28, np.int32)
+            padded[:len(batch.page_dst)] = batch.page_dst
+            i32_t_rows.append(padded)
         i32_t = jnp.asarray(np.stack(i32_t_rows))
         i32_s = jnp.asarray(
             np.stack([
@@ -906,7 +921,9 @@ class TPUExecutor:
                                     token_counts, use_penalties,
                                     batch.decode_only, capture_layer,
                                     step_tile, exact_sampling,
-                                    logits_mask if has_mask else None)
+                                    logits_mask if has_mask else None,
+                                    has_lora=has_lora,
+                                    has_page_dst=has_page_dst)
         if needs_draft_mirror:
             self.draft_kv_cache = self._draft_prefill_fn(
                 self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
@@ -922,7 +939,7 @@ class TPUExecutor:
                 use_penalties, batch.decode_only, capture_layer, has_lora,
                 step_tile, image_embeds, exact_sampling=exact_sampling,
                 logits_mask=logits_mask, has_logits_mask=has_mask,
-                return_logits=True)
+                return_logits=True, has_page_dst=has_page_dst)
             if self._rng2 is None:
                 self._rng2 = jax.device_put(jax.random.PRNGKey(4242))
 
@@ -956,7 +973,8 @@ class TPUExecutor:
             block_tables, token_counts, self._rng, use_penalties,
             batch.decode_only, capture_layer, has_lora, step_tile,
             image_embeds, exact_sampling=exact_sampling,
-            logits_mask=logits_mask, has_logits_mask=has_mask)
+            logits_mask=logits_mask, has_logits_mask=has_mask,
+            has_page_dst=has_page_dst)
 
         def finish():
             h_i32 = self._fetch(out_i32)
@@ -1562,7 +1580,9 @@ class TPUExecutor:
     def _mh_broadcast_step(self, i32_t, i32_s, f32_s, block_tables,
                            token_counts, use_penalties,
                            decode_mode, capture_layer, step_tile,
-                           exact_sampling, logits_mask=None) -> None:
+                           exact_sampling, logits_mask=None,
+                           has_lora: bool = False,
+                           has_page_dst: bool = False) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
         header[0] = dist.OP_STEP
         header[1] = int(use_penalties)
@@ -1575,6 +1595,8 @@ class TPUExecutor:
         header[10] = int(exact_sampling)
         # Guided decoding mask (packed): width, or 0 when absent.
         header[11] = 0 if logits_mask is None else logits_mask.shape[1]
+        header[12] = int(has_lora)
+        header[13] = int(has_page_dst)
         dist.broadcast_header(header)
         for arr, dt in ((i32_t, np.int32), (i32_s, np.int32),
                         (f32_s, np.float32), (block_tables, np.int32),
@@ -1649,7 +1671,8 @@ class TPUExecutor:
                 logits_mask = (jnp.asarray(
                     dist.broadcast_array(None, (S, mask_w), np.uint8))
                                if has_mask else jnp.zeros((1, 1), np.uint8))
-                has_lora = Kt > 4
+                has_lora = bool(header[12])
+                has_page_dst = bool(header[13])
                 if self.draft_params is not None:
                     # Mirror the leader's draft-cache sync for prefill /
                     # spec-ineligible steps (_execute_single_dispatch).
@@ -1663,7 +1686,8 @@ class TPUExecutor:
                     i32_s, f32_s, block_tables, token_counts, self._rng,
                     use_penalties, decode_mode, capture_layer, has_lora,
                     step_tile, exact_sampling=bool(header[10]),
-                    logits_mask=logits_mask, has_logits_mask=has_mask)
+                    logits_mask=logits_mask, has_logits_mask=has_mask,
+                    has_page_dst=has_page_dst)
             elif op == dist.OP_MULTI_STEP:
                 use_penalties = bool(header[1])
                 has_lora = bool(header[2])

@@ -49,6 +49,10 @@ class AttentionMetadata(NamedTuple):
     # Static query-tile size when the flat layout is tile-aligned (enables
     # the Pallas chunked-prefill kernel); None = unaligned layout.
     prefill_tile: Optional[int] = None
+    # [T // block_size] destination cache block per flat token page when
+    # the layout permits page-granular KV writes (ops/kv_cache.py
+    # write_kv_pages); None = per-token scatter fallback.
+    page_dst: Optional[jax.Array] = None
 
 
 def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:

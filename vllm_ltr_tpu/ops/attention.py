@@ -128,8 +128,11 @@ def attend(
                 mesh, q, kv_new, kv_cache, layer, meta, scale,
                 sliding_window or 0, alibi, mode)
     else:
-        from vllm_ltr_tpu.ops.kv_cache import write_kv
-        kv_cache = write_kv(kv_cache, layer, k, v, meta.slot_mapping)
+        from vllm_ltr_tpu.ops.kv_cache import write_kv, write_kv_pages
+        if meta.page_dst is not None:
+            kv_cache = write_kv_pages(kv_cache, layer, k, v, meta.page_dst)
+        else:
+            kv_cache = write_kv(kv_cache, layer, k, v, meta.slot_mapping)
         if decode_mode:
             out = paged_attention_decode_reference(
                 q, kv_cache, layer, meta.block_tables, meta.seq_lens, scale,

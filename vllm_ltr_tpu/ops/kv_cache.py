@@ -90,6 +90,39 @@ def write_kv(kv_cache: jax.Array, layer: int, key: jax.Array,
         kv, mode="drop", unique_indices=False)
 
 
+def write_kv_pages(kv_cache: jax.Array, layer: int, key: jax.Array,
+                   value: jax.Array, page_dst: jax.Array) -> jax.Array:
+    """Page-granular prefill K/V write.
+
+    The per-token scatter in :func:`write_kv` lowers on TPU to a serial
+    loop of one dynamic-update-slice per token (~30 us each): a T=512
+    prefill across 22 layers spent ~345 ms/step just writing KV (round-4
+    phase diagnostic).  Prefill destination slots are contiguous runs and
+    the flat token layout is tile-aligned, so each flat page of
+    ``block_size`` tokens lands in exactly ONE destination cache page —
+    written here as a scatter of whole [2, KH, block_size, D] pages with
+    ``unique_indices=True`` (every live page index is distinct; padding
+    pages carry unique out-of-bounds indices and are dropped).
+
+    Slots of a partially-filled tail page receive padding-token garbage
+    beyond the sequence length — safe, because nothing reads a slot past
+    ``seq_len`` and decode's in-kernel write replaces slot ``L`` before
+    the first read of it.
+
+    key/value: [T, KH, D]; page_dst: [T // block_size] destination block
+    index per flat page (>= num_blocks+1 => dropped).
+    """
+    _, _, _, KH, block_size, Dp = kv_cache.shape
+    kv = jnp.stack([key, value], axis=1)  # [T, 2, KH, D]
+    if kv.shape[-1] < Dp:
+        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, Dp - kv.shape[-1])))
+    kv = kv.astype(kv_cache.dtype)
+    P = page_dst.shape[0]
+    pages = kv.reshape(P, block_size, 2, KH, Dp).transpose(0, 2, 3, 1, 4)
+    return kv_cache.at[layer, page_dst].set(pages, mode="drop",
+                                            unique_indices=True)
+
+
 def copy_blocks(kv_cache: jax.Array, src: jax.Array,
                 dst: jax.Array) -> jax.Array:
     """Copy whole blocks src[i] -> dst[i] across all layers (CoW commit).
