@@ -355,3 +355,84 @@ def test_two_process_spec_decode(tmp_path):
     assert leader_line, outs[0][1]
     done = json.loads(leader_line[-1][len("RESULT "):])
     assert set(done) == {"s"} and len(done["s"]) == 6
+
+
+_WORKER_VLM = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["LTR_REPO"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from vllm_ltr_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                                 LoadConfig, ModelConfig, ParallelConfig,
+                                 SchedulerConfig)
+from vllm_ltr_tpu.engine.llm_engine import LLMEngine
+from vllm_ltr_tpu.sampling_params import SamplingParams
+from vllm_ltr_tpu.transformers_utils.config import get_hf_config
+
+hf_config = get_hf_config("test-llava-tiny")
+
+engine_config = EngineConfig(
+    model_config=ModelConfig(model="test-llava-tiny",
+                             skip_tokenizer_init=True, dtype="float32",
+                             max_model_len=64, hf_config=hf_config),
+    cache_config=CacheConfig(block_size=16, swap_space=0.01,
+                             num_device_blocks_override=32),
+    parallel_config=ParallelConfig(
+        tensor_parallel_size=2,
+        distributed_coordinator=os.environ["MH_COORD"],
+        distributed_num_processes=2,
+        distributed_process_id=int(os.environ["MH_PID"])),
+    scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                     max_num_seqs=4, max_model_len=64),
+    device_config=DeviceConfig("cpu"),
+    load_config=LoadConfig(load_format="dummy"),
+)
+engine = LLMEngine(engine_config)
+ex = engine.model_executor
+assert ex.multihost, "expected a 2-process runtime"
+
+if ex.is_leader:
+    image_token = 127
+    prompt = [image_token] * 16 + [5, 6, 7]
+    rng = np.random.RandomState(0)
+    img_a = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+    img_b = (rng.normal(size=(1, 3, 32, 32)) * 5 + 3).astype(np.float32)
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    engine.add_request("a", prompt_token_ids=list(prompt),
+                       sampling_params=sp,
+                       multi_modal_data={"pixel_values": img_a})
+    engine.add_request("b", prompt_token_ids=list(prompt),
+                       sampling_params=sp,
+                       multi_modal_data={"pixel_values": img_b})
+    done = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out.outputs[0].token_ids
+    ex.shutdown_followers()
+    print("RESULT " + json.dumps(done))
+else:
+    ex.serve_follower()
+    print("RESULT {}")
+"""
+
+
+@pytest.mark.timeout(420)
+def test_two_process_vlm_serving():
+    """Multi-host VLM: the leader's vision tower runs once and the
+    projected [T, H] image features are mirrored to followers through
+    the OP_STEP broadcast (round 4; closes the round-3 known gap)."""
+    outs = _run_pair(_WORKER_VLM, {})
+    leader_line = [
+        l for l in outs[0][1].splitlines() if l.startswith("RESULT ")
+    ]
+    assert leader_line, outs[0][1]
+    done = json.loads(leader_line[-1][len("RESULT "):])
+    assert set(done) == {"a", "b"}
+    assert all(len(v) == 5 for v in done.values())
+    # Different images must produce different greedy generations — the
+    # mirrored embeds actually reach both processes' shards of the LM.
+    assert done["a"] != done["b"]

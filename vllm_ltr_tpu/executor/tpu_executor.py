@@ -909,21 +909,24 @@ class TPUExecutor:
                        jnp.zeros((1, 1), jnp.uint8))
         two_phase = batch.has_host_processors
         if self.multihost:
-            assert image_embeds is None, (
-                "multi-host VLM serving is not wired yet")
             assert not two_phase, (
                 "per-request logits_processors run host-side and are "
                 "single-host only (guided decoding's mask path is "
                 "multi-host safe)")
             # Followers keep their own device-resident PRNG key in sync by
             # replaying the identical split sequence — no key broadcast.
+            # Image embeddings (VLM prefill) are mirrored as the projected
+            # [T, H] feature buffer: followers never see raw pixels, the
+            # leader's vision tower runs once (the reference instead ships
+            # the image to every Ray worker and runs CLIP per worker).
             self._mh_broadcast_step(i32_t, i32_s, f32_s, block_tables,
                                     token_counts, use_penalties,
                                     batch.decode_only, capture_layer,
                                     step_tile, exact_sampling,
                                     logits_mask if has_mask else None,
                                     has_lora=has_lora,
-                                    has_page_dst=has_page_dst)
+                                    has_page_dst=has_page_dst,
+                                    image_embeds=image_embeds)
         if needs_draft_mirror:
             self.draft_kv_cache = self._draft_prefill_fn(
                 self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
@@ -1582,7 +1585,8 @@ class TPUExecutor:
                            decode_mode, capture_layer, step_tile,
                            exact_sampling, logits_mask=None,
                            has_lora: bool = False,
-                           has_page_dst: bool = False) -> None:
+                           has_page_dst: bool = False,
+                           image_embeds=None) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
         header[0] = dist.OP_STEP
         header[1] = int(use_penalties)
@@ -1597,6 +1601,9 @@ class TPUExecutor:
         header[11] = 0 if logits_mask is None else logits_mask.shape[1]
         header[12] = int(has_lora)
         header[13] = int(has_page_dst)
+        # VLM prefill: hidden width of the mirrored [T, H] image-feature
+        # buffer (0 = text-only step).
+        header[14] = 0 if image_embeds is None else image_embeds.shape[1]
         dist.broadcast_header(header)
         for arr, dt in ((i32_t, np.int32), (i32_s, np.int32),
                         (f32_s, np.float32), (block_tables, np.int32),
@@ -1605,6 +1612,10 @@ class TPUExecutor:
         if logits_mask is not None:
             dist.broadcast_array(np.asarray(logits_mask),
                                  logits_mask.shape, np.uint8)
+        if image_embeds is not None:
+            dist.broadcast_array(
+                np.asarray(image_embeds, np.float32),
+                image_embeds.shape, np.float32)
 
     def _mh_broadcast_aux(self, tokens, positions, mask) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
@@ -1673,6 +1684,12 @@ class TPUExecutor:
                                if has_mask else jnp.zeros((1, 1), np.uint8))
                 has_lora = bool(header[12])
                 has_page_dst = bool(header[13])
+                img_h = int(header[14])
+                image_embeds = None
+                if img_h > 0:
+                    image_embeds = jnp.asarray(
+                        dist.broadcast_array(None, (T, img_h), np.float32),
+                        self.dtype)
                 if self.draft_params is not None:
                     # Mirror the leader's draft-cache sync for prefill /
                     # spec-ineligible steps (_execute_single_dispatch).
@@ -1685,7 +1702,8 @@ class TPUExecutor:
                     params, self.pred_params, self.kv_cache, i32_t,
                     i32_s, f32_s, block_tables, token_counts, self._rng,
                     use_penalties, decode_mode, capture_layer, has_lora,
-                    step_tile, exact_sampling=bool(header[10]),
+                    step_tile, image_embeds,
+                    exact_sampling=bool(header[10]),
                     logits_mask=logits_mask, has_logits_mask=has_mask,
                     has_page_dst=has_page_dst)
             elif op == dist.OP_MULTI_STEP:
