@@ -1198,6 +1198,15 @@ class TPUExecutor:
             if L >= cfg.max_length:
                 break
             L *= 2
+        # Every batch bucket at max length: arrival bursts score 9..max
+        # waiting prompts at once, and any unwarmed (B, L) bucket costs a
+        # 20-140 s relay compile inside schedule() mid-serving (the
+        # round-4 overload A/B's opt@32 pass hit exactly the (16, 32) and
+        # (32, 32) holes of the old 8-then-max ladder).
+        B = 16
+        while B < cfg.max_batch_size:
+            shapes.append((B, cfg.max_length))
+            B *= 2
         if cfg.max_batch_size > 8:
             shapes.append((cfg.max_batch_size, cfg.max_length))
         n = 0

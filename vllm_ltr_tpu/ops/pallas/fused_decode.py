@@ -278,10 +278,10 @@ def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
     iteration that serialized ~0.8 us of scalar work per iteration
     (measured 490 GB/s).  Here every decision is a table: row layout
     [s, base, npages, contig, b0, inject_jw, first, last, wb_page,
-    seq_len] x (vmax + 2) columns (four pad columns so the three-deep
-    lookahead prefetch needs no bounds check; pad columns have
-    npages=0/contig=0 and issue nothing).  Returns
-    (sched [10, vmax+4] i32, V [1] i32).
+    seq_len, full] x (vmax + 2) columns (four pad columns so the
+    three-deep lookahead prefetch needs no bounds check; pad columns
+    have npages=0/contig=0 and issue nothing).  Returns
+    (sched [11, vmax+4] i32, V [1] i32).
     """
     i32 = jnp.int32
     S, MB = block_tables.shape
@@ -322,6 +322,14 @@ def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
     wblk = jnp.clip(jnp.maximum(sl_raw[s_c] - 1, 0) // Bs, 0, MB - 1)
     inject = ((slot_mapping[s_c] >= 0) & (base <= wblk)
               & (wblk < base + ppi) & live_v)
+    # Interior (fully-valid) page groups skip the per-key liveness mask
+    # in the kernel: every key in [base*Bs, (base+ppi)*Bs) is < seq_len
+    # and (for windowed attention) >= seq_len - window, so the row's
+    # head_bias alone is the correct mask (the softmax VPU chain is the
+    # fp8 path's compute floor; round-3 roofline).
+    full = live_v & (npg == ppi) & ((base + ppi) * Bs <= sl_raw[s_c])
+    if window > 0:
+        full &= base * Bs >= sl_raw[s_c] - window
     sched = jnp.stack([
         s_c, base, npg,
         contig.astype(i32), pages[:, 0],
@@ -330,6 +338,7 @@ def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
         last.astype(i32),
         block_tables[s_c, wblk],
         sl_raw[s_c],
+        full.astype(i32),
     ]).astype(i32)
     return sched, V.reshape(1)
 
@@ -342,7 +351,7 @@ def _stream_decode_kernel(
     layer_ref,  # [1] i32 (SMEM)
     block_tables_ref,  # [S, MB] i32 (SMEM)
     slot_ref,  # [S] i32; -1 = padded lane (SMEM)
-    sched_ref,  # [10, Vmax+4] i32 (SMEM) — see _build_stream_schedule
+    sched_ref,  # [11, Vmax+4] i32 (SMEM) — see _build_stream_schedule
     vbound_ref,  # [1] i32: live virtual iterations
     # inputs
     q_ref,  # [S, Rp, Dp] VMEM (whole batch)
@@ -359,6 +368,7 @@ def _stream_decode_kernel(
     acc_ref,  # [Rp, Dp] f32
     m_ref,  # [Rp, 128] f32
     l_ref,  # [Rp, 128] f32
+    scores_ref,  # [Rp, CK] f32 (mask-elision branch target)
     *,
     group: int,
     block_size: int,
@@ -547,14 +557,29 @@ def _stream_decode_kernel(
             q, k, (((1, ), (1, )), ((), ())),
             preferred_element_type=jnp.float32)  # [Rp, CK]
 
-        key_pos = base * Bs + col_pos
-        live = key_pos < sl
-        if window > 0:
-            live &= key_pos >= sl - window
         if use_alibi:
+            key_pos = base * Bs + col_pos
             scores = scores - slopes * (sl - 1 - key_pos).astype(jnp.float32)
-        scores = jnp.where(live, scores + head_bias, NEG_INF)
 
+        # Interior (fully-valid) groups skip the per-key liveness mask —
+        # the head bias alone is correct there (schedule row 10); the VPU
+        # softmax chain is the fp8 path's compute floor.
+        @pl.when(sched_ref[10, v] > 0)
+        def _():
+            scores_ref[...] = scores + head_bias
+
+        @pl.when(sched_ref[10, v] == 0)
+        def _():
+            if not use_alibi:
+                kp = base * Bs + col_pos
+            else:
+                kp = key_pos
+            live = kp < sl
+            if window > 0:
+                live &= kp >= sl - window
+            scores_ref[...] = jnp.where(live, scores + head_bias, NEG_INF)
+
+        scores = scores_ref[...]
         m_prev = m_ref[:, 0:1]
         l_prev = l_ref[:, 0:1]
         m_new = jnp.maximum(
@@ -668,6 +693,7 @@ def fused_decode_attention(
                 pltpu.VMEM((Rp, Dp), jnp.float32),
                 pltpu.VMEM((Rp, 128), jnp.float32),
                 pltpu.VMEM((Rp, 128), jnp.float32),
+                pltpu.VMEM((Rp, ppi * KH * Bs), jnp.float32),
             ],
         )
         kernel = functools.partial(_stream_decode_kernel, **common)
