@@ -653,7 +653,19 @@ class SpeculativeConfig:
 
 @dataclass
 class DecodingConfig:
-    guided_decoding_backend: str = "none"
+    """Guided-decoding backend selector (reference DecodingConfig,
+    vllm/config.py).  The only backend is the built-in token-FSM engine
+    (vllm_ltr_tpu/guided/) — the reference's 'outlines' /
+    'lm-format-enforcer' values map to it, since the constraint surface
+    (guided_choice/regex/json) is the same."""
+    guided_decoding_backend: str = "native"
+
+    def __post_init__(self) -> None:
+        allowed = ("native", "outlines", "lm-format-enforcer", "none")
+        if self.guided_decoding_backend not in allowed:
+            raise ValueError(
+                f"guided_decoding_backend must be one of {allowed}, got "
+                f"{self.guided_decoding_backend!r}")
 
 
 class EngineConfig:
