@@ -123,6 +123,26 @@ def load_params(model_cls, model_source: str, hf_config, dtype,
         logger.info("Initializing random weights for %s (%s)", model_source,
                     model_cls.__name__)
         rng = jax.random.PRNGKey(seed)
+        if quantization:
+            # Host-side init for quantized random weights: the bf16 tree
+            # of an 8B model (16.1 GiB) would OOM a 16 GiB device before
+            # quantization ever ran — which is exactly the configuration
+            # INT4 exists for (bench llama-8b-int4).  eval_shape gives
+            # the tree without allocating; leaves materialize as host
+            # numpy (simple scaled-normal init — distribution fidelity
+            # is irrelevant for random benchmarking weights) and the
+            # quantizer consumes them host-side; sharded device
+            # placement happens downstream in shard_params.
+            tree = jax.eval_shape(
+                lambda: model_cls.init_params(hf_config, rng, dtype))
+            nprng = np.random.RandomState(seed)
+
+            def materialize(leaf):
+                arr = nprng.standard_normal(leaf.shape).astype(np.float32)
+                return (arr * 0.02).astype(leaf.dtype)
+
+            params = jax.tree.map(materialize, tree)
+            return maybe_quantize_params(params, quantization)
         params = model_cls.init_params(hf_config, rng, dtype)
         return maybe_quantize_params(params, quantization)
     cache_dir = os.path.join(model_source, _NP_CACHE_DIR)
