@@ -128,6 +128,36 @@ def test_completion_streaming(served_app):
         assert len(parsed) == 4  # one chunk per generated token
         assert parsed[-1]["choices"][0]["finish_reason"] == "length"
 
+        # stream_options.include_usage: final frame carries exact token
+        # counts (what the serving benchmark's client consumes — a fused
+        # multi-step wave emits many tokens per SSE frame).
+        r = await client.post("/v1/completions",
+                              json={
+                                  "model": model,
+                                  "prompt": [3, 4, 5],
+                                  "max_tokens": 4,
+                                  "temperature": 0,
+                                  "ignore_eos": True,
+                                  "stream": True,
+                                  "stream_options": {
+                                      "include_usage": True
+                                  },
+                              })
+        assert r.status == 200
+        body = (await r.read()).decode()
+        events = [
+            line[len("data: "):] for line in body.splitlines()
+            if line.startswith("data: ")
+        ]
+        assert events[-1] == "[DONE]"
+        usage_frame = json.loads(events[-2])
+        assert usage_frame["choices"] == []
+        assert usage_frame["usage"] == {
+            "prompt_tokens": 3,
+            "total_tokens": 7,
+            "completion_tokens": 4,
+        }
+
     asyncio.run(_with_client(app, scenario))
 
 
