@@ -232,6 +232,21 @@ def test_openai_guided_fields(guided_model_dir):
                 json={"model": guided_model_dir, "prompt": "x",
                       "max_tokens": 4, "guided_regex": "(unbalanced"})
             assert r3.status == 400
+
+            # logit_bias (OpenAI semantics) is real: a huge bias forces
+            # the token under greedy decoding.
+            r4 = await client.post(
+                "/v1/completions",
+                json={"model": guided_model_dir, "prompt": "x",
+                      "max_tokens": 3, "temperature": 0,
+                      "ignore_eos": True, "logprobs": 0,
+                      "logit_bias": {"9": 100.0}})
+            assert r4.status == 200
+            body4 = await r4.json()
+            assert body4["usage"]["completion_tokens"] == 3
+            toks = body4["choices"][0]["logprobs"]["tokens"]
+            # Greedy + a +100 bias on one id: every step picks it.
+            assert len(toks) == 3 and len(set(toks)) == 1
         finally:
             await client.close()
 

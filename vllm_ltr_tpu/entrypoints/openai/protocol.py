@@ -115,7 +115,8 @@ class SamplingKnobs(BaseModel):
     repetition_penalty: Optional[float] = Field(
         1.0, description="multiplicative repeat penalty, in (0, 2]")
     logit_bias: Optional[Dict[str, float]] = Field(
-        None, description="accepted for API compatibility (unsupported)")
+        None, description="additive per-token-id logit bias (OpenAI "
+        "semantics); applied as a per-request logits processor")
     max_tokens: Optional[int] = Field(
         16, description="generation cap; None = rest of the model window")
     min_tokens: Optional[int] = Field(
@@ -178,7 +179,20 @@ class SamplingKnobs(BaseModel):
                 "guided_grammar is not supported; use guided_json, "
                 "guided_regex or guided_choice")
         knobs = {name: getattr(self, name) for name in self._FORWARDED}
-        return SamplingParams(logprobs=self._effective_logprobs(), **knobs)
+        processors = None
+        if self.logit_bias:
+            bias = {int(k): float(v) for k, v in self.logit_bias.items()}
+
+            def apply_logit_bias(past_ids, logits, _bias=bias):
+                out = logits.copy()
+                for tok, b in _bias.items():
+                    if 0 <= tok < out.shape[-1]:
+                        out[tok] += b
+                return out
+
+            processors = [apply_logit_bias]
+        return SamplingParams(logprobs=self._effective_logprobs(),
+                              logits_processors=processors, **knobs)
 
 
 class CompletionRequest(SamplingKnobs):
