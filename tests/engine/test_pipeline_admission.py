@@ -95,6 +95,40 @@ def test_sneak_admission_respects_seat_budget():
     assert len(done) == len(ps)
 
 
+def test_mlfq_survives_pipelined_admission():
+    """Regression (round-4 online mlfq@32 crash): with pipelined
+    admission step_finish runs once per dispatched plan, and MLFQ's
+    free_finished hook must consume real_running exactly once — the
+    double re-enqueue put duplicate groups into the level queues and
+    the next ranked pass packed one twice."""
+    args = EngineArgs(model="test-llama-tiny", skip_tokenizer_init=True,
+                      max_model_len=128, max_num_seqs=8,
+                      num_gpu_blocks_override=64, swap_space=0.01,
+                      schedule_type="mlfq", disable_log_stats=True)
+    eng = LLMEngine.from_engine_args(args)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    ps = prompts(seed=7, n=12)
+    rid = 0
+    for p in ps[:3]:
+        eng.add_request(str(rid), None, sp, prompt_token_ids=p)
+        rid += 1
+    steps = 0
+    while eng.has_unfinished_requests() and steps < 300:
+        fin, plan = eng.step_begin()
+        fin2 = plan2 = None
+        if steps % 2 == 0 and rid < len(ps):
+            eng.add_request(str(rid), None, sp, prompt_token_ids=ps[rid])
+            rid += 1
+            fin2, plan2 = eng.admission_step_begin()
+        raw = fin() if fin is not None else []
+        eng.step_finish(raw, plan)
+        if fin2 is not None:
+            eng.step_finish(fin2(), plan2)
+        steps += 1
+    assert not eng.has_unfinished_requests()
+    assert rid == len(ps)
+
+
 def test_sneak_admission_empty_waiting_is_noop():
     sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
     eng = make_engine()

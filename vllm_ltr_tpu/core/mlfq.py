@@ -121,6 +121,13 @@ class MLFQScheduler(Scheduler):
             self.prevent_starvation()
 
         ranking = self.levels.flatten()
+        # Defensive dedupe: packing the same group twice corrupts lane
+        # state (the pack/reserve engine assumes a set).
+        seen: set[int] = set()
+        ranking = [
+            g for g in ranking
+            if not (id(g) in seen or seen.add(id(g)))
+        ]
         outputs, executing = self._ranked_schedule(ranking, need_score=False)
 
         # Scheduled groups leave the level structure until they come back
@@ -136,9 +143,17 @@ class MLFQScheduler(Scheduler):
 
     def free_finished_seq_groups(self) -> None:
         """Re-queue unfinished scheduled requests, demoting any that have
-        used up their level's quantum (reference :1040-1047)."""
-        still_running: list[SequenceGroup] = []
-        for group in self.real_running:
+        used up their level's quantum (reference :1040-1047).
+
+        ``real_running`` is consumed exactly once: with pipelined
+        admission the engine calls step_finish (and therefore this hook)
+        once per dispatched plan — a full step plus any sneak-admission
+        plans — and re-enqueuing the same groups on the second call put
+        duplicates into the level queues, which the next ranked pass
+        then packed twice (the round-4 online mlfq@32 crash:
+        ``self.running.remove(group)`` on the second copy)."""
+        drained, self.real_running = self.real_running, []
+        for group in drained:
             if group.is_finished():
                 continue
             now = time.time()
@@ -148,8 +163,6 @@ class MLFQScheduler(Scheduler):
                 group.set_priority(group.get_priority() + 1)
                 group.process_time = 0.0
             self.levels.enqueue(group, front=True)
-            still_running.append(group)
-        self.real_running = still_running
 
         for group in self.running:
             if group.is_finished():
