@@ -457,6 +457,11 @@ def test_schedule_spec_parsing():
     assert spec.mlfq.threshold == 10
     assert spec.mlfq.use_async
 
+    # The reference's own spelling (bench-70B.sh: mlfq-base0.03-thres10).
+    spec = ScheduleSpec.parse("mlfq-base0.03-thres10")
+    assert spec.is_mlfq and spec.mlfq.base_quantum == 0.03
+    assert spec.mlfq.threshold == 10 and not spec.mlfq.use_async
+
     spec = ScheduleSpec.parse("rPO")
     assert spec.policy == "rPO"
     spec = ScheduleSpec.parse("ropt")

@@ -128,6 +128,9 @@ class ScheduleSpec:
                     st = st[:st.find("-")]
                 return float(st)
 
+            # "base" is the reference's spelling (bench-70B.sh uses
+            # mlfq-base0.03-thres10); "quant" is kept as an alias.
+            mlfq.base_quantum = find_config("base", mlfq.base_quantum)
             mlfq.base_quantum = find_config("quant", mlfq.base_quantum)
             mlfq.threshold = find_config("thres", mlfq.threshold)
             mlfq.starvation_threshold = find_config(
