@@ -83,6 +83,18 @@ CONFIGS = {
                           num_gpu_blocks_override=1536,
                           vocab=128256,
                           quantization="int4"),
+    # Small-batch INT4 variant: the dequant-tile kernel is ALU-bound at
+    # M=32 (0.86-0.95x bf16) but weight-stream-bound at M=8 (1.4-2.5x) —
+    # this row measures whether 8B INT4 decode prefers fewer seats.
+    "llama-8b-int4-b8": dict(model="test-llama-8b",
+                             num_requests=8,
+                             prompt_len=512,
+                             max_tokens=64,
+                             max_model_len=1024,
+                             max_num_batched_tokens=2048,
+                             num_gpu_blocks_override=1536,
+                             vocab=128256,
+                             quantization="int4"),
     # FP8-KV capacity A/B (VERDICT r3 item 3b): equal KV HBM BYTES
     # (bf16@1536 blocks == fp8@3072 blocks), 64 concurrent sequences
     # needing ~2300 blocks.  bf16 must swap/preempt; fp8 runs clean —

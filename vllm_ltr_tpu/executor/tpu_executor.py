@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -269,8 +270,11 @@ class TPUExecutor:
         self._sample_fn = self._build_sample_fn()
         # Independent PRNG stream for the two-phase (host logits_processor)
         # sample dispatch: it runs from the fetch thread, which must not
-        # race the dispatch thread's self._rng.
+        # race the dispatch thread's self._rng.  Its own lock serializes
+        # concurrent two-phase finishes (a main step and a sneak step can
+        # fetch in parallel).
         self._rng2 = None
+        self._rng2_lock = threading.Lock()
 
         # Fused multi-step decode (executor/multi_step.py): K decode
         # iterations chained on-device per host dispatch.
@@ -958,10 +962,11 @@ class TPUExecutor:
                     for proc in procs:
                         row_logits = proc(out_ids, row_logits)
                     logits[row] = np.asarray(row_logits)
-                out_i32p, out_f32p, self._rng2 = self._sample_fn(
-                    jnp.asarray(logits), i32_s, f32_s, token_counts,
-                    pred_dev, self._rng2, use_penalties=use_penalties,
-                    exact_sampling=exact_sampling)
+                with self._rng2_lock:
+                    out_i32p, out_f32p, self._rng2 = self._sample_fn(
+                        jnp.asarray(logits), i32_s, f32_s, token_counts,
+                        pred_dev, self._rng2, use_penalties=use_penalties,
+                        exact_sampling=exact_sampling)
                 h_i32 = self._fetch(out_i32p)
                 h_f32 = self._fetch(out_f32p)
                 return self._assemble_outputs(
