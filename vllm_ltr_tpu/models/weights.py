@@ -135,10 +135,12 @@ def load_params(model_cls, model_source: str, hf_config, dtype,
             # placement happens downstream in shard_params.
             tree = jax.eval_shape(
                 lambda: model_cls.init_params(hf_config, rng, dtype))
-            nprng = np.random.RandomState(seed)
+            # SFC64 is ~5x faster than the legacy MT19937 for the ~8e9
+            # draws an 8B init needs.
+            nprng = np.random.Generator(np.random.SFC64(seed))
 
             def materialize(leaf):
-                arr = nprng.standard_normal(leaf.shape).astype(np.float32)
+                arr = nprng.standard_normal(leaf.shape, dtype=np.float32)
                 return (arr * 0.02).astype(leaf.dtype)
 
             params = jax.tree.map(materialize, tree)
