@@ -122,6 +122,22 @@ def test_schema_string_constraints():
     assert not schema_match({"type": "string", "maxLength": 3}, "abcd")
 
 
+def test_any_json_regex():
+    from vllm_ltr_tpu.guided.json_schema import any_json_regex
+    pattern = any_json_regex(3)
+    for text, want in [
+        ("{}", True),
+        ('{"a":1}', True),
+        ('{"a":[1,2,{"b":null}],"c":"x"}', True),
+        ('{"a":{"b":{"c":[true,false]}}}', True),
+        ("[1,2]", False),  # top level must be an object
+        ('{"a":}', False),
+        ('{"a":1,}', False),
+        ('{"a" :1}', False),  # compact JSON only
+    ]:
+        assert full_match(pattern, text) == want, text
+
+
 # ---------------------------------------------------------------------------
 # Token FSM over a toy vocab
 # ---------------------------------------------------------------------------

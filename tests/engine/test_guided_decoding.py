@@ -247,6 +247,29 @@ def test_openai_guided_fields(guided_model_dir):
             toks = body4["choices"][0]["logprobs"]["tokens"]
             # Greedy + a +100 bias on one id: every step picks it.
             assert len(toks) == 3 and len(set(toks)) == 1
+
+            # response_format json_object -> valid JSON object output.
+            r5 = await client.post(
+                "/v1/completions",
+                json={"model": guided_model_dir, "prompt": "data:",
+                      "max_tokens": 60, "temperature": 1.0, "seed": 9,
+                      "response_format": {"type": "json_object"}})
+            assert r5.status == 200
+            body5 = await r5.json()
+            text5 = body5["choices"][0]["text"].replace(" ", "")
+            doc = json.loads(text5)
+            assert isinstance(doc, dict)
+
+            # truncate_prompt_tokens keeps the LAST N token ids.
+            r6 = await client.post(
+                "/v1/completions",
+                json={"model": guided_model_dir,
+                      "prompt": "the quick brown fox jumps",
+                      "max_tokens": 2, "temperature": 0,
+                      "ignore_eos": True, "truncate_prompt_tokens": 4})
+            assert r6.status == 200
+            body6 = await r6.json()
+            assert body6["usage"]["prompt_tokens"] <= 4
         finally:
             await client.close()
 

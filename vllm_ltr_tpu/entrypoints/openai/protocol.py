@@ -73,6 +73,12 @@ class ModelList(BaseModel):
     data: List[ModelCard] = Field(default_factory=list)
 
 
+class ResponseFormat(BaseModel):
+    type: str = Field(
+        "text", description='"text" or "json_object" (the latter guides '
+        "generation to valid JSON via the native token-FSM engine)")
+
+
 class StreamOptions(BaseModel):
     include_usage: bool = Field(
         False, description="emit a final SSE frame with empty choices and "
@@ -138,6 +144,10 @@ class SamplingKnobs(BaseModel):
         True, description="drop special tokens during detokenization")
     spaces_between_special_tokens: bool = Field(
         True, description="space-join special tokens when rendering")
+    truncate_prompt_tokens: Optional[int] = Field(
+        None, ge=1, description="keep only this many prompt tokens "
+        "(tokenizer truncation for text prompts, the LAST N for "
+        "token-id prompts — reference semantics)")
     stream: bool = Field(False, description="SSE streaming mode")
     stream_options: Optional[StreamOptions] = Field(
         None, description="streaming extras (include_usage: emit a final "
@@ -159,6 +169,11 @@ class SamplingKnobs(BaseModel):
     guided_grammar: Optional[str] = Field(
         None, description="EBNF grammar constraint (not supported; "
         "requests carrying it are rejected with a clear error)")
+    response_format: Optional[ResponseFormat] = Field(
+        None, description="OpenAI response_format; {'type': "
+        "'json_object'} constrains output to a JSON object "
+        "(bounded-nesting regular approximation of the reference's "
+        "JSON grammar)")
 
     # Knobs copied verbatim into SamplingParams (same name both sides).
     _FORWARDED = ("n", "best_of", "presence_penalty", "frequency_penalty",
@@ -179,6 +194,16 @@ class SamplingKnobs(BaseModel):
                 "guided_grammar is not supported; use guided_json, "
                 "guided_regex or guided_choice")
         knobs = {name: getattr(self, name) for name in self._FORWARDED}
+        if (self.response_format is not None
+                and self.response_format.type == "json_object"
+                and not (knobs.get("guided_choice")
+                         or knobs.get("guided_regex")
+                         or knobs.get("guided_json"))):
+            # Reference maps response_format json_object to its JSON
+            # grammar (outlines_decoding.py:110-113); here: the bounded
+            # -nesting regular approximation.
+            from vllm_ltr_tpu.guided.json_schema import any_json_regex
+            knobs["guided_regex"] = any_json_regex()
         processors = None
         if self.logit_bias:
             bias = {int(k): float(v) for k, v in self.logit_bias.items()}

@@ -59,11 +59,20 @@ class OpenAIServing:
         and enforce the context limit."""
         if (prompt is None) == (prompt_ids is None):
             raise ValueError("provide exactly one of prompt / prompt_ids")
+        trunc = getattr(request, "truncate_prompt_tokens", None)
+        if trunc is not None and trunc < 1:
+            raise ValueError("truncate_prompt_tokens must be >= 1")
         if prompt_ids is None:
             if self.tokenizer is None:
                 raise ValueError("server started without a tokenizer; "
                                  "send token ids")
-            prompt_ids = self.tokenizer(prompt).input_ids
+            # Reference semantics (serving_engine.py:188-194): tokenizer
+            # truncation for text, last-N for explicit token ids.
+            kwargs = ({} if trunc is None else
+                      {"truncation": True, "max_length": trunc})
+            prompt_ids = self.tokenizer(prompt, **kwargs).input_ids
+        elif trunc is not None:
+            prompt_ids = prompt_ids[-trunc:]
 
         prompt_len = len(prompt_ids)
         if getattr(request, "max_tokens", None) is None:

@@ -32,6 +32,24 @@ class SchemaError(ValueError):
     pass
 
 
+_STRING = f'"{_STRING_CHAR}*"'
+
+
+def any_json_regex(depth: int = 3) -> str:
+    """Free-form JSON object of bounded nesting depth — the regular
+    approximation of the reference's ``response_format: json_object``
+    grammar (outlines_decoding.py JSON_GRAMMAR).  Full JSON is not
+    regular; ``depth`` levels of array/object nesting cover practical
+    model output while keeping the lazily-determinized DFA small."""
+    scalar = f"({_STRING}|{_NUMBER}|{_BOOLEAN}|{_NULL})"
+    value = scalar
+    for _ in range(depth):
+        arr = rf"\[({value}(,{value})*)?\]"
+        obj = rf"\{{({_STRING}:{value}(,{_STRING}:{value})*)?\}}"
+        value = f"({scalar}|{arr}|{obj})"
+    return rf"\{{({_STRING}:{value}(,{_STRING}:{value})*)?\}}"
+
+
 def _json_literal(value: Any) -> str:
     return escape_literal(json.dumps(value, separators=(",", ":")))
 
