@@ -174,6 +174,10 @@ class SamplingKnobs(BaseModel):
         "'json_object'} constrains output to a JSON object "
         "(bounded-nesting regular approximation of the reference's "
         "JSON grammar)")
+    guided_decoding_backend: Optional[str] = Field(
+        None, description="per-request backend override (reference "
+        "protocol parity); every name maps to the built-in token-FSM "
+        "engine here")
 
     # Knobs copied verbatim into SamplingParams (same name both sides).
     _FORWARDED = ("n", "best_of", "presence_penalty", "frequency_penalty",
