@@ -560,6 +560,7 @@ class SchedulerConfig:
         fake_allocate: bool = False,
         decode_steps_per_dispatch: int = 1,
         precompile_shapes: bool = False,
+        async_aux_scoring: bool = False,
     ) -> None:
         if max_num_batched_tokens is None:
             # Chunked prefill decouples the token budget from max_model_len;
@@ -580,6 +581,9 @@ class SchedulerConfig:
         # front; LTR_TPU_PRECOMPILE=1 forces it on).
         self.precompile_shapes = (precompile_shapes or os.environ.get(
             "LTR_TPU_PRECOMPILE", "0") == "1")
+        # Overlap aux-predictor scoring with the in-flight serving wave
+        # (scores land one pass later; score-once contract preserved).
+        self.async_aux_scoring = async_aux_scoring
         if isinstance(schedule_type, ScheduleSpec):
             self.schedule_spec = schedule_type
         else:

@@ -131,6 +131,22 @@ def _first_seq_output_len(req: SequenceGroup) -> int:
     return req.get_seqs()[0].data.get_output_len()
 
 
+# Score accessors tolerant of async scoring: a request whose score is
+# still in flight (--async-aux-scoring) ranks LAST for the one pass its
+# dispatch takes, never first — so a burst of unscored arrivals cannot
+# preempt scored work on a placeholder.
+def _score_desc(req: SequenceGroup) -> float:
+    """Sort key for 'higher score first' policies (opt/tpt/ltr/...)."""
+    s = req.aux_model_score
+    return -s if s is not None else float("inf")
+
+
+def _score_asc(req: SequenceGroup) -> float:
+    """Sort key for 'lower score first' policies (ropt/rtpt)."""
+    s = req.aux_model_score
+    return s if s is not None else float("inf")
+
+
 @register_policy("fifo")
 def _fifo(ctx: PolicyContext) -> List[SequenceGroup]:
     return sorted(ctx.all_requests(),
@@ -183,14 +199,14 @@ def _tpt(ctx: PolicyContext) -> List[SequenceGroup]:
     """Classification-predictor score, descending (ties by request id)."""
     ctx.ensure_scores()
     return sorted(ctx.all_requests(),
-                  key=lambda req: (-req.aux_model_score, req.request_id))
+                  key=lambda req: (_score_desc(req), req.request_id))
 
 
 @register_policy("rtpt")
 def _rtpt(ctx: PolicyContext) -> List[SequenceGroup]:
     ctx.ensure_scores()
     return sorted(ctx.all_requests(),
-                  key=lambda req: (req.aux_model_score, req.request_id))
+                  key=lambda req: (_score_asc(req), req.request_id))
 
 
 @register_policy("opt")
@@ -207,14 +223,14 @@ def _opt(ctx: PolicyContext) -> List[SequenceGroup]:
                 r.runs = ctx.starvation_period
             elif r.pri == -1 and r.runs <= 0:
                 r.pri = 0
-        return sorted(reqs, key=lambda req: (req.pri, -req.aux_model_score))
-    return sorted(reqs, key=lambda req: -req.aux_model_score)
+        return sorted(reqs, key=lambda req: (req.pri, _score_desc(req)))
+    return sorted(reqs, key=_score_desc)
 
 
 @register_policy("ropt")
 def _ropt(ctx: PolicyContext) -> List[SequenceGroup]:
     ctx.ensure_scores()
-    return sorted(ctx.all_requests(), key=lambda req: req.aux_model_score)
+    return sorted(ctx.all_requests(), key=_score_asc)
 
 
 @register_policy("xpt")
@@ -228,6 +244,8 @@ def _xpt(ctx: PolicyContext) -> List[SequenceGroup]:
     exp = ctx.expected_lengths
     for req in reqs:
         if req.request_id not in exp:
+            if req.aux_model_score is None:
+                continue  # async scoring in flight: rank last this pass
             score = round(-req.aux_model_score, 2)
             exp[req.request_id] = -10000
             for kid in range(len(key) - 1, -1, -1):
@@ -236,7 +254,8 @@ def _xpt(ctx: PolicyContext) -> List[SequenceGroup]:
                     break
     return sorted(
         reqs,
-        key=lambda req: exp[req.request_id] - _first_seq_output_len(req))
+        key=lambda req: (exp.get(req.request_id, float("inf")) -
+                         _first_seq_output_len(req)))
 
 
 @register_policy("constraint")
@@ -247,10 +266,10 @@ def _constraint(ctx: PolicyContext) -> List[SequenceGroup]:
         scores = ctx.aux_scorer.obtain_aux_scores(unscored)
         ctx.records.extend(-s for s in scores)
         ctx.records.sort()
-    return sorted(ctx.all_requests(), key=lambda req: -req.aux_model_score)
+    return sorted(ctx.all_requests(), key=_score_desc)
 
 
 @register_policy("ltr")
 def _ltr(ctx: PolicyContext) -> List[SequenceGroup]:
     ctx.ensure_scores()
-    return sorted(ctx.all_requests(), key=lambda req: -req.aux_model_score)
+    return sorted(ctx.all_requests(), key=_score_desc)

@@ -90,6 +90,11 @@ class EngineArgs:
     precompile_shapes: bool = _flag(
         False, "compile every step-shape bucket at startup so no request "
         "ever waits on a jit compile (recommended for servers)")
+    async_aux_scoring: bool = _flag(
+        False, "overlap aux-predictor scoring with the in-flight serving "
+        "wave: scores land one scheduling pass later (in-flight requests "
+        "rank last for that pass), removing the scorer round trip from "
+        "the schedule() critical path")
 
     def create_engine_config(self) -> EngineConfig:
         mcfg = ModelConfig(
@@ -142,7 +147,8 @@ class EngineArgs:
             enable_starvation_prevent=self.enable_starvation_prevent,
             fake_allocate=self.fake_allocate,
             decode_steps_per_dispatch=self.decode_steps_per_dispatch,
-            precompile_shapes=self.precompile_shapes)
+            precompile_shapes=self.precompile_shapes,
+            async_aux_scoring=self.async_aux_scoring)
 
         speccfg = None
         if self.speculative_model is not None:

@@ -20,20 +20,59 @@ logger = init_logger(__name__)
 
 
 class AuxScorer:
+    """``async_mode`` (``--async-aux-scoring``): instead of blocking
+    ``schedule()`` on a predictor round trip (~90 ms/step through the
+    relay at trickle arrival rates — round-4 soak attribution),
+    dispatches ride the device queue behind the in-flight serving wave
+    and results are folded in at the next scheduling pass.  A request is
+    still scored exactly once and never scheduled before its score
+    lands (it simply ranks last for the one pass its score is in
+    flight), so the reference's score-once contract is preserved at the
+    cost of at most one wave of admission delay."""
 
-    def __init__(self, executor, prefill_predictor_config) -> None:
+    def __init__(self, executor, prefill_predictor_config,
+                 async_mode: bool = False) -> None:
         self.executor = executor
         self.config = prefill_predictor_config
+        self.async_mode = async_mode
         self.total_scored = 0
         self.total_time = 0.0
         # Per-call durations since the last stats drain: aux scoring runs
         # inside schedule() on the critical path (reference SURVEY §3.2
         # boundary note), so its latency is a first-class serving metric.
         self._recent: List[float] = []
+        # Async mode: dispatched-but-unfetched batches.
+        self._pending: List = []  # [(groups, fetch_fn)]
+        self._pending_ids: set = set()
+
+    def poll(self) -> None:
+        """Fold in scores from completed dispatches (blocks only if the
+        device hasn't finished them — after an intervening wave it has)."""
+        pending, self._pending = self._pending, []
+        for groups, fetch in pending:
+            for g, s in zip(groups, fetch()):
+                g.set_aux_model_score(float(s))
+                self._pending_ids.discard(g.request_id)
+                self.total_scored += 1
 
     def obtain_aux_scores(self,
                           seq_groups: List[SequenceGroup]) -> List[float]:
         t0 = time.time()
+        if self.async_mode:
+            self.poll()
+            new = [
+                g for g in seq_groups if g.need_aux_model_score()
+                and g.request_id not in self._pending_ids
+            ]
+            if new:
+                fetch = self.executor.score_prompts_begin(
+                    [g.prompt_token_ids for g in new])
+                self._pending.append((new, fetch))
+                self._pending_ids.update(g.request_id for g in new)
+            dt = time.time() - t0
+            self.total_time += dt
+            self._recent.append(dt)
+            return []
         prompts = [g.prompt_token_ids for g in seq_groups]
         scores = self.executor.score_prompts(prompts)
         for g, s in zip(seq_groups, scores):

@@ -110,7 +110,14 @@ class LLMEngine:
         ppc = self.model_config.prefill_predictor_model_config
         if ppc is not None:
             self.model_executor.init_aux_model(ppc)
-            self.scheduler.aux_model = AuxScorer(self.model_executor, ppc)
+            # Async scoring only for pure score-rank policies: the
+            # constraint policy consumes obtain_aux_scores' return value
+            # (records), which the async path defers.
+            async_ok = (self.scheduler_config.async_aux_scoring
+                        and self.scheduler_config.schedule_spec.policy in
+                        ("opt", "ropt", "tpt", "rtpt", "ltr", "xpt"))
+            self.scheduler.aux_model = AuxScorer(self.model_executor, ppc,
+                                                 async_mode=async_ok)
 
         eos_token_id = None
         if self.tokenizer is not None:

@@ -1225,17 +1225,18 @@ class TPUExecutor:
         logger.info("Warmed %d aux scorer shapes in %.1fs", n,
                     time.time() - t0)
 
-    def score_prompts(self, prompts_token_ids: List[List[int]]) -> List[float]:
-        """Score prompts with the predictor; returns one ranking score each
-        (higher = shorter predicted output). Classification predictors
-        (num_labels > 1) return the negative argmax bucket so that sorting by
-        -score still approximates SJF (reference opt.py:394-408)."""
+    def score_prompts_begin(self, prompts_token_ids: List[List[int]]):
+        """Dispatch the predictor forward(s); returns a ``fetch()``
+        closure producing the scores.  The dispatch is async (the device
+        queues the program behind whatever is executing), so a caller can
+        overlap scoring with an in-flight serving step and fetch one wave
+        later (``--async-aux-scoring``)."""
         assert self.aux_params is not None, "init_aux_model first"
         cfg = self.aux_prefill_config
         max_len = cfg.max_length
         bs = cfg.max_batch_size
-        scores: List[float] = []
         t_start = time.perf_counter()
+        outs: List[Tuple[Any, int]] = []
         for i in range(0, len(prompts_token_ids), bs):
             chunk = prompts_token_ids[i:i + bs]
             trunc = [t[:max_len] for t in chunk]
@@ -1260,14 +1261,31 @@ class TPUExecutor:
             out = self._aux_score_fn(self.aux_params, jnp.asarray(tokens),
                                      jnp.asarray(positions),
                                      jnp.asarray(mask))
-            out = self._fetch(out)
-            if cfg.num_labels == 1:
-                scores.extend(float(s) for s in out[:B, 0])
-            else:
-                scores.extend(-float(s) for s in np.argmax(out[:B], axis=1))
+            outs.append((out, B))
             self.dispatch_stats["aux_dispatches"] += 1
         self.dispatch_stats["aux_s"] += time.perf_counter() - t_start
-        return scores
+
+        def fetch() -> List[float]:
+            t0 = time.perf_counter()
+            scores: List[float] = []
+            for out, B in outs:
+                h = self._fetch(out)
+                if cfg.num_labels == 1:
+                    scores.extend(float(s) for s in h[:B, 0])
+                else:
+                    scores.extend(-float(s)
+                                  for s in np.argmax(h[:B], axis=1))
+            self.dispatch_stats["aux_s"] += time.perf_counter() - t0
+            return scores
+
+        return fetch
+
+    def score_prompts(self, prompts_token_ids: List[List[int]]) -> List[float]:
+        """Score prompts with the predictor; returns one ranking score each
+        (higher = shorter predicted output). Classification predictors
+        (num_labels > 1) return the negative argmax bucket so that sorting by
+        -score still approximates SJF (reference opt.py:394-408)."""
+        return self.score_prompts_begin(prompts_token_ids)()
 
     # ------------------------------------------------------------------
     # Fused multi-step decode (executor/multi_step.py)
