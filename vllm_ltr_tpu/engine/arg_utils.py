@@ -91,10 +91,13 @@ class EngineArgs:
         False, "compile every step-shape bucket at startup so no request "
         "ever waits on a jit compile (recommended for servers)")
     async_aux_scoring: bool = _flag(
-        False, "overlap aux-predictor scoring with the in-flight serving "
-        "wave: scores land one scheduling pass later (in-flight requests "
-        "rank last for that pass), removing the scorer round trip from "
-        "the schedule() critical path")
+        False, "EXPERIMENTAL: overlap aux-predictor scoring with the "
+        "in-flight serving wave (scores land a pass later; in-flight "
+        "requests rank last).  Measured HARMFUL under burst overload "
+        "(opt@32: 592 vs 1720 tok/s sync) — deferring scores floods the "
+        "seats with unscored FCFS admissions that the ranked pass then "
+        "pays to evict, while the sync scorer amortizes the whole "
+        "backlog into one dispatch.  Keep off; see docs/BENCHMARKS.md")
 
     def create_engine_config(self) -> EngineConfig:
         mcfg = ModelConfig(

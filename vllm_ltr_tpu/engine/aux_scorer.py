@@ -24,11 +24,12 @@ class AuxScorer:
     ``schedule()`` on a predictor round trip (~90 ms/step through the
     relay at trickle arrival rates — round-4 soak attribution),
     dispatches ride the device queue behind the in-flight serving wave
-    and results are folded in at the next scheduling pass.  A request is
-    still scored exactly once and never scheduled before its score
-    lands (it simply ranks last for the one pass its score is in
-    flight), so the reference's score-once contract is preserved at the
-    cost of at most one wave of admission delay."""
+    and results are folded in, non-blocking, at a later scheduling
+    pass.  Each request is scored exactly once; while its score is in
+    flight it ranks LAST, so it can never outrank scored work — it may
+    still be admitted when capacity is otherwise idle (a deliberate
+    relaxation of the reference's strict score-before-first-scheduling
+    contract: with no contention there is nothing to rank against)."""
 
     def __init__(self, executor, prefill_predictor_config,
                  async_mode: bool = False) -> None:
@@ -46,10 +47,16 @@ class AuxScorer:
         self._pending_ids: set = set()
 
     def poll(self) -> None:
-        """Fold in scores from completed dispatches (blocks only if the
-        device hasn't finished them — after an intervening wave it has)."""
+        """Fold in scores from COMPLETED dispatches only — never blocks.
+        A dispatch queued behind the in-flight serving wave stays pending
+        and its requests simply rank last for one more pass (blocking
+        here from the sneak-admission path serialized the whole engine
+        to wave boundaries — measured as a collapse at rate 32)."""
         pending, self._pending = self._pending, []
         for groups, fetch in pending:
+            if not getattr(fetch, "ready", lambda: True)():
+                self._pending.append((groups, fetch))
+                continue
             for g, s in zip(groups, fetch()):
                 g.set_aux_model_score(float(s))
                 self._pending_ids.discard(g.request_id)

@@ -1278,6 +1278,17 @@ class TPUExecutor:
             self.dispatch_stats["aux_s"] += time.perf_counter() - t0
             return scores
 
+        def ready() -> bool:
+            """True once every dispatched score program has finished —
+            fetch() will not block.  Lets the async scorer poll from the
+            scheduling critical path without ever waiting on a program
+            queued behind the in-flight serving wave."""
+            try:
+                return all(o.is_ready() for o, _ in outs)
+            except AttributeError:  # older jax / non-array outputs
+                return True
+
+        fetch.ready = ready
         return fetch
 
     def score_prompts(self, prompts_token_ids: List[List[int]]) -> List[float]:
