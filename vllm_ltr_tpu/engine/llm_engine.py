@@ -191,6 +191,17 @@ class LLMEngine:
         # Leave ignoring/aborting decisions to the scheduler path.
         token_ids = token_ids[:self.model_config.max_model_len]
 
+        if (params.logits_processors
+                and getattr(self.model_executor, "multihost", False)):
+            # The two-phase host-processor dispatch is single-host only
+            # (followers cannot replay host callables); reject the
+            # request cleanly instead of tripping the executor assert.
+            raise ValueError(
+                "per-request logits_processors (including logit_bias) "
+                "are not supported on multi-host deployments; use the "
+                "guided_* constraints, whose mask path is multi-host "
+                "safe")
+
         guide = None
         if params.guided_choice or params.guided_regex or params.guided_json:
             from vllm_ltr_tpu.guided import guide_from_sampling_params
