@@ -55,3 +55,43 @@ def test_np_cache_preserves_fp8_and_int_leaves(tmp_path):
         np.asarray(params["fp8"]).view(np.uint8))
     np.testing.assert_array_equal(np.asarray(back["nested"]["ids"]),
                                   np.asarray(params["nested"]["ids"]))
+
+
+def test_np_cache_roundtrips_quantized_weights(tmp_path):
+    """Round 4: QuantizedWeight / SqueezeLLMWeight nodes survive the
+    cache (reconstruction metadata in the manifest) — an 8B INT4 reload
+    must not re-pay the host quantize."""
+    from vllm_ltr_tpu.layers.quantization.int4 import (QuantizedWeight,
+                                                       quantize_array)
+    from vllm_ltr_tpu.layers.quantization.squeezellm import (
+        SqueezeLLMWeight, quantize_squeezellm)
+    rng = np.random.RandomState(0)
+    qw = quantize_array(rng.randn(128, 64).astype(np.float32), 32)
+    sq = quantize_squeezellm(rng.randn(128, 64).astype(np.float32))
+    params = {
+        "layer": {"q_w": qw, "norm": jnp.ones((64,), jnp.float32)},
+        "sq_w": sq,
+    }
+    d = str(tmp_path / "qcache")
+    save_np_cache(params, d)
+    back = load_np_cache(d)
+
+    got = back["layer"]["q_w"]
+    assert isinstance(got, QuantizedWeight)
+    assert (got.group_size, got.out_features, got.in_features,
+            got.shards, got.shard_axis) == (qw.group_size, qw.out_features,
+                                            qw.in_features, qw.shards,
+                                            qw.shard_axis)
+    np.testing.assert_array_equal(np.asarray(got.packed),
+                                  np.asarray(qw.packed))
+    np.testing.assert_array_equal(np.asarray(got.scales),
+                                  np.asarray(qw.scales))
+
+    got_sq = back["sq_w"]
+    assert isinstance(got_sq, SqueezeLLMWeight)
+    np.testing.assert_array_equal(np.asarray(got_sq.packed),
+                                  np.asarray(sq.packed))
+    np.testing.assert_array_equal(np.asarray(got_sq.lut),
+                                  np.asarray(sq.lut))
+    np.testing.assert_array_equal(np.asarray(back["layer"]["norm"]),
+                                  np.ones(64, np.float32))

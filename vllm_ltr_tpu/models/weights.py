@@ -44,12 +44,79 @@ def _flatten_with_names(params):
     return out
 
 
+def _unwrap_quantized(params):
+    """Replace QuantizedWeight / SqueezeLLMWeight nodes with plain dicts
+    of their storage arrays, returning (tree, qnodes) where qnodes maps
+    the node's path to its reconstruction metadata — npcache would
+    otherwise flatten the dataclasses into bare arrays and lose the
+    structure (an 8B INT4 relaunch would re-pay the ~25 min host
+    quantize npcache exists to skip)."""
+    from vllm_ltr_tpu.layers.quantization.int4 import QuantizedWeight
+    from vllm_ltr_tpu.layers.quantization.squeezellm import SqueezeLLMWeight
+    qnodes: Dict[str, Dict[str, Any]] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, QuantizedWeight):
+            qnodes["/".join(prefix)] = {
+                "type": "int4", "group_size": node.group_size,
+                "out_features": node.out_features,
+                "in_features": node.in_features, "shards": node.shards,
+                "shard_axis": node.shard_axis,
+            }
+            return {"packed": node.packed, "scales": node.scales,
+                    "zeros": node.zeros}
+        if isinstance(node, SqueezeLLMWeight):
+            qnodes["/".join(prefix)] = {
+                "type": "squeezellm",
+                "out_features": node.out_features,
+                "in_features": node.in_features, "shards": node.shards,
+                "shard_axis": node.shard_axis,
+            }
+            return {"packed": node.packed, "lut": node.lut}
+        if isinstance(node, dict):
+            return {k: walk(v, prefix + [str(k)]) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(
+                walk(v, prefix + [str(i)]) for i, v in enumerate(node))
+        return node
+
+    return walk(params, []), qnodes
+
+
+def _rewrap_quantized(params: Dict[str, Any],
+                      qnodes: Dict[str, Dict[str, Any]]):
+    from vllm_ltr_tpu.layers.quantization.int4 import QuantizedWeight
+    from vllm_ltr_tpu.layers.quantization.squeezellm import SqueezeLLMWeight
+    for path, meta in qnodes.items():
+        parts = path.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node[p]
+        raw = node[parts[-1]]
+        if meta["type"] == "int4":
+            node[parts[-1]] = QuantizedWeight(
+                raw["packed"], raw["scales"], raw["zeros"],
+                group_size=meta["group_size"],
+                out_features=meta["out_features"],
+                in_features=meta["in_features"], shards=meta["shards"],
+                shard_axis=meta["shard_axis"])
+        else:
+            node[parts[-1]] = SqueezeLLMWeight(
+                raw["packed"], raw["lut"],
+                out_features=meta["out_features"],
+                in_features=meta["in_features"], shards=meta["shards"],
+                shard_axis=meta["shard_axis"])
+    return params
+
+
 def save_np_cache(params, cache_dir: str) -> None:
     """Write the converted params tree as per-leaf .npy files + manifest.
     bfloat16/fp8 leaves store as raw uint8/16 views (np.save cannot
-    round-trip ml_dtypes descrs through mmap)."""
+    round-trip ml_dtypes descrs through mmap); quantized-weight nodes
+    record reconstruction metadata in the manifest."""
     os.makedirs(cache_dir, exist_ok=True)
-    manifest = {}
+    params, qnodes = _unwrap_quantized(params)
+    manifest = {"__qnodes__": qnodes} if qnodes else {}
     for i, (name, leaf) in enumerate(_flatten_with_names(params)):
         arr = np.asarray(leaf)
         dtype_name = arr.dtype.name
@@ -72,6 +139,7 @@ def load_np_cache(cache_dir: str) -> Dict[str, Any]:
     import ml_dtypes
     with open(os.path.join(cache_dir, "manifest.json")) as f:
         manifest = json.load(f)
+    qnodes = manifest.pop("__qnodes__", {})
     params: Dict[str, Any] = {}
     for name, info in manifest.items():
         raw = np.load(os.path.join(cache_dir, info["file"]), mmap_mode="r")
@@ -85,7 +153,7 @@ def load_np_cache(cache_dir: str) -> Dict[str, Any]:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = leaf
-    return params
+    return _rewrap_quantized(params, qnodes)
 
 
 def load_hf_state_dict(model_dir: str) -> Dict[str, Any]:
