@@ -436,3 +436,86 @@ def test_two_process_vlm_serving():
     # Different images must produce different greedy generations — the
     # mirrored embeds actually reach both processes' shards of the LM.
     assert done["a"] != done["b"]
+
+
+_WORKER_GUIDED = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["LTR_REPO"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from vllm_ltr_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                                 LoadConfig, ModelConfig, ParallelConfig,
+                                 SchedulerConfig)
+from vllm_ltr_tpu.engine.llm_engine import LLMEngine
+from vllm_ltr_tpu.guided.manager import GuidedDecodingManager
+from vllm_ltr_tpu.sampling_params import SamplingParams
+from transformers import LlamaConfig
+
+hf_config = LlamaConfig(vocab_size=256, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=1,
+                        num_attention_heads=4, num_key_value_heads=4,
+                        max_position_embeddings=128)
+hf_config.architectures = ["LlamaForCausalLM"]
+
+engine_config = EngineConfig(
+    model_config=ModelConfig(model="mh-guided", skip_tokenizer_init=True,
+                             dtype="float32", max_model_len=64,
+                             hf_config=hf_config),
+    cache_config=CacheConfig(block_size=16, swap_space=0.01,
+                             num_device_blocks_override=32),
+    parallel_config=ParallelConfig(
+        tensor_parallel_size=2,
+        distributed_coordinator=os.environ["MH_COORD"],
+        distributed_num_processes=2,
+        distributed_process_id=int(os.environ["MH_PID"])),
+    scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                     max_num_seqs=4, max_model_len=64),
+    device_config=DeviceConfig("cpu"),
+    load_config=LoadConfig(load_format="dummy"),
+)
+engine = LLMEngine(engine_config)
+ex = engine.model_executor
+assert ex.multihost, "expected a 2-process runtime"
+
+if ex.is_leader:
+    class _Vocab:
+        eos_token_id = 2
+        all_special_ids = [0, 1, 2]
+        def get_vocab(self):
+            return {f"t{i}": i for i in range(256)}
+
+    guide = GuidedDecodingManager(_Vocab()).guide_for("choice", ["t5t6"])
+    sp = SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True)
+    engine.add_request("g", prompt_token_ids=[9, 8, 7], sampling_params=sp)
+    engine.scheduler.waiting[-1].guide = guide
+    engine.add_request("free", prompt_token_ids=[3, 4],
+                       sampling_params=sp)
+    done = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out.outputs[0].token_ids
+    ex.shutdown_followers()
+    print("RESULT " + json.dumps(done))
+else:
+    ex.serve_follower()
+    print("RESULT {}")
+"""
+
+
+@pytest.mark.timeout(420)
+def test_two_process_guided_mask():
+    """Guided decoding on multi-host: the packed allowed-token mask is
+    mirrored through the OP_STEP broadcast so leader and follower run
+    the identical has_logits_mask program; the guide (choice 't5t6'
+    over a synthetic vocab) must force tokens [5, 6]."""
+    outs = _run_pair(_WORKER_GUIDED, {})
+    leader_line = [
+        l for l in outs[0][1].splitlines() if l.startswith("RESULT ")
+    ]
+    assert leader_line, outs[0][1]
+    done = json.loads(leader_line[-1][len("RESULT "):])
+    assert done["g"] == [5, 6], done
+    assert len(done["free"]) == 2
