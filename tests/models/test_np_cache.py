@@ -95,3 +95,33 @@ def test_np_cache_roundtrips_quantized_weights(tmp_path):
                                   np.asarray(sq.lut))
     np.testing.assert_array_equal(np.asarray(back["layer"]["norm"]),
                                   np.ones(64, np.float32))
+
+
+def test_np_cache_quantized_load_params_roundtrip(tmp_path):
+    """load_params(npcache, quantization=int4): first call quantizes and
+    writes the cache; the second streams it back with QuantizedWeight
+    structure intact and identical packed storage."""
+    from vllm_ltr_tpu.layers.quantization.int4 import QuantizedWeight
+    from vllm_ltr_tpu.models.llama import LlamaForCausalLM
+    d, cfg = _llama_dir(tmp_path)
+    first = load_params(LlamaForCausalLM, d, cfg, jnp.bfloat16,
+                        load_format="npcache", quantization="int4")
+    second = load_params(LlamaForCausalLM, d, cfg, jnp.bfloat16,
+                         load_format="npcache", quantization="int4")
+
+    def collect_q(tree, out):
+        if isinstance(tree, QuantizedWeight):
+            out.append(tree)
+        elif isinstance(tree, dict):
+            for v in tree.values():
+                collect_q(v, out)
+        return out
+
+    q1, q2 = collect_q(first, []), collect_q(second, [])
+    assert q1 and len(q1) == len(q2)
+    for a, b in zip(q1, q2):
+        assert a.group_size == b.group_size
+        np.testing.assert_array_equal(np.asarray(a.packed),
+                                      np.asarray(b.packed))
+        np.testing.assert_array_equal(np.asarray(a.scales),
+                                      np.asarray(b.scales))
