@@ -68,7 +68,11 @@ def main():
                     y = fn(x, *rest)
                     # Fold the output back into an [M, K]-shaped input
                     # (N >= K in all swept shapes).
-                    return (x + y[:, :x.shape[1]] * 1e-6).astype(x.dtype)
+                    K = x.shape[1]
+                    if y.shape[1] < K:  # narrow outputs (e.g. kv projs)
+                        reps = -(-K // y.shape[1])
+                        y = jnp.tile(y, (1, reps))
+                    return (x + y[:, :K] * 1e-6).astype(x.dtype)
 
                 return jax.lax.fori_loop(0, n_iters, body, x)
 

@@ -104,6 +104,41 @@ def test_completion_token_prompt_matches_hf(served_app):
     asyncio.run(_with_client(app, scenario))
 
 
+def test_completion_echo_prompt_logprobs(served_app):
+    """echo + logprobs returns per-position PROMPT logprobs matching a
+    teacher-forced HF forward (VERDICT r4 item 6; reference
+    serving_completion echo contract)."""
+    app, model, hf = served_app
+    prompt = [5, 9, 13, 17, 21, 25]
+    with torch.no_grad():
+        logits = hf(torch.tensor([prompt])).logits[0].float()
+    lps = torch.log_softmax(logits, dim=-1)
+    expected = [float(lps[p - 1, prompt[p]]) for p in range(1, len(prompt))]
+
+    async def scenario(client):
+        r = await client.post("/v1/completions",
+                              json={
+                                  "model": model,
+                                  "prompt": prompt,
+                                  "max_tokens": 0,
+                                  "temperature": 0,
+                                  "echo": True,
+                                  "logprobs": 1,
+                              })
+        assert r.status == 200
+        data = await r.json()
+        lp = data["choices"][0]["logprobs"]
+        toks = [int(t) for t in lp["tokens"]]
+        assert toks == prompt
+        # First prompt token has no logprob (null); the rest match HF.
+        assert lp["token_logprobs"][0] is None
+        for p in range(1, len(prompt)):
+            assert lp["token_logprobs"][p] == pytest.approx(
+                expected[p - 1], abs=3e-3)
+
+    asyncio.run(_with_client(app, scenario))
+
+
 def test_completion_streaming(served_app):
     app, model, _ = served_app
 

@@ -262,12 +262,21 @@ class BlockSpaceManager:
             return AllocStatus.OK
         return AllocStatus.LATER
 
-    def allocate(self, group: SequenceGroup) -> None:
+    def allocate(self, group: SequenceGroup) -> int:
+        """Build the prompt's block table; returns the number of leading
+        prompt TOKENS whose KV is already resident and computed (prefix
+        cache hits — the reference slices these off the prefill instead of
+        recomputing them, vllm/worker/model_runner.py:314-342).  The final
+        block is never counted so the executor always has at least one
+        fresh token to run (and a position to sample from)."""
         waiting = group.get_seqs(status=SequenceStatus.WAITING)
         lead = waiting[0]  # all streams share the prompt
         fanout = group.num_seqs()
 
         table: List[int] = []
+        cached_blocks = 0
+        prefix_intact = True
+        last = lead.num_blocks() - 1
         for idx in range(lead.num_blocks()):
             if (self.window_blocks is not None
                     and idx >= self.window_blocks):
@@ -277,6 +286,15 @@ class BlockSpaceManager:
             elif self.enable_caching:
                 bid = self.device_pool.acquire_hashed(
                     lead.content_key(idx + 1), (idx + 1) * self.block_size)
+                # A hit only skips compute if the block's KV is actually
+                # written (``computed``) — a block shared from a request
+                # admitted in this same pass isn't, and gets re-written
+                # by this prompt's prefill exactly as before.
+                if (prefix_intact and idx < last
+                        and bid in self.device_pool.computed):
+                    cached_blocks += 1
+                else:
+                    prefix_intact = False
             else:
                 bid = self.device_pool.acquire()
                 self.device_pool._ref[bid] = fanout
@@ -285,6 +303,7 @@ class BlockSpaceManager:
         for seq in waiting:
             self.block_tables[seq.seq_id] = list(table)
             self._tier[seq.seq_id] = Tier.DEVICE
+        return cached_blocks * self.block_size
 
     def fake_allocate(self, group: SequenceGroup) -> None:
         """AUX predictor path: a table of sentinels, no real blocks, so the

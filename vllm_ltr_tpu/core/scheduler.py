@@ -333,7 +333,12 @@ class Scheduler:
                                                      prefill=True):
                 break
 
-            self._start_running(group)
+            cached = self._start_running(group)
+            if cached:
+                # Prefix-cache hits shrink this prefill: only the
+                # uncached suffix is dispatched (budget was checked with
+                # the full chunk — charging less is safe).
+                chunk = min(chunk, max(full_len - cached, 1))
             plan.new_prefills.append(
                 ScheduledSequenceGroup(seq_group=group,
                                        token_chunk_size=chunk))
@@ -620,7 +625,12 @@ class Scheduler:
                 self.waiting.remove(group)
                 assert self.block_manager.can_allocate(
                     group) == AllocStatus.OK, "cannot allocate new request"
-                self._start_running(group)
+                cached = self._start_running(group)
+                if cached:
+                    remaining = sum(
+                        s.get_num_new_tokens() for s in group.get_seqs(
+                            status=SequenceStatus.RUNNING))
+                    chunk = min(chunk, max(remaining, 1))
                 plan.new_prefills.append(
                     ScheduledSequenceGroup(seq_group=group,
                                            token_chunk_size=chunk))
@@ -941,13 +951,28 @@ class Scheduler:
             seq.status = SequenceStatus.FINISHED_IGNORED
         plan.ignored.append(group)
 
-    def _start_running(self, group: SequenceGroup) -> None:
+    def _start_running(self, group: SequenceGroup) -> int:
+        """Allocate + transition to RUNNING; returns the number of leading
+        prompt tokens satisfied by prefix-cache hits.  Those tokens are
+        marked computed on the sequence ledger so the executor's prefill
+        chunk starts at the cached boundary and the chunked-prefill kernel
+        runs context attention over the shared blocks instead of
+        recomputing them (reference model_runner.py:314-342)."""
         if self.fake_allocate:
             self.block_manager.fake_allocate(group)
+            cached = 0
         else:
-            self.block_manager.allocate(group)
+            cached = self.block_manager.allocate(group)
         for seq in group.get_seqs(status=SequenceStatus.WAITING):
             seq.status = SequenceStatus.RUNNING
+        sp = group.sampling_params
+        if sp is not None and sp.prompt_logprobs is not None:
+            # prompt_logprobs needs logits at EVERY prompt position; keep
+            # the blocks shared but recompute the cached tokens.
+            cached = 0
+        if cached:
+            group.update_num_computed_tokens(cached)
+        return cached
 
     def _grow_tables(self, group: SequenceGroup,
                      dup: Dict[int, List[int]]) -> None:

@@ -191,6 +191,13 @@ class LLMEngine:
         # Leave ignoring/aborting decisions to the scheduler path.
         token_ids = token_ids[:self.model_config.max_model_len]
 
+        if (params.prompt_logprobs is not None
+                and getattr(self.model_executor, "multihost", False)):
+            raise ValueError(
+                "prompt_logprobs is not supported on multi-host "
+                "deployments (the teacher-forced scorer dispatch is not "
+                "mirrored to followers)")
+
         if (params.logits_processors
                 and getattr(self.model_executor, "multihost", False)):
             # The two-phase host-processor dispatch is single-host only
@@ -322,6 +329,11 @@ class LLMEngine:
             for sg, group_out in zip(scheduled, step_out.outputs):
                 group = sg.seq_group
                 group.update_num_computed_tokens(sg.token_chunk_size)
+                if group_out.prompt_logprobs is not None:
+                    # Chunked prefill emits per-chunk slices in order.
+                    if group.prompt_logprobs is None:
+                        group.prompt_logprobs = []
+                    group.prompt_logprobs.extend(group_out.prompt_logprobs)
                 self.output_processor.process_outputs(group, group_out)
                 if not group.is_prefill():
                     group.maybe_set_first_token_time(now)

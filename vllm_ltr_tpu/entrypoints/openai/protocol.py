@@ -221,7 +221,11 @@ class SamplingKnobs(BaseModel):
 
             processors = [apply_logit_bias]
         return SamplingParams(logprobs=self._effective_logprobs(),
+                              prompt_logprobs=self._effective_prompt_lps(),
                               logits_processors=processors, **knobs)
+
+    def _effective_prompt_lps(self) -> Optional[int]:
+        return None  # only completions with echo request prompt logprobs
 
 
 class CompletionRequest(SamplingKnobs):
@@ -236,6 +240,11 @@ class CompletionRequest(SamplingKnobs):
 
     def _effective_logprobs(self) -> Optional[int]:
         return self.logprobs
+
+    def _effective_prompt_lps(self) -> Optional[int]:
+        # echo + logprobs asks for per-position prompt logprobs, the
+        # reference's serving_completion echo contract.
+        return self.logprobs if self.echo else None
 
 
 class ChatMessage(BaseModel):

@@ -72,7 +72,16 @@ class OpenAIServingCompletion(OpenAIServing):
         request_id = f"cmpl-{random_uuid()}"
         created = int(time.time())
         try:
+            zero_echo = request.echo and request.max_tokens == 0
+            if zero_echo:
+                # Prompt-scoring mode: the engine needs one generated
+                # token to drive the step; _final_choice sees the original
+                # max_tokens=0 and returns only the echoed prompt
+                # (+ prompt logprobs), dropping the throwaway token.
+                request.max_tokens = 1
             params = request.to_sampling_params()
+            if zero_echo:
+                request.max_tokens = 0
             items = _normalize_prompts(request.prompt)
             feeds = []
             for i, item in enumerate(items):
@@ -175,7 +184,10 @@ class OpenAIServingCompletion(OpenAIServing):
                 choices.append(
                     self._final_choice(request, res, out, len(choices)))
             prompt_tokens += len(res.prompt_token_ids)
-            output_tokens += sum(len(o.token_ids) for o in res.outputs)
+            if not (request.echo and request.max_tokens == 0):
+                # Prompt-scoring mode generates one throwaway token that
+                # never reaches the client; don't bill it.
+                output_tokens += sum(len(o.token_ids) for o in res.outputs)
 
         return CompletionResponse(
             id=request_id,

@@ -48,6 +48,9 @@ from vllm_ltr_tpu.utils import STR_DTYPE_TO_KV_DTYPE, cdiv
 logger = init_logger(__name__)
 
 _GB = 1 << 30
+# Top-K alternatives shipped per prompt position by the prompt_logprobs
+# scorer (one compiled shape regardless of the per-request k <= this).
+PROMPT_LOGPROB_K = 8
 
 
 def load_kv_cache_scales(path: str, num_layers: int):
@@ -268,6 +271,7 @@ class TPUExecutor:
 
         self._step_fn = self._build_step_fn()
         self._sample_fn = self._build_sample_fn()
+        self._plp_fn = None  # prompt_logprobs scorer (built on first use)
         # Independent PRNG stream for the two-phase (host logits_processor)
         # sample dispatch: it runs from the fetch thread, which must not
         # race the dispatch thread's self._rng.  Its own lock serializes
@@ -652,6 +656,148 @@ class TPUExecutor:
 
         return step_fn
 
+    def _build_prompt_lp_fn(self):
+        """Teacher-forced prompt scorer for ``prompt_logprobs`` (reference
+        computes these inside the sampler, vllm/model_executor/layers/
+        sampler.py:38-90).  Here it is a separate jitted dispatch that
+        re-runs the prefill forward and emits, per flat token position,
+        the log-probability of the host-provided target (the next prompt
+        token) plus the top-K alternatives — the hot serving step's
+        compiled shapes stay untouched, and requests that never ask for
+        prompt logprobs never pay for them.  The lm_head runs in 512-token
+        slices so the [T, V] logits never materialize at once."""
+        model_cls = self.model_cls
+        cfg = self.hf_config
+        mesh = self.mesh
+        block_size = self.block_size
+
+        @functools.partial(jax.jit,
+                           donate_argnums=(1, ),
+                           static_argnames=("has_lora", "prefill_tile",
+                                            "has_page_dst"))
+        def plp_fn(params, kv_cache, i32_t, block_tables, seq_lens, targets,
+                   has_lora: bool = False, prefill_tile=None,
+                   has_page_dst: bool = False):
+            tokens, positions, token_seq, slot_mapping = (i32_t[0], i32_t[1],
+                                                          i32_t[2], i32_t[3])
+            lora_slots = i32_t[4] if has_lora else None
+            page_dst = None
+            if has_page_dst:
+                n_pages = i32_t.shape[1] // block_size
+                page_dst = i32_t[4 + int(has_lora), :n_pages]
+            meta = AttentionMetadata(token_seq=token_seq,
+                                     token_pos=positions,
+                                     slot_mapping=slot_mapping,
+                                     block_tables=block_tables,
+                                     seq_lens=seq_lens,
+                                     lora_slots=lora_slots,
+                                     prefill_tile=prefill_tile,
+                                     page_dst=page_dst)
+            hidden, kv_cache = model_cls.forward(params, tokens, positions,
+                                                 kv_cache, meta, cfg,
+                                                 decode_mode=False)
+            T = hidden.shape[0]
+            K = PROMPT_LOGPROB_K
+            step = min(T, 512)
+            lps, tk_ids, tk_lps = [], [], []
+            for s0 in range(0, T, step):
+                sl = hidden[s0:s0 + step]
+                lg = model_cls.compute_logits(params, sl,
+                                              cfg).astype(jnp.float32)
+                lg = jax.nn.log_softmax(lg, axis=-1)
+                tgt = targets[s0:s0 + step]
+                safe = jnp.clip(tgt, 0, lg.shape[1] - 1)
+                lps.append(
+                    jnp.take_along_axis(lg, safe[:, None], axis=1)[:, 0])
+                top_lp, top_id = jax.lax.top_k(lg, K)
+                tk_ids.append(top_id)
+                tk_lps.append(top_lp)
+            rep = NamedSharding(mesh, P())
+            out_lp = jax.lax.with_sharding_constraint(
+                jnp.concatenate(lps), rep)
+            out_ids = jax.lax.with_sharding_constraint(
+                jnp.concatenate(tk_ids), rep)
+            out_tlp = jax.lax.with_sharding_constraint(
+                jnp.concatenate(tk_lps), rep)
+            return kv_cache, out_lp, out_ids, out_tlp
+
+        return plp_fn
+
+    def _maybe_dispatch_prompt_logprobs(self, seq_group_metadata_list,
+                                        batch, params, i32_t, block_tables,
+                                        i32_s, has_lora, step_tile,
+                                        has_page_dst):
+        """When any scheduled prefill requests ``prompt_logprobs``,
+        dispatch the teacher-forced scorer after the main step and return
+        a fetch() -> {g_idx: [None|{token: Logprob}]} closure (None when
+        no request asks)."""
+        if batch.decode_only:
+            return None
+        want: Dict[int, int] = {}
+        for g_idx, meta in enumerate(seq_group_metadata_list):
+            sp = meta.sampling_params
+            if meta.is_prompt and sp.prompt_logprobs is not None:
+                want[g_idx] = sp.prompt_logprobs
+        if not want:
+            return None
+        assert not self.multihost, (
+            "prompt_logprobs is single-host only (rejected at add_request)")
+        if self._plp_fn is None:
+            self._plp_fn = self._build_prompt_lp_fn()
+
+        T = len(batch.tokens)
+        targets = np.zeros(T, np.int32)
+        row_of: Dict[int, Tuple[int, int]] = {}
+        for row, (g_idx, seq_id) in enumerate(batch.row_owners):
+            if g_idx in want:
+                row_of[g_idx] = (row, seq_id)
+        info = {}
+        for g_idx, (row, seq_id) in row_of.items():
+            meta = seq_group_metadata_list[g_idx]
+            data = meta.seq_data[seq_id]
+            computed = data.get_num_computed_tokens()
+            chunk = meta.token_chunk_size
+            idxs = np.nonzero(batch.token_seq == row)[0]
+            assert len(idxs) == chunk, (len(idxs), chunk)
+            all_ids = data.get_token_ids()
+            prompt_len = len(data.get_prompt_token_ids())
+            # Flat slot i (global pos p = computed + i) scores the token
+            # at p + 1; only positions with a next PROMPT token count.
+            n_valid = max(min(computed + chunk, prompt_len - 1) - computed,
+                          0)
+            tg = np.asarray(all_ids[computed + 1:computed + 1 + n_valid],
+                            np.int32)
+            targets[idxs[:n_valid]] = tg
+            info[g_idx] = (idxs, computed, n_valid, tg, want[g_idx])
+
+        self.kv_cache, lp_dev, ids_dev, tlp_dev = self._plp_fn(
+            params, self.kv_cache, i32_t, block_tables, i32_s[0],
+            jnp.asarray(targets), has_lora=has_lora,
+            prefill_tile=step_tile, has_page_dst=has_page_dst)
+
+        def fetch():
+            lp = np.asarray(self._fetch(lp_dev))
+            tk_ids = np.asarray(self._fetch(ids_dev))
+            tk_lps = np.asarray(self._fetch(tlp_dev))
+            out = {}
+            for g_idx, (idxs, computed, n_valid, tg, k) in info.items():
+                entries: List[Optional[Dict[int, Logprob]]] = []
+                if computed == 0:
+                    entries.append(None)  # first token has no context
+                for i in range(n_valid):
+                    t = int(idxs[i])
+                    tok = int(tg[i])
+                    d = {tok: Logprob(float(lp[t]))}
+                    for r in range(min(k, tk_ids.shape[1])):
+                        d.setdefault(
+                            int(tk_ids[t, r]),
+                            Logprob(float(tk_lps[t, r]), rank=r + 1))
+                    entries.append(d)
+                out[g_idx] = entries
+            return out
+
+        return fetch
+
     def _build_sample_fn(self):
         """Phase 2 of the two-phase (host logits_processor) step: sample
         host-adjusted logits with the same device sampler semantics as
@@ -949,6 +1095,9 @@ class TPUExecutor:
                 return_logits=True, has_page_dst=has_page_dst)
             if self._rng2 is None:
                 self._rng2 = jax.device_put(jax.random.PRNGKey(4242))
+            plp_fetch = self._maybe_dispatch_prompt_logprobs(
+                seq_group_metadata_list, batch, params, i32_t, block_tables,
+                i32_s, has_lora, step_tile, has_page_dst)
 
             def finish_two_phase():
                 logits = np.array(self._fetch(logits_dev))
@@ -972,7 +1121,8 @@ class TPUExecutor:
                 return self._assemble_outputs(
                     seq_group_metadata_list, batch, h_i32[:, 0],
                     h_f32[:, 0], h_i32[:, 1:], h_f32[:, 2:],
-                    h_f32[:, 1] if capture_layer is not None else None)
+                    h_f32[:, 1] if capture_layer is not None else None,
+                    prompt_lps=plp_fetch() if plp_fetch else None)
 
             return finish_two_phase
 
@@ -983,6 +1133,9 @@ class TPUExecutor:
             image_embeds, exact_sampling=exact_sampling,
             logits_mask=logits_mask, has_logits_mask=has_mask,
             has_page_dst=has_page_dst)
+        plp_fetch = self._maybe_dispatch_prompt_logprobs(
+            seq_group_metadata_list, batch, params, i32_t, block_tables,
+            i32_s, has_lora, step_tile, has_page_dst)
 
         def finish():
             h_i32 = self._fetch(out_i32)
@@ -990,7 +1143,8 @@ class TPUExecutor:
             return self._assemble_outputs(
                 seq_group_metadata_list, batch, h_i32[:, 0], h_f32[:, 0],
                 h_i32[:, 1:], h_f32[:, 2:],
-                h_f32[:, 1] if capture_layer is not None else None)
+                h_f32[:, 1] if capture_layer is not None else None,
+                prompt_lps=plp_fetch() if plp_fetch else None)
 
         return finish
 
@@ -1052,7 +1206,8 @@ class TPUExecutor:
 
     def _assemble_outputs(self, seq_group_metadata_list, batch: PreparedBatch,
                           tokens, logprobs, topk_ids, topk_logprobs,
-                          pred_scores=None) -> List[SamplerOutput]:
+                          pred_scores=None,
+                          prompt_lps=None) -> List[SamplerOutput]:
         """Build per-group SequenceGroupOutput structures from device results."""
         sample_rows = set(batch.rows_to_sample)
         group_samples: Dict[int, List[SequenceOutput]] = {
@@ -1132,7 +1287,8 @@ class TPUExecutor:
         for g_idx, meta in enumerate(seq_group_metadata_list):
             outputs.append(
                 SequenceGroupOutput(samples=group_samples[g_idx],
-                                    prompt_logprobs=None,
+                                    prompt_logprobs=(prompt_lps or
+                                                     {}).get(g_idx),
                                     pred_score=group_pred.get(g_idx)))
         return [SamplerOutput(outputs=outputs)]
 
