@@ -210,7 +210,8 @@ class LLMEngine:
                 "safe")
 
         guide = None
-        if params.guided_choice or params.guided_regex or params.guided_json:
+        if (params.guided_choice or params.guided_regex
+                or params.guided_json or params.guided_grammar):
             from vllm_ltr_tpu.guided import guide_from_sampling_params
             # Compile (or fetch from cache) before admitting: a bad
             # pattern/schema must fail the request here, not a later step.

@@ -167,13 +167,12 @@ class SamplingKnobs(BaseModel):
     guided_json: Optional[Union[dict, str]] = Field(
         None, description="constrain the output to this JSON schema")
     guided_grammar: Optional[str] = Field(
-        None, description="EBNF grammar constraint (not supported; "
-        "requests carrying it are rejected with a clear error)")
+        None, description="Lark-style EBNF grammar constraint "
+        "(scannerless pushdown guide, guided/cfg.py)")
     response_format: Optional[ResponseFormat] = Field(
         None, description="OpenAI response_format; {'type': "
-        "'json_object'} constrains output to a JSON object "
-        "(bounded-nesting regular approximation of the reference's "
-        "JSON grammar)")
+        "'json_object'} constrains output to arbitrary JSON via the "
+        "unbounded JSON grammar (guided/cfg.py JSON_GRAMMAR)")
     guided_decoding_backend: Optional[str] = Field(
         None, description="per-request backend override (reference "
         "protocol parity); every name maps to the built-in token-FSM "
@@ -187,27 +186,25 @@ class SamplingKnobs(BaseModel):
                   "include_stop_str_in_output", "ignore_eos", "max_tokens",
                   "min_tokens", "skip_special_tokens",
                   "spaces_between_special_tokens", "est_tokens",
-                  "guided_choice", "guided_regex", "guided_json")
+                  "guided_choice", "guided_regex", "guided_json",
+                  "guided_grammar")
 
     def _effective_logprobs(self) -> Optional[int]:
         raise NotImplementedError
 
     def to_sampling_params(self) -> SamplingParams:
-        if self.guided_grammar:
-            raise ValueError(
-                "guided_grammar is not supported; use guided_json, "
-                "guided_regex or guided_choice")
         knobs = {name: getattr(self, name) for name in self._FORWARDED}
         if (self.response_format is not None
                 and self.response_format.type == "json_object"
                 and not (knobs.get("guided_choice")
                          or knobs.get("guided_regex")
-                         or knobs.get("guided_json"))):
+                         or knobs.get("guided_json")
+                         or knobs.get("guided_grammar"))):
             # Reference maps response_format json_object to its JSON
-            # grammar (outlines_decoding.py:110-113); here: the bounded
-            # -nesting regular approximation.
-            from vllm_ltr_tpu.guided.json_schema import any_json_regex
-            knobs["guided_regex"] = any_json_regex()
+            # grammar (outlines_decoding.py:110-113); the pushdown guide
+            # serves the same unbounded-nesting CFG.
+            from vllm_ltr_tpu.guided.cfg import JSON_OBJECT_GRAMMAR
+            knobs["guided_grammar"] = JSON_OBJECT_GRAMMAR
         processors = None
         if self.logit_bias:
             bias = {int(k): float(v) for k, v in self.logit_bias.items()}

@@ -311,9 +311,15 @@ def prepare_batch(
         # a step costs one cached mask lookup per guided row; a preempted
         # + recomputed sequence replays from the start automatically.
         mask8 = np.ones((S, vocab_size), np.uint8)
+        sampled = set(rows_to_sample)
         for i, sr in enumerate(seq_rows):
             guide = sr["guide"]
             if guide is None:
+                continue
+            if i not in sampled:
+                # Non-final chunked-prefill rows are never sampled; the
+                # trie-vs-automaton walk (costly on first state visits at
+                # large vocabs) would compute a mask that gets discarded.
                 continue
             data = sr["data"]
             out_ids = data.get_output_token_ids()

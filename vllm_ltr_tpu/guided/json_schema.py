@@ -115,8 +115,36 @@ def _compile(schema: Dict[str, Any]) -> str:
         props = schema.get("properties", {})
         if not props:
             return r"\{\}"
-        parts = []
-        for name, sub in props.items():
-            parts.append(f'"{escape_literal(name)}":{_compile(sub)}')
-        return r"\{" + ",".join(parts) + r"\}"
+        names = list(props)
+        required = schema.get("required")
+        # Without an explicit "required" list every declared property is
+        # emitted (the compact all-required form); with one, optional
+        # properties fold into ordered optional groups — each optional
+        # carries its own comma, and the alternation over "which property
+        # appears first" keeps comma placement unambiguous.  Properties
+        # always appear in declaration order; additionalProperties is not
+        # modeled (output is strictly the declared shape).
+        req = set(names if required is None else required)
+        unknown = req - set(names)
+        if unknown:
+            raise SchemaError(
+                f"required properties {sorted(unknown)} not declared "
+                "in 'properties'")
+        pats = [
+            f'"{escape_literal(n)}":{_compile(props[n])}' for n in names
+        ]
+        req_idx = [i for i, n in enumerate(names) if n in req]
+        first_cap = req_idx[0] if req_idx else len(names) - 1
+        branches = []
+        for i in range(first_cap + 1):
+            parts = [pats[i]]
+            for j in range(i + 1, len(names)):
+                pj = f",{pats[j]}"
+                parts.append(pj if names[j] in req else f"({pj})?")
+            branches.append("".join(parts))
+        body = (branches[0] if len(branches) == 1 else
+                "(" + "|".join(branches) + ")")
+        if not req_idx:
+            body = f"({body})?"
+        return r"\{" + body + r"\}"
     raise SchemaError(f"unsupported schema: {schema!r}")

@@ -65,14 +65,23 @@ def token_strings(tokenizer) -> List[str]:
             continue
         if (len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">")):
             try:  # SentencePiece byte-fallback token
-                out[idx] = chr(int(tok[3:5], 16))
+                b = int(tok[3:5], 16)
+                # Bytes >= 0x80 are UTF-8 fragments: the character DFA
+                # would validate a codepoint the detokenizer never emits.
+                # Exclude them (mapped to "", never allowed by a guide).
+                out[idx] = chr(b) if b < 0x80 else ""
                 continue
             except ValueError:
                 pass
         if byte_dec is not None:
             try:
                 raw = bytes(byte_dec[c] for c in tok)
-                out[idx] = raw.decode("utf-8", errors="ignore")
+                s = raw.decode("utf-8", errors="ignore")
+                # Only round-tripping tokens participate: a token whose
+                # raw bytes end mid-UTF-8 (e.g. b'a\xc3' -> 'a') would
+                # let the DFA approve text it never saw the tail bytes
+                # of, producing output that violates the constraint.
+                out[idx] = s if s.encode("utf-8") == raw else ""
                 continue
             except KeyError:
                 pass
@@ -102,6 +111,12 @@ class TokenGuide:
 
     def __init__(self, dfa: CharDFA, trie: _TrieNode,
                  strings: List[str], eos_token_id: Optional[int]):
+        if eos_token_id is None:
+            # Without EOS a state where no vocab token advances the
+            # automaton would leave an all-zero mask — which the sampler
+            # would renormalize into a uniform (unconstrained!) draw.
+            raise ValueError(
+                "guided decoding requires a tokenizer with an EOS token")
         self._dfa = dfa
         self._trie = trie
         self._strings = strings
@@ -183,11 +198,23 @@ class GuidedDecodingManager:
         elif kind == "json":
             pattern = schema_to_regex(spec)
             key = ("json", pattern)
+        elif kind == "grammar":
+            # Lark-style CFG: the pushdown engine exposes the CharDFA
+            # state API, so the token trie walk below is unchanged
+            # (reference routes guided_grammar to outlines' CFGGuide,
+            # outlines_decoding.py:108-126).
+            pattern = str(spec)
+            key = ("grammar", pattern)
         else:
             raise ValueError(f"unknown guide kind {kind!r}")
         guide = self._guides.get(key)
         if guide is None:
-            guide = TokenGuide(CharDFA(pattern), self._trie, self._strings,
+            if kind == "grammar":
+                from vllm_ltr_tpu.guided.cfg import CharCFG
+                automaton = CharCFG(pattern)
+            else:
+                automaton = CharDFA(pattern)
+            guide = TokenGuide(automaton, self._trie, self._strings,
                                self._eos)
             self._guides[key] = guide
             logger.info("Compiled %s guide (%d cached)", kind,
@@ -200,7 +227,8 @@ def guide_from_sampling_params(manager: Optional[GuidedDecodingManager],
     """Build the guide a request's SamplingParams asks for (or None)."""
     sp = sampling_params
     wanted = [("choice", sp.guided_choice), ("regex", sp.guided_regex),
-              ("json", sp.guided_json)]
+              ("json", sp.guided_json),
+              ("grammar", getattr(sp, "guided_grammar", None))]
     wanted = [(k, v) for k, v in wanted if v]
     if not wanted:
         return None

@@ -107,6 +107,18 @@ class _Parser:
     def _cat(self):
         parts = []
         while self.peek() not in (None, "|", ")"):
+            # Anchors are no-ops under full-match semantics, but ONLY at
+            # branch edges; an interior '^'/'$' (e.g. 'a$b') would match
+            # text Python's re rejects — fail at compile time instead.
+            if self.peek() == "^" and parts:
+                raise RegexError("'^' is only supported at the start of "
+                                 "a pattern or branch")
+            if self.peek() == "$":
+                self.next()
+                if self.peek() not in (None, "|", ")"):
+                    raise RegexError("'$' is only supported at the end of "
+                                     "a pattern or branch")
+                continue
             parts.append(self._quantified())
         if not parts:
             return ("eps", )

@@ -152,6 +152,50 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _int4_batched_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
+                                *, group_size: int, n_k_tiles: int):
+    """Decode-regime variant of the factored kernel: per plane, ONE
+    batched-over-groups dot_general (8 groups in a single Mosaic op) and
+    ONE [TM, 8] x [8, TN8] correction matmul, instead of 64 sliver dots
+    with per-group VPU rank-1 updates.  Same math:
+      sum_g s_g * (x_g . q_g) - (sum_k x_k)_g (s z)_g
+    but the MXU issue count per K tile drops 8x and the zero-point
+    correction rides the MXU instead of the VPU."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[...]  # [TK, TN8] int32
+    x = x_ref[...]  # [TM, TK]
+    tm, tk = x.shape
+    tn8 = words.shape[1]
+    xg = x.reshape(tm, PLANES, group_size).swapaxes(0, 1)  # [8, TM, G]
+    xs = jnp.sum(x.astype(jnp.float32).reshape(tm, PLANES, group_size),
+                 axis=2)  # [TM, 8] per-group activation sums
+    for j in range(PLANES):
+        qj = (jax.lax.shift_right_logical(words, 4 * j)
+              & 0xF).astype(x.dtype)
+        qg = qj.reshape(PLANES, group_size, tn8)  # [8, G, TN8]
+        raw = jax.lax.dot_general(
+            xg, qg, (((2, ), (1, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [8, TM, TN8]
+        s = s_ref[:, j, :]  # [8, TN8]
+        sz = s * z_ref[:, j, :]
+        corr = jax.lax.dot_general(
+            xs.astype(x.dtype), sz.astype(x.dtype),
+            (((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)  # [TM, TN8]
+        # sum_g raw[g] * s[g, n]: plain multiply + axis-0 sum (Mosaic
+        # cannot lower the equivalent einsum's dot dims).
+        acc_ref[:, j, :] += jnp.sum(raw * s[:, None, :], axis=0) - corr
+
+    @pl.when(k_idx == n_k_tiles - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _int4_dequant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
                                 *, group_size: int, n_k_tiles: int):
     """Prefill-regime variant: dequantize the weight tile to the activation
@@ -229,7 +273,8 @@ def _int4_wcache_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "logical_n", "interpret"))
+    jax.jit, static_argnames=("group_size", "logical_n", "interpret",
+                              "decode_kernel"))
 def int4_matmul_plane_major(
     x: jax.Array,  # [M, K]
     packed: jax.Array,  # int32[Kp, N8p]
@@ -239,6 +284,7 @@ def int4_matmul_plane_major(
     group_size: int,
     logical_n: int,
     interpret: bool = False,
+    decode_kernel: Optional[str] = None,
 ) -> jax.Array:
     M, K = x.shape
     Kp, N8p = packed.shape
@@ -313,8 +359,18 @@ def int4_matmul_plane_major(
         )(x, packed, scales, zeros)
         return out[:M, :, :N8].reshape(M, logical_n)
 
-    kernel_fn = (_int4_dequant_matmul_kernel if prefill else
-                 _int4_matmul_kernel)
+    if prefill:
+        kernel_fn = _int4_dequant_matmul_kernel
+    else:
+        # Decode-kernel selector (measured on-chip via
+        # benchmarks/bench_int4_layer.py; see docs/BENCHMARKS.md).
+        pick = (decode_kernel
+                or os.environ.get("LTR_TPU_INT4_DECODE_KERNEL", "factored"))
+        kernel_fn = {
+            "factored": _int4_matmul_kernel,
+            "batched": _int4_batched_matmul_kernel,
+            "dequant_tile": _int4_dequant_matmul_kernel,
+        }[pick]
     out = pl.pallas_call(
         functools.partial(kernel_fn,
                           group_size=group_size,
@@ -410,10 +466,11 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
         if x.shape[0] >= _two_pass_m():
             return int4_matmul_two_pass(x, packed, scales, zeros,
                                         group_size, logical_n)
-        return int4_matmul_plane_major(x, packed, scales, zeros,
-                                       group_size=group_size,
-                                       logical_n=logical_n,
-                                       interpret=mode)
+        import os as _os
+        return int4_matmul_plane_major(
+            x, packed, scales, zeros, group_size=group_size,
+            logical_n=logical_n, interpret=mode,
+            decode_kernel=_os.environ.get("LTR_TPU_INT4_DECODE_KERNEL"))
     return int4_matmul_xla(x, packed, scales, zeros, group_size, logical_n)
 
 

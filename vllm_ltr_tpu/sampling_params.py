@@ -91,6 +91,8 @@ class SamplingParams:
     guided_choice: list[str] | None = None
     guided_regex: str | None = None
     guided_json: Union[dict, str, None] = None
+    # Lark-style context-free grammar (guided/cfg.py pushdown engine).
+    guided_grammar: str | None = None
     est_tokens: int = 16
 
     def __post_init__(self) -> None:
@@ -139,7 +141,8 @@ class SamplingParams:
             if value is not None and value < 0:
                 raise ValueError(f"{name} must be >= 0, got {value}.")
         guided = [
-            n for n in ("guided_choice", "guided_regex", "guided_json")
+            n for n in ("guided_choice", "guided_regex", "guided_json",
+                        "guided_grammar")
             if getattr(self, n)
         ]
         if len(guided) > 1:
