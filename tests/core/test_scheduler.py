@@ -25,13 +25,15 @@ def make_scheduler(schedule_type="fcfs",
                    num_cpu_blocks=16,
                    block_size=4,
                    enable_chunked_prefill=False,
-                   watermark=0.0):
+                   watermark=0.0,
+                   lazy_aux_scoring=False):
     scheduler_config = SchedulerConfig(
         max_num_batched_tokens=max_num_batched_tokens,
         max_num_seqs=max_num_seqs,
         max_model_len=max_model_len,
         enable_chunked_prefill=enable_chunked_prefill,
-        schedule_type=schedule_type)
+        schedule_type=schedule_type,
+        lazy_aux_scoring=lazy_aux_scoring)
     cache_config = CacheConfig(block_size=block_size, hbm_utilization=0.9)
     cache_config.num_gpu_blocks = num_gpu_blocks
     cache_config.num_cpu_blocks = num_cpu_blocks
@@ -239,6 +241,39 @@ def test_opt_policy_schedules_by_score():
         append_new_token(s.seq_group, 1)
     _, out = schedule_and_update_computed_tokens(scheduler)
     assert scheduler.aux_model.calls == 1  # no rescoring
+
+
+def test_lazy_aux_scoring_skips_uncontended_passes():
+    """--lazy-aux-scoring: passes that admit the whole population never
+    dispatch the predictor; the first contended pass scores every
+    unscored request (any lane) in ONE batch."""
+    scheduler = make_scheduler(schedule_type="opt",
+                               max_num_seqs=3,
+                               num_gpu_blocks=64,
+                               lazy_aux_scoring=True)
+    scheduler.aux_model = FakeScorer()
+    for i, est in [(0, 500), (1, 10)]:
+        _, g = create_dummy_prompt(str(i), 8, block_size=4, est_tokens=est)
+        scheduler.add_seq_group(g)
+    _, out = schedule_and_update_computed_tokens(scheduler)
+    # 2 requests, 3 seats: no contention -> no scoring dispatch.
+    assert scheduler.aux_model.calls == 0
+    assert len(out.scheduled_seq_groups) == 2
+    for s in out.scheduled_seq_groups:
+        append_new_token(s.seq_group, 1)
+
+    # Two more arrivals exceed the seats: NOW everything unscored gets
+    # scored in one batched dispatch, including the running lane.
+    for i, est in [(2, 100), (3, 5)]:
+        _, g = create_dummy_prompt(str(i), 8, block_size=4, est_tokens=est)
+        scheduler.add_seq_group(g)
+    _, out = schedule_and_update_computed_tokens(scheduler)
+    assert scheduler.aux_model.calls == 1
+    assert all(not g.need_aux_model_score()
+               for g in scheduler.waiting + scheduler.running)
+    ids = {s.seq_group.request_id for s in out.scheduled_seq_groups}
+    # The three best-ranked (smallest est_tokens) hold the 3 seats.
+    assert ids == {"1", "2", "3"}
 
 
 def test_opt_policy_preempts_lower_ranked_requests():

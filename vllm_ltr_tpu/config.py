@@ -561,6 +561,7 @@ class SchedulerConfig:
         decode_steps_per_dispatch: int = 1,
         precompile_shapes: bool = False,
         async_aux_scoring: bool = False,
+        lazy_aux_scoring: bool = False,
     ) -> None:
         if max_num_batched_tokens is None:
             # Chunked prefill decouples the token budget from max_model_len;
@@ -584,6 +585,12 @@ class SchedulerConfig:
         # Overlap aux-predictor scoring with the in-flight serving wave
         # (scores land one pass later; score-once contract preserved).
         self.async_aux_scoring = async_aux_scoring
+        # Skip the predictor round trip on passes that provably admit the
+        # whole population regardless of order; the first contended pass
+        # scores every unscored request (any lane) in one batch.  A
+        # deliberate relaxation of the reference's score-before-first-
+        # scheduling contract, exact under no contention.
+        self.lazy_aux_scoring = lazy_aux_scoring
         if isinstance(schedule_type, ScheduleSpec):
             self.schedule_spec = schedule_type
         else:

@@ -88,6 +88,12 @@ class PolicyContext:
     # distribution once per request; owned by the scheduler so requests
     # carry no hidden attributes across re-scoring)
     expected_lengths: Dict[str, float] = field(default_factory=dict)
+    # Lazy scoring (--lazy-aux-scoring): False when the scheduler proved
+    # this pass admits the whole population regardless of order, so a
+    # predictor round trip cannot change the outcome and is skipped;
+    # once contention appears every unscored request (any lane) is
+    # scored in one batched dispatch.
+    scores_required: bool = True
 
     def all_requests(self) -> List[SequenceGroup]:
         return list(self.waiting) + list(self.running) + list(self.swapped)
@@ -99,7 +105,14 @@ class PolicyContext:
         (truncated) prompt, before it is first considered for scheduling
         (reference scheduler.py:969-979).
         """
-        unscored = [r for r in self.waiting if r.need_aux_model_score()]
+        if not self.scores_required:
+            return
+        # Under lazy scoring a request can reach running/swapped unscored
+        # (admitted during a no-contention window); score every lane so
+        # eviction ranking stays sound once contention appears.
+        unscored = [
+            r for r in self.all_requests() if r.need_aux_model_score()
+        ]
         if unscored:
             if self.aux_scorer is None:
                 raise RuntimeError(

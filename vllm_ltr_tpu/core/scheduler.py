@@ -510,6 +510,34 @@ class Scheduler:
     # Generalized (rank-ordered) scheduling — the LTR path
     # ------------------------------------------------------------------
 
+    def _ranking_matters(self) -> bool:
+        """False only when this pass provably admits/keeps the ENTIRE
+        population regardless of order — then a predictor round trip
+        cannot change the outcome (--lazy-aux-scoring skips it; the
+        round-4 soak measured ~90 ms/step of schedule() blocked on
+        2.7-prompt scoring dispatches at trickle arrival rates)."""
+        if not self.scheduler_config.lazy_aux_scoring:
+            return True
+        cfg = self.scheduler_config
+        lanes = (self.waiting, self.running, self.swapped)
+        seats = sum(g.get_max_num_running_seqs() for lane in lanes
+                    for g in lane)
+        if seats > cfg.max_num_seqs:
+            return True
+        tokens = sum(s.get_num_new_tokens() for g in self.waiting
+                     for s in g.get_seqs(status=SequenceStatus.WAITING))
+        tokens += sum(g.num_seqs() for g in self.running)
+        tokens += sum(g.num_seqs() for g in self.swapped)
+        if tokens > cfg.max_num_batched_tokens:
+            return True
+        bm = self.block_manager
+        need = sum(g.get_seqs()[0].num_blocks() for g in self.waiting)
+        need += sum(g.num_seqs() for g in self.running)  # growth blocks
+        for g in self.swapped:
+            need += len(bm._group_block_ids(g)) + g.num_seqs()
+        free = bm.get_num_free_gpu_blocks()
+        return need > max(free - bm.watermark_blocks, 0)
+
     def _rank_population(self) -> List[SequenceGroup]:
         starv = self.spec.starvation
         ctx = PolicyContext(
@@ -522,6 +550,7 @@ class Scheduler:
             distribution=self._distribution,
             records=self._policy_records,
             expected_lengths=self._xpt_expected,
+            scores_required=self._ranking_matters(),
         )
         return get_ordering_fn(self.spec.policy)(ctx)
 
@@ -842,6 +871,7 @@ class Scheduler:
             distribution=self._distribution,
             records=self._policy_records,
             expected_lengths=self._xpt_expected,
+            scores_required=self._ranking_matters(),
         )
         self.waiting[:] = ordering(ctx)
 

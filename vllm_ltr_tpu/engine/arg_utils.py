@@ -98,6 +98,12 @@ class EngineArgs:
         "seats with unscored FCFS admissions that the ranked pass then "
         "pays to evict, while the sync scorer amortizes the whole "
         "backlog into one dispatch.  Keep off; see docs/BENCHMARKS.md")
+    lazy_aux_scoring: bool = _flag(
+        False, "skip the predictor dispatch on scheduling passes that "
+        "provably admit the whole population regardless of order (no "
+        "seat/token/block contention); the first contended pass scores "
+        "every unscored request in one batch.  Cuts schedule() blocking "
+        "at trickle arrival rates; exact under no contention")
 
     def create_engine_config(self) -> EngineConfig:
         mcfg = ModelConfig(
@@ -151,7 +157,8 @@ class EngineArgs:
             fake_allocate=self.fake_allocate,
             decode_steps_per_dispatch=self.decode_steps_per_dispatch,
             precompile_shapes=self.precompile_shapes,
-            async_aux_scoring=self.async_aux_scoring)
+            async_aux_scoring=self.async_aux_scoring,
+            lazy_aux_scoring=self.lazy_aux_scoring)
 
         speccfg = None
         if self.speculative_model is not None:
