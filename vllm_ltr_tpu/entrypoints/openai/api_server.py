@@ -155,19 +155,42 @@ def make_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--chat-template", type=str, default=None)
     parser.add_argument("--response-role", type=str, default="assistant")
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument(
+        "--lora-modules", type=str, nargs="+", default=None,
+        metavar="NAME=PATH",
+        help="LoRA adapters served as their own model ids "
+        "(reference api_server --lora-modules); requires --enable-lora")
     parser = AsyncEngineArgs.add_cli_args(parser)
     return parser
+
+
+def parse_lora_modules(specs):
+    """['name=path', ...] -> [LoRAModulePath]."""
+    from vllm_ltr_tpu.entrypoints.openai.serving_engine import LoRAModulePath
+    out = []
+    for spec in specs or []:
+        name, sep, path = spec.partition("=")
+        if not sep or not name or not path:
+            raise ValueError(
+                f"--lora-modules entry {spec!r} is not NAME=PATH")
+        out.append(LoRAModulePath(name=name, local_path=path))
+    return out
 
 
 def init_server(args) -> web.Application:
     global engine, openai_serving_chat, openai_serving_completion
     engine_args = AsyncEngineArgs.from_cli_args(args)
+    lora_modules = parse_lora_modules(getattr(args, "lora_modules", None))
+    if lora_modules and not engine_args.enable_lora:
+        raise ValueError("--lora-modules requires --enable-lora")
     engine = AsyncLLMEngine.from_engine_args(engine_args)
     served_model = args.served_model_name or args.model
-    openai_serving_completion = OpenAIServingCompletion(engine, served_model)
+    openai_serving_completion = OpenAIServingCompletion(
+        engine, served_model, lora_modules=lora_modules)
     openai_serving_chat = OpenAIServingChat(engine, served_model,
                                             args.response_role,
-                                            args.chat_template)
+                                            args.chat_template,
+                                            lora_modules=lora_modules)
     return build_app()
 
 

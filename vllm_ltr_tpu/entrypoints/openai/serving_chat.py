@@ -27,8 +27,9 @@ class OpenAIServingChat(OpenAIServing):
 
     def __init__(self, engine: AsyncLLMEngine, served_model: str,
                  response_role: str = "assistant",
-                 chat_template: str | None = None):
-        super().__init__(engine, served_model)
+                 chat_template: str | None = None,
+                 lora_modules=None):
+        super().__init__(engine, served_model, lora_modules=lora_modules)
         self.response_role = response_role  # role stamped on replies
         if chat_template is not None and self.tokenizer is not None:
             # Accept either a template file path or an inline template.
@@ -67,8 +68,9 @@ class OpenAIServingChat(OpenAIServing):
         try:
             params = request.to_sampling_params()
             ids = self._validate_prompt_and_tokenize(request, prompt=prompt)
-            feed = self.engine.generate(prompt, params, request_id,
-                                        prompt_token_ids=ids)
+            feed = self.engine.generate(
+                prompt, params, request_id, prompt_token_ids=ids,
+                lora_request=self._maybe_get_lora(request))
         except ValueError as bad:
             return self.create_error_response(str(bad))
 

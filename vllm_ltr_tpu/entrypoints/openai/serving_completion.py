@@ -52,8 +52,9 @@ class _StreamCursor:
 
 class OpenAIServingCompletion(OpenAIServing):
 
-    def __init__(self, engine: AsyncLLMEngine, served_model: str):
-        super().__init__(engine, served_model)
+    def __init__(self, engine: AsyncLLMEngine, served_model: str,
+                 lora_modules=None):
+        super().__init__(engine, served_model, lora_modules=lora_modules)
 
     async def create_completion(self, request: CompletionRequest,
                                 raw_request=None):
@@ -88,10 +89,10 @@ class OpenAIServingCompletion(OpenAIServing):
                 ids = self._validate_prompt_and_tokenize(
                     request, prompt=item.text, prompt_ids=item.ids)
                 feeds.append(
-                    self.engine.generate(None,
-                                         params,
-                                         f"{request_id}-{i}",
-                                         prompt_token_ids=ids))
+                    self.engine.generate(
+                        None, params, f"{request_id}-{i}",
+                        prompt_token_ids=ids,
+                        lora_request=self._maybe_get_lora(request)))
         except ValueError as e:
             return self.create_error_response(str(e))
 

@@ -25,15 +25,28 @@ class LoRAModulePath:
 class OpenAIServing:
     """Base for the /v1 endpoint handlers."""
 
-    def __init__(self, engine: AsyncLLMEngine, served_model: str) -> None:
+    def __init__(self, engine: AsyncLLMEngine, served_model: str,
+                 lora_modules: list[LoRAModulePath] | None = None) -> None:
         self.engine, self.served_model = engine, served_model
         self.tokenizer = engine.engine.tokenizer
         self.max_model_len = engine.engine.model_config.max_model_len
+        # --lora-modules name=path: each adapter is addressable as its own
+        # model id (reference serving_engine.py multi-LoRA contract).
+        from vllm_ltr_tpu.lora.request import LoRARequest
+        self.lora_requests = {
+            m.name: LoRARequest(lora_name=m.name, lora_int_id=i + 1,
+                                lora_local_path=m.local_path)
+            for i, m in enumerate(lora_modules or [])
+        }
 
     async def show_available_models(self) -> ModelList:
-        card = ModelCard(id=self.served_model, root=self.served_model,
-                         permission=[ModelPermission()])
-        return ModelList(data=[card])
+        cards = [ModelCard(id=self.served_model, root=self.served_model,
+                           permission=[ModelPermission()])]
+        cards.extend(
+            ModelCard(id=name, root=req.lora_local_path,
+                      permission=[ModelPermission()])
+            for name, req in self.lora_requests.items())
+        return ModelList(data=cards)
 
     def create_error_response(self, message: str,
                               err_type: str = "BadRequestError",
@@ -44,9 +57,16 @@ class OpenAIServing:
     async def _check_model(self, request) -> ErrorResponse | None:
         if request.model == self.served_model:
             return None
+        if request.model in self.lora_requests:
+            return None
         return self.create_error_response(
             f"model '{request.model}' is not served here",
             err_type="NotFoundError", status_code=404)
+
+    def _maybe_get_lora(self, request):
+        """LoRARequest for adapter-addressed requests (model == adapter
+        name), else None (base model)."""
+        return self.lora_requests.get(request.model)
 
     # -- prompt handling ----------------------------------------------------
 

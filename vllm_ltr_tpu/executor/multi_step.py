@@ -86,6 +86,10 @@ def build_multi_step_fn(model_cls, cfg, mesh, num_steps: int):
             hidden, kv = model_cls.forward(params, tok, pos, kv, meta, cfg,
                                            decode_mode=True)
             logits = model_cls.compute_logits(params, hidden, cfg)
+            if has_lora:
+                from vllm_ltr_tpu.lora.models import apply_lm_head_lora
+                logits = apply_lm_head_lora(params, hidden, logits,
+                                            lora_slots)
             key, sub = jax.random.split(key)
             res = sample(logits, st, sub,
                          token_counts=counts if use_penalties else None,

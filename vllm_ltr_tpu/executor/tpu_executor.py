@@ -612,6 +612,10 @@ class TPUExecutor:
                     decode_mode=decode_mode, **vlm_kwargs)
             sel = hidden[sample_idx]  # [S, H] last-token hidden states
             logits = model_cls.compute_logits(params, sel, cfg)
+            if has_lora:
+                from vllm_ltr_tpu.lora.models import apply_lm_head_lora
+                logits = apply_lm_head_lora(params, sel, logits,
+                                            lora_slots[sample_idx])
             if return_logits:
                 # Two-phase path (host logits_processors): hand the raw
                 # logits to the host; sampling happens in _sample_fn after
@@ -1736,10 +1740,17 @@ class TPUExecutor:
                 # Banks are [S, L, ...]; lax.scan wants layer-leading.
                 layers[f"lora_{target}_a"] = jnp.swapaxes(A, 0, 1)
                 layers[f"lora_{target}_b"] = jnp.swapaxes(B, 0, 1)
-            self._lora_params_cache = {
+            merged = {
                 **self.params, "layers": layers,
                 "lora_scalings": self.lora_bank.scalings
             }
+            if self.lora_bank.embed_bank is not None:
+                merged["lora_embed_a"] = self.lora_bank.embed_bank[0]
+                merged["lora_embed_b"] = self.lora_bank.embed_bank[1]
+            if self.lora_bank.head_bank is not None:
+                merged["lora_lm_head_a"] = self.lora_bank.head_bank[0]
+                merged["lora_lm_head_b"] = self.lora_bank.head_bank[1]
+            self._lora_params_cache = merged
         return self._lora_params_cache
 
     def list_loras(self):

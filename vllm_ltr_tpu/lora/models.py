@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -25,16 +26,31 @@ from vllm_ltr_tpu.logger import init_logger
 
 logger = init_logger(__name__)
 
-# Llama-family projection names we support adapters on.
+# Projection names adapters may target, per family (reference wraps every
+# parallel layer, vllm/lora/layers.py):
+#   llama-family: q/k/v/o_proj, gate/up/down_proj
+#   OPT-family:   q/k/v_proj, out_proj, fc1, fc2
+# Short names match the model files' per-layer param prefixes (llama.py
+# q_w..down_w, opt.py out_w/fc1_w/fc2_w) so the model's _lora() hook
+# finds `lora_{short}_a/b` in the scanned layer params.
 TARGET_TO_PARAM = {
     "q_proj": "q",
     "k_proj": "k",
     "v_proj": "v",
     "o_proj": "o",
+    "out_proj": "out",
     "gate_proj": "gate",
     "up_proj": "up",
     "down_proj": "down",
+    "fc1": "fc1",
+    "fc2": "fc2",
 }
+
+# Matches decoder-layer LoRA A keys across peft prefix spellings:
+# [base_model.model.]model.[decoder.]layers.{i}.[self_attn.|mlp.]{target}.
+_LAYER_A_RE = re.compile(
+    r"(?:^|\.)layers\.(\d+)\.(?:self_attn\.|mlp\.)?"
+    r"([A-Za-z0-9_]+)\.lora_A\.weight$")
 
 
 @dataclass
@@ -44,6 +60,10 @@ class LoRAAdapter:
     scaling: float
     # target -> (A [L, H_in, r], B [L, r, H_out]) numpy stacks.
     weights: Dict[str, Tuple[np.ndarray, np.ndarray]]
+    # Optional non-layer adapters (reference lora/layers.py wraps the
+    # vocab embedding and the logits head too):
+    embed: Optional[Tuple[np.ndarray, np.ndarray]] = None  # [V,r], [r,H]
+    lm_head: Optional[Tuple[np.ndarray, np.ndarray]] = None  # [H,r], [r,V]
 
 
 def load_lora_adapter(path: str, num_layers: int,
@@ -72,40 +92,52 @@ def load_lora_adapter(path: str, num_layers: int,
     else:
         raise FileNotFoundError(f"No adapter weights in {path}")
 
-    weights: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
-    for target, short in TARGET_TO_PARAM.items():
-        a_list, b_list = [], []
-        found = False
-        for i in range(num_layers):
-            a_key = None
-            for pattern in (
-                    f"base_model.model.model.layers.{i}.self_attn.{target}."
-                    f"lora_A.weight",
-                    f"base_model.model.model.layers.{i}.mlp.{target}."
-                    f"lora_A.weight",
-                    f"model.layers.{i}.self_attn.{target}.lora_A.weight",
-                    f"model.layers.{i}.mlp.{target}.lora_A.weight",
-            ):
-                if pattern in sd:
-                    a_key = pattern
-                    break
-            if a_key is None:
-                break
-            found = True
-            b_key = a_key.replace("lora_A", "lora_B")
+    per_target: Dict[str, Dict[int, Tuple[np.ndarray, np.ndarray]]] = {}
+    embed = None
+    lm_head = None
+    skipped: set = set()
+    for key, val in sd.items():
+        m = _LAYER_A_RE.search(key)
+        if m is not None:
+            layer, target = int(m.group(1)), m.group(2)
+            short = TARGET_TO_PARAM.get(target)
+            if short is None:
+                skipped.add(target)
+                continue
+            b = sd[key.replace("lora_A", "lora_B")]
             # peft stores A [r, H_in], B [H_out, r]; we store input-major.
-            a_list.append(np.asarray(sd[a_key], dtype).T)  # [H_in, r]
-            b_list.append(np.asarray(sd[b_key], dtype).T)  # [r, H_out]
-        if found:
-            if len(a_list) != num_layers:
-                raise ValueError(
-                    f"Adapter targets {target} on only {len(a_list)} of "
-                    f"{num_layers} layers; partial-layer adapters are not "
-                    "supported")
-            weights[short] = (np.stack(a_list), np.stack(b_list))
-    if not weights:
+            per_target.setdefault(short, {})[layer] = (
+                np.asarray(val, dtype).T, np.asarray(b, dtype).T)
+            continue
+        if "embed_tokens.lora_embedding_A" in key:
+            # peft Embedding adapters: A [r, V], B [H, r].
+            b = sd[key.replace("lora_embedding_A", "lora_embedding_B")]
+            embed = (np.asarray(val, dtype).T, np.asarray(b, dtype).T)
+        elif "embed_tokens.lora_A" in key:
+            b = sd[key.replace("lora_A", "lora_B")]
+            embed = (np.asarray(val, dtype).T, np.asarray(b, dtype).T)
+        elif re.search(r"lm_head\.lora_A", key):
+            b = sd[key.replace("lora_A", "lora_B")]
+            lm_head = (np.asarray(val, dtype).T, np.asarray(b, dtype).T)
+    if skipped:
+        logger.warning("LoRA %s: unsupported targets skipped: %s", path,
+                       sorted(skipped))
+
+    weights: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for short, by_layer in per_target.items():
+        if len(by_layer) != num_layers:
+            raise ValueError(
+                f"Adapter targets {short} on only {len(by_layer)} of "
+                f"{num_layers} layers; partial-layer adapters are not "
+                "supported")
+        weights[short] = (np.stack([by_layer[i][0]
+                                    for i in range(num_layers)]),
+                          np.stack([by_layer[i][1]
+                                    for i in range(num_layers)]))
+    if not weights and embed is None and lm_head is None:
         raise ValueError(f"No supported LoRA targets found in {path}")
-    return LoRAAdapter(rank=rank, scaling=scaling, weights=weights)
+    return LoRAAdapter(rank=rank, scaling=scaling, weights=weights,
+                       embed=embed, lm_head=lm_head)
 
 
 class LoRABank:
@@ -127,26 +159,39 @@ class LoRABank:
         self.slot_of: Dict[int, int] = {}
         self._lru: List[int] = []
         self.banks: Optional[Dict[str, Tuple[jax.Array, jax.Array]]] = None
+        # Non-layer banks: embed (A [S, V, r], B [S, r, H]) and lm_head
+        # (A [S, H, r], B [S, r, V]); None until an adapter carries one.
+        self.embed_bank: Optional[Tuple[jax.Array, jax.Array]] = None
+        self.head_bank: Optional[Tuple[jax.Array, jax.Array]] = None
         self.scalings: Optional[jax.Array] = None  # [S]
         self._dims: Dict[str, Tuple[int, int]] = {}
 
     def _ensure_banks(self, adapter: LoRAAdapter) -> None:
-        if self.banks is not None:
-            return
         S = self.max_loras + 1
-        banks = {}
+        if self.banks is None:
+            self.banks = {}
+            self.scalings = jnp.zeros((S, ), jnp.float32)
         for target, (a, b) in adapter.weights.items():
-            _, H_in, _ = a.shape[0], a.shape[1], a.shape[2]
+            if target in self.banks:
+                continue
             H_out = b.shape[2]
-            banks[target] = (jnp.zeros(
+            self.banks[target] = (jnp.zeros(
                 (S, self.num_layers, a.shape[1], self.max_rank),
                 self.dtype),
-                             jnp.zeros(
-                                 (S, self.num_layers, self.max_rank,
-                                  H_out), self.dtype))
+                                  jnp.zeros(
+                                      (S, self.num_layers, self.max_rank,
+                                       H_out), self.dtype))
             self._dims[target] = (a.shape[1], H_out)
-        self.banks = banks
-        self.scalings = jnp.zeros((S, ), jnp.float32)
+        if adapter.embed is not None and self.embed_bank is None:
+            V, _ = adapter.embed[0].shape
+            H = adapter.embed[1].shape[1]
+            self.embed_bank = (jnp.zeros((S, V, self.max_rank), self.dtype),
+                               jnp.zeros((S, self.max_rank, H), self.dtype))
+        if adapter.lm_head is not None and self.head_bank is None:
+            H, _ = adapter.lm_head[0].shape
+            V = adapter.lm_head[1].shape[1]
+            self.head_bank = (jnp.zeros((S, H, self.max_rank), self.dtype),
+                              jnp.zeros((S, self.max_rank, V), self.dtype))
 
     def add_adapter(self, int_id: int, adapter: LoRAAdapter) -> int:
         """Load an adapter into a free (or LRU-evicted) slot; returns slot."""
@@ -172,6 +217,31 @@ class LoRABank:
             A = A.at[slot, :, :, :r].set(jnp.asarray(a, self.dtype))
             B = B.at[slot, :, :r, :].set(jnp.asarray(b, self.dtype))
             self.banks[target] = (A, B)
+        # Targets this adapter does NOT carry keep whatever the evicted
+        # occupant left; zero the slot in every bank for correctness.
+        for target in self.banks:
+            if target not in adapter.weights:
+                A, B = self.banks[target]
+                self.banks[target] = (A.at[slot].set(0.0),
+                                      B.at[slot].set(0.0))
+        if self.embed_bank is not None:
+            A, B = self.embed_bank
+            A, B = A.at[slot].set(0.0), B.at[slot].set(0.0)
+            if adapter.embed is not None:
+                A = A.at[slot, :, :r].set(
+                    jnp.asarray(adapter.embed[0], self.dtype))
+                B = B.at[slot, :r, :].set(
+                    jnp.asarray(adapter.embed[1], self.dtype))
+            self.embed_bank = (A, B)
+        if self.head_bank is not None:
+            A, B = self.head_bank
+            A, B = A.at[slot].set(0.0), B.at[slot].set(0.0)
+            if adapter.lm_head is not None:
+                A = A.at[slot, :, :r].set(
+                    jnp.asarray(adapter.lm_head[0], self.dtype))
+                B = B.at[slot, :r, :].set(
+                    jnp.asarray(adapter.lm_head[1], self.dtype))
+            self.head_bank = (A, B)
         self.scalings = self.scalings.at[slot].set(adapter.scaling)
         self.slot_of[int_id] = slot
         self._lru.append(int_id)
@@ -184,6 +254,38 @@ class LoRABank:
 
     def slot_for(self, int_id: int) -> int:
         return self.slot_of.get(int_id, 0)
+
+
+def apply_embedding_lora(params, tokens: jax.Array, emb: jax.Array,
+                         slots) -> jax.Array:
+    """Add the embedding-adapter delta for a token batch: for token t in
+    adapter slot s, delta = A[s, token] @ B[s] * scale[s] (the one-hot
+    input makes the low-rank product a row gather).  No-op (returns emb)
+    when no loaded adapter carries embedding weights or the batch has no
+    adapters (reference wraps VocabParallelEmbedding,
+    vllm/lora/layers.py)."""
+    a = params.get("lora_embed_a")
+    if a is None or slots is None:
+        return emb
+    b = params["lora_embed_b"]  # [S, r, H]
+    ar = a[slots, tokens]  # [T, r]
+    delta = jnp.einsum("tr,trh->th", ar, b[slots],
+                       preferred_element_type=jnp.float32)
+    scale = params["lora_scalings"][slots][:, None]
+    return emb + (delta * scale).astype(emb.dtype)
+
+
+def apply_lm_head_lora(params, sel: jax.Array, logits: jax.Array,
+                       row_slots) -> jax.Array:
+    """Add the logits-head adapter delta for sampled rows [R, H]
+    (reference wraps the logits processor's lm_head,
+    vllm/lora/layers.py LogitsProcessorWithLoRA)."""
+    a = params.get("lora_lm_head_a")
+    if a is None or row_slots is None:
+        return logits
+    delta = apply_lora(sel, a, params["lora_lm_head_b"],
+                       params["lora_scalings"], row_slots)
+    return logits + delta.astype(logits.dtype)
 
 
 def apply_lora(x: jax.Array, layer_a: jax.Array, layer_b: jax.Array,

@@ -198,6 +198,9 @@ class LlamaForCausalLM:
              params["embed_tokens"][tokens])
         lora_scalings = params.get("lora_scalings")
         lora_slots = meta.lora_slots
+        if inputs_embeds is None and lora_slots is not None:
+            from vllm_ltr_tpu.lora.models import apply_embedding_lora
+            h = apply_embedding_lora(params, tokens, h, lora_slots)
 
         def layer_fn(h, lp, kv_cache, lid, kv_scale):
             # Per-layer FP8-KV scale (reference llama.py:126,429-445);

@@ -133,15 +133,32 @@ class OPTForCausalLM:
         do_lnb = getattr(cfg, "do_layer_norm_before", True)
 
         h = params["embed_tokens"][tokens]
+        lora_scalings = params.get("lora_scalings")
+        lora_slots = meta.lora_slots
+        if lora_slots is not None:
+            from vllm_ltr_tpu.lora.models import apply_embedding_lora
+            h = apply_embedding_lora(params, tokens, h, lora_slots)
         if "project_in" in params:
             h = linear(h, params["project_in"])
         pos_emb = params["embed_positions"][positions + POS_OFFSET]
         h = h + pos_emb
 
         def layer_fn(h, lp, kv_cache, lid, kv_scale):
+            # LoRA targets (reference wraps all parallel layers,
+            # vllm/lora/layers.py): q/k/v fold into the fused qkv proj.
+            from vllm_ltr_tpu.models.llama import _lora
             residual = h
             x = layer_norm(h, lp["ln1_s"], lp["ln1_b"]) if do_lnb else h
             qkv = linear(x, lp["qkv_w"], lp["qkv_b"])
+            if "lora_q_a" in lp or "lora_k_a" in lp or "lora_v_a" in lp:
+                qkv = qkv + jnp.concatenate([
+                    _lora(lp, "q", x, lora_scalings, lora_slots) +
+                    jnp.zeros((x.shape[0], H), qkv.dtype),
+                    _lora(lp, "k", x, lora_scalings, lora_slots) +
+                    jnp.zeros((x.shape[0], H), qkv.dtype),
+                    _lora(lp, "v", x, lora_scalings, lora_slots) +
+                    jnp.zeros((x.shape[0], H), qkv.dtype),
+                ], axis=-1)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             T = q.shape[0]
             q = q.reshape(T, num_heads, head_dim)
@@ -150,16 +167,19 @@ class OPTForCausalLM:
             attn, kv_cache = attend(kv_cache, lid, q, k, v, meta, scale,
                                     decode_mode=decode_mode)
             attn = attn.reshape(T, H)
-            x = linear(attn, lp["out_w"], lp["out_b"])
+            x = (linear(attn, lp["out_w"], lp["out_b"]) +
+                 _lora(lp, "out", attn, lora_scalings, lora_slots))
             h = residual + x
             if not do_lnb:
                 h = layer_norm(h, lp["ln1_s"], lp["ln1_b"])
 
             residual = h
             x = layer_norm(h, lp["ln2_s"], lp["ln2_b"]) if do_lnb else h
-            x = linear(x, lp["fc1_w"], lp["fc1_b"])
+            x = (linear(x, lp["fc1_w"], lp["fc1_b"]) +
+                 _lora(lp, "fc1", x, lora_scalings, lora_slots))
             x = jax.nn.relu(x)
-            x = linear(x, lp["fc2_w"], lp["fc2_b"])
+            x = (linear(x, lp["fc2_w"], lp["fc2_b"]) +
+                 _lora(lp, "fc2", x, lora_scalings, lora_slots))
             h = residual + x
             if not do_lnb:
                 h = layer_norm(h, lp["ln2_s"], lp["ln2_b"])
