@@ -189,8 +189,20 @@ def main(args: argparse.Namespace):
 
     if args.save_result:
         report["args"] = vars(args)
+
+        def _finite(o):
+            import math
+            if isinstance(o, float):
+                return o if math.isfinite(o) else None
+            if isinstance(o, dict):
+                return {k: _finite(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [_finite(v) for v in o]
+            return o
+
         with open(args.save_result, "w") as f:
-            json.dump(report, f, indent=2)
+            # Strict JSON: bare Infinity/NaN breaks non-Python readers.
+            json.dump(_finite(report), f, indent=2, allow_nan=False)
         print(f"saved results to {args.save_result}")
 
 

@@ -90,6 +90,20 @@ def run_client(args, rate: float, tag: str) -> dict:
         return json.load(f)
 
 
+def _strict_json(obj):
+    """Recursively replace non-finite floats with None: strict JSON has
+    no Infinity/NaN literal (an unreachable histogram quantile is
+    'no data', which is null)."""
+    import math
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _strict_json(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_strict_json(v) for v in obj]
+    return obj
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="test-llama-1b")
@@ -175,8 +189,8 @@ def main():
                     "server_ttft_p50_le": hist_quantile(after, hist, .5),
                     "server_ttft_p99_le": hist_quantile(after, hist, .99),
                 }
-                results.append(row)
-                print(json.dumps(row))
+                results.append(_strict_json(row))
+                print(json.dumps(results[-1]))
                 del before
         finally:
             server.send_signal(signal.SIGTERM)
@@ -187,7 +201,9 @@ def main():
             time.sleep(3)
 
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+        # allow_nan=False guards the artifact: bare Infinity/NaN is not
+        # JSON and breaks any non-Python consumer (VERDICT r4 weak #7).
+        json.dump(results, f, indent=1, allow_nan=False)
     print(f"# wrote {args.out}")
 
 

@@ -613,6 +613,229 @@ def _stream_decode_kernel(
                               cache_out.at[lid, wb_b], wsem.at[0]).wait()
 
 
+def _stream_decode_kernel_hp(
+    # scalar prefetch
+    layer_ref,  # [1] i32 (SMEM)
+    block_tables_ref,  # [S, MB] i32 (SMEM)
+    slot_ref,  # [S] i32; -1 = padded lane (SMEM)
+    sched_ref,  # [11, Vmax+4] i32 (SMEM)
+    vbound_ref,  # [1] i32
+    # inputs
+    q_ref,  # [S, Rp, Dp] VMEM
+    kv_new_ref,  # [S, 2, KH, Dp] VMEM
+    alibi_ref,  # [Rp, 128] f32 VMEM
+    cache_hbm,  # [L, N+1, 2, KH, Bs, Dp] ANY (aliased)
+    # outputs
+    cache_out,
+    o_ref,  # [S, Rp, Dp] VMEM
+    # scratch
+    kv_buf,  # [NBUF, 2, KH, PPI, Bs, Dp]  <-- HEAD-MAJOR
+    sems,  # [NBUF, PPI, 2]
+    wsem,  # [2]
+    acc_ref,  # [Rp, Dp] f32
+    m_ref,  # [Rp, 128] f32
+    l_ref,  # [Rp, 128] f32
+    scores_ref,  # [Rp, PPI*Bs] f32
+    *,
+    group: int,
+    block_size: int,
+    ppi: int,
+    scale: float,
+    kv_scale: float,
+    window: int,
+    use_alibi: bool,
+):
+    """Head-packed GQA variant of :func:`_stream_decode_kernel`.
+
+    The page-major kernel computes a [Rp, PPI*KH*Bs] score matrix whose
+    cross-head blocks — (KH-1)/KH of it — are masked to -inf and still
+    pay the full softmax VPU chain (max/exp/sum over every masked lane);
+    at QH32/KH8 that is 7/8 wasted VPU work, the measured reason the 8B
+    GQA shape ran at ~320 GB/s effective and fp8 narrowed to 1.28x at
+    long context (docs/BENCHMARKS.md round-4 attribution).  Here the
+    per-page DMAs land each page's K/V **transposed into a head-major
+    VMEM buffer** ([2, KH, PPI, Bs, Dp]; destination strided over KH —
+    the DMA engine pays the stride, not the VPU), so scores become a
+    KH-batched [G, Dp] x [Dp, PPI*Bs] dot whose [KH, G, PPI*Bs] output
+    reshapes (leading-dim merge, layout-free) to [Rp, PPI*Bs] — the
+    softmax runs on KH-fold fewer lanes with NO head-match bias at all,
+    and p @ V batches back the same way.  MXU pass count is unchanged
+    (pass count = weight-tile count, M-independent); the win is the VPU
+    chain and the mask traffic.  Requires Rp == KH*G (no pad rows) and
+    G > 1 (MHA keeps the page-major kernel)."""
+    lid = layer_ref[0]
+    Bs = block_size
+    KH = kv_buf.shape[2]
+    Dp = kv_buf.shape[-1]
+    CKh = ppi * Bs  # keys per head per iteration
+    Rp = q_ref.shape[1]
+    G = group
+
+    def start_iter(buf_slot, vv):
+        s = sched_ref[0, vv]
+        base = sched_ref[1, vv]
+        npg = sched_ref[2, vv]
+        for j in range(ppi):
+
+            @pl.when(j < npg)
+            def _():
+                b = block_tables_ref[s, base + j]
+                for h in range(2):
+                    # Head-major landing: [KH, Bs, Dp] page half ->
+                    # kv_buf[slot, h, :, j] (stride PPI*Bs*Dp over KH).
+                    pltpu.make_async_copy(
+                        cache_hbm.at[lid, b, h],
+                        kv_buf.at[buf_slot, h, :, j],
+                        sems.at[buf_slot, j, h]).start()
+
+            @pl.when(j >= npg)
+            def _():
+                kv_buf[buf_slot, 1, :,
+                       j] = jnp.zeros_like(kv_buf[buf_slot, 1, :, j])
+
+    def wait_iter(buf_slot, vv):
+        s = sched_ref[0, vv]
+        base = sched_ref[1, vv]
+        npg = sched_ref[2, vv]
+        for j in range(ppi):
+
+            @pl.when(j < npg)
+            def _():
+                b = block_tables_ref[s, base + j]
+                for h in range(2):
+                    pltpu.make_async_copy(
+                        cache_hbm.at[lid, b, h],
+                        kv_buf.at[buf_slot, h, :, j],
+                        sems.at[buf_slot, j, h]).wait()
+
+    V = vbound_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, CKh), 1)  # [1, CKh]
+    col_pos = (col // Bs) * Bs + jax.lax.rem(col, jnp.int32(Bs))
+    if use_alibi:
+        slopes = alibi_ref[:, 0:1]  # [Rp, 1]
+
+    start_iter(0, 0)
+    start_iter(1, 1)
+    start_iter(2, 2)
+
+    def body(v, carry):
+        wb_pend, wb_slot, wb_j, wb_b = carry
+        slot_i = jax.lax.rem(v, _NBUF)
+
+        @pl.when(wb_pend > 0)
+        def _():
+            for h in range(2):
+                pltpu.make_async_copy(kv_buf.at[wb_slot, h, :, wb_j],
+                                      cache_out.at[lid, wb_b, h],
+                                      wsem.at[h]).wait()
+
+        start_iter(jax.lax.rem(v + 3, _NBUF), v + 3)
+        wait_iter(slot_i, v)
+
+        s = sched_ref[0, v]
+        base = sched_ref[1, v]
+        jw = sched_ref[5, v]
+        sl = sched_ref[9, v]
+
+        @pl.when(sched_ref[6, v] > 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+        writes = jw >= 0
+        jw_c = jnp.clip(jw, 0, ppi - 1)
+        wb = sched_ref[8, v]
+
+        @pl.when(writes)
+        def _():
+            write_off = jax.lax.rem(jnp.maximum(slot_ref[s], 0), Bs)
+            off_eq = jax.lax.broadcasted_iota(
+                jnp.int32, (KH, Bs, Dp), 1) == write_off
+            knew = kv_new_ref[s, 0]  # [KH, Dp]
+            vnew = kv_new_ref[s, 1]
+            kv_buf[slot_i, 0, :, jw_c] = jnp.where(
+                off_eq, knew[:, None, :], kv_buf[slot_i, 0, :, jw_c])
+            kv_buf[slot_i, 1, :, jw_c] = jnp.where(
+                off_eq, vnew[:, None, :], kv_buf[slot_i, 1, :, jw_c])
+            for h in range(2):
+                pltpu.make_async_copy(kv_buf.at[slot_i, h, :, jw_c],
+                                      cache_out.at[lid, wb, h],
+                                      wsem.at[h]).start()
+
+        wb_pend2 = jnp.where(writes, jnp.int32(1), jnp.int32(0))
+        wb_slot2 = jnp.where(writes, slot_i, wb_slot)
+        wb_j2 = jnp.where(writes, jw_c, wb_j)
+        wb_b2 = jnp.where(writes, wb, wb_b)
+
+        if os.environ.get("LTR_TPU_DECODE_ABLATE") == "dma":
+            return (wb_pend2, wb_slot2, wb_j2, wb_b2)
+
+        cd = jnp.float32 if kv_buf.dtype == jnp.float32 else jnp.bfloat16
+        q = (q_ref[s].astype(jnp.float32) * (scale * kv_scale)).astype(cd)
+        qh = q.reshape(KH, G, Dp)
+        k = kv_buf[slot_i, 0].reshape(KH, CKh, Dp).astype(cd)
+        v_vals = kv_buf[slot_i, 1].reshape(KH, CKh, Dp).astype(cd)
+
+        scores3 = jax.lax.dot_general(
+            qh, k, (((2, ), (2, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [KH, G, CKh]
+        scores = scores3.reshape(Rp, CKh)
+
+        if use_alibi:
+            key_pos = base * Bs + col_pos  # [1, CKh]
+            scores = scores - slopes * (sl - 1 - key_pos).astype(
+                jnp.float32)
+
+        @pl.when(sched_ref[10, v] > 0)
+        def _():
+            scores_ref[...] = scores  # interior group: no mask at all
+
+        @pl.when(sched_ref[10, v] == 0)
+        def _():
+            kp = base * Bs + col_pos
+            live = kp < sl
+            if window > 0:
+                live &= kp >= sl - window
+            scores_ref[...] = jnp.where(live, scores, NEG_INF)
+
+        scores = scores_ref[...]
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(
+            jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True)),
+            -1e20)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[...] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape)
+        pv3 = jax.lax.dot_general(
+            p.reshape(KH, G, CKh).astype(cd), v_vals,
+            (((2, ), (1, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [KH, G, Dp]
+        acc_ref[...] = acc_ref[...] * alpha + pv3.reshape(Rp, Dp)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        @pl.when(sched_ref[7, v] > 0)
+        def _():
+            l = jnp.maximum(l_ref[:, 0:1], 1e-9)
+            o_ref[s] = (acc_ref[...] * kv_scale / l).astype(o_ref.dtype)
+
+        return (wb_pend2, wb_slot2, wb_j2, wb_b2)
+
+    z = jnp.int32(0)
+    wb_pend, wb_slot, wb_j, wb_b = jax.lax.fori_loop(
+        0, V, body, (z, z, z, z))
+
+    @pl.when(wb_pend > 0)
+    def _():
+        for h in range(2):
+            pltpu.make_async_copy(kv_buf.at[wb_slot, h, :, wb_j],
+                                  cache_out.at[lid, wb_b, h],
+                                  wsem.at[h]).wait()
+
+
 @functools.partial(
     jax.jit,
     donate_argnums=(2, ),
@@ -673,6 +896,48 @@ def fused_decode_attention(
                                                slot_mapping,
                                                block_size=Bs, ppi=ppi,
                                                window=window, vmax=vmax)
+        # Head-packed GQA kernel: KH-fold less softmax VPU work, no
+        # head-bias mask; needs real grouping and exact row packing.
+        head_packed = (G > 1 and Rp == QH
+                       and os.environ.get("LTR_TPU_DECODE_HP", "1") != "0")
+        if head_packed:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(1, ),
+                in_specs=[
+                    pl.BlockSpec((S, Rp, Dp), lambda *_: (0, 0, 0)),
+                    pl.BlockSpec((S, 2, KH, Dp), lambda *_: (0, 0, 0, 0)),
+                    pl.BlockSpec((Rp, 128), lambda *_: (0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((S, Rp, Dp), lambda *_: (0, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((_NBUF, 2, KH, ppi, Bs, Dp),
+                               kv_cache.dtype),
+                    pltpu.SemaphoreType.DMA((_NBUF, ppi, 2)),
+                    pltpu.SemaphoreType.DMA((2, )),
+                    pltpu.VMEM((Rp, Dp), jnp.float32),
+                    pltpu.VMEM((Rp, 128), jnp.float32),
+                    pltpu.VMEM((Rp, 128), jnp.float32),
+                    pltpu.VMEM((Rp, ppi * Bs), jnp.float32),
+                ],
+            )
+            kernel = functools.partial(_stream_decode_kernel_hp, **common)
+            new_cache, out = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+                    jax.ShapeDtypeStruct((S, Rp, Dp), q.dtype),
+                ],
+                input_output_aliases={8: 0},
+                interpret=interpret,
+            )(layer_arr, block_tables, slot_mapping, sched, vbound, qf,
+              kv_new, slopes, kv_cache)
+            return out[:, :QH, :D].reshape(S, QH, D), new_cache
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(1, ),

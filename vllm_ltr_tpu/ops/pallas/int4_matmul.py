@@ -296,8 +296,15 @@ def int4_matmul_plane_major(
     TM = min(max(round_up(M, 8), 8), PREFILL_TM if prefill else MAX_TM)
     # Small-M (decode) tiles afford wider N tiles: fewer grid cells, better
     # DMA pipelining, same VMEM budget.  Prefill uses tall/narrow tiles.
-    tn_cap = PREFILL_TN8 if prefill else 2 * MAX_TN8
-    TN8 = min(N8p, tn_cap)
+    if prefill:
+        TN8 = min(N8p, PREFILL_TN8)
+    else:
+        # Decode is weight-stream-bound: pick the widest lane tile that
+        # does not PAD the lane axis (e.g. N=14336 -> N8p=1792: TN8=512
+        # would round to 2048 lanes, +14% wasted bytes AND dequant ALU;
+        # 256 divides exactly).  Ties break toward the wider tile.
+        cands = [c for c in (512, 384, 256, 128) if c <= N8p] or [N8p]
+        TN8 = min(cands, key=lambda c: (cdiv(N8p, c) * c - N8p, -c))
     # w-cached prefill grid (M innermost; see _int4_wcache_matmul_kernel):
     # dequantizes each weight tile once for all M tiles, but measured
     # SLOWER end-to-end than the dequant-tile kernel (0.26x vs 0.79x of
