@@ -95,6 +95,21 @@ CONFIGS = {
                              num_gpu_blocks_override=1536,
                              vocab=128256,
                              quantization="int4"),
+    # Large-batch INT4: the r4 batch sweep showed the step cost is
+    # nearly batch-independent (dequant work scales with weight
+    # elements, not M), so throughput scales with the batch — "INT4
+    # serving wants the largest batch that fits".  64 x 576-token
+    # contexts need ~2350 of 2560 blocks (~1.2 GiB KV next to the
+    # 4.3 GiB INT4 weights).
+    "llama-8b-int4-b64": dict(model="test-llama-8b",
+                              num_requests=64,
+                              prompt_len=512,
+                              max_tokens=64,
+                              max_model_len=1024,
+                              max_num_batched_tokens=2048,
+                              num_gpu_blocks_override=2560,
+                              vocab=128256,
+                              quantization="int4"),
     # FP8-KV capacity A/B (VERDICT r3 item 3b): equal KV HBM BYTES
     # (bf16@1536 blocks == fp8@3072 blocks), 64 concurrent sequences
     # needing ~2300 blocks.  bf16 must swap/preempt; fp8 runs clean —

@@ -219,6 +219,9 @@ class Scheduler:
         # AUX predictor scorer, attached by the engine when the policy
         # needs learned scores (reference llm_engine.py:224-242).
         self.aux_model = None
+        # --lazy-aux-scoring observability (/debug/stats): passes where
+        # the no-contention proof let the predictor dispatch be skipped.
+        self.lazy_score_skips = 0
 
         # Lane lists. Public: the engine and tests read them directly.
         self.waiting: List[SequenceGroup] = []
@@ -536,7 +539,10 @@ class Scheduler:
         for g in self.swapped:
             need += len(bm._group_block_ids(g)) + g.num_seqs()
         free = bm.get_num_free_gpu_blocks()
-        return need > max(free - bm.watermark_blocks, 0)
+        if need > max(free - bm.watermark_blocks, 0):
+            return True
+        self.lazy_score_skips += 1
+        return False
 
     def _rank_population(self) -> List[SequenceGroup]:
         starv = self.spec.starvation

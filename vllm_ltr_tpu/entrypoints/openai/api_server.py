@@ -74,9 +74,21 @@ async def debug_stats(request: web.Request) -> web.Response:
     needed to localize serving regressions without a profiler attached."""
     eng = engine.engine
     ex = eng.model_executor
+    sched = eng.scheduler
+    aux = getattr(sched, "aux_model", None)
+    aux_stats = None
+    if aux is not None:
+        aux_stats = {
+            "total_scored": aux.total_scored,
+            "total_seconds": round(aux.total_time, 4),
+        }
     return web.json_response({
         "step_times": dict(eng.step_times),
         "dispatch_stats": dict(getattr(ex, "dispatch_stats", {})),
+        "scheduler": {
+            "lazy_score_skips": getattr(sched, "lazy_score_skips", 0),
+            "aux": aux_stats,
+        },
     })
 
 
