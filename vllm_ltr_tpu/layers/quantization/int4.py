@@ -22,7 +22,7 @@ DEFAULT_GROUP_SIZE = 128
 # Weight names eligible for quantization (projections; embeddings, norms and
 # the lm head stay in the compute dtype, matching the reference formats).
 QUANTIZABLE = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
-               "qkv_w", "out_w", "fc1_w", "fc2_w")
+               "qkv_w", "gateup_w", "out_w", "fc1_w", "fc2_w")
 # Tensor-parallel orientation by weight name (mirrors the executor's
 # _param_spec patterns): column-parallel shards N, row-parallel shards K.
 COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w", "fc1_w", "qkv_w")

@@ -12,6 +12,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vllm_ltr_tpu.layers.rotary import apply_rotary_embedding
 from vllm_ltr_tpu.models.common import (AttentionMetadata, linear,
@@ -30,6 +31,34 @@ def _lora(lp, name, x, scalings, slots):
 
 
 class LlamaForCausalLM:
+
+    @staticmethod
+    def prefuse_for_quantization(params: Dict[str, Any]) -> Dict[str, Any]:
+        """Fuse q|k|v -> qkv_w and gate|up -> gateup_w (column concat of
+        the float weights) before INT4 quantization: 4 fused kernels per
+        layer instead of 7 measured 6.91 vs 8.36 ms per 8B decode step
+        (bench_int4_layer --fused).  Single-chip only — the fused column
+        layout would interleave TP shards (Megatron splits q/k/v EACH
+        across ranks); TP keeps split projections.  Bias/LoRA deltas add
+        after the split in forward, so semantics are unchanged."""
+        from vllm_ltr_tpu.parallel.mesh import MODEL_AXIS, get_global_mesh
+        if get_global_mesh().shape.get(MODEL_AXIS, 1) > 1:
+            return params
+        layers = dict(params.get("layers", {}))
+        if not {"q_w", "k_w", "v_w"} <= set(layers):
+            return params
+
+        def cat(names):
+            parts = [np.asarray(jax.device_get(layers.pop(n)))
+                     for n in names]
+            return np.concatenate(parts, axis=-1)
+
+        layers["qkv_w"] = cat(["q_w", "k_w", "v_w"])
+        if {"gate_w", "up_w"} <= set(layers):
+            layers["gateup_w"] = cat(["gate_w", "up_w"])
+        out = dict(params)
+        out["layers"] = layers
+        return out
 
     @staticmethod
     def init_params(cfg, rng, dtype) -> Dict[str, Any]:
@@ -208,13 +237,24 @@ class LlamaForCausalLM:
             residual = h
             x = rms_norm(h, lp["input_ln"], eps)
             T = x.shape[0]
-            q = (linear(x, lp["q_w"]) + lp.get("q_b", 0) +
+            if "qkv_w" in lp:
+                # Fused projection (INT4 single-chip; see
+                # prefuse_for_quantization).  Bias/LoRA add post-split.
+                qkv = linear(x, lp["qkv_w"])
+                q_, k_, v_ = (qkv[:, :QH * D],
+                              qkv[:, QH * D:(QH + KH) * D],
+                              qkv[:, (QH + KH) * D:])
+            else:
+                q_ = linear(x, lp["q_w"])
+                k_ = linear(x, lp["k_w"])
+                v_ = linear(x, lp["v_w"])
+            q = (q_ + lp.get("q_b", 0) +
                  _lora(lp, "q", x, lora_scalings, lora_slots)).reshape(
                      T, QH, D)
-            k = (linear(x, lp["k_w"]) + lp.get("k_b", 0) +
+            k = (k_ + lp.get("k_b", 0) +
                  _lora(lp, "k", x, lora_scalings, lora_slots)).reshape(
                      T, KH, D)
-            v = (linear(x, lp["v_w"]) + lp.get("v_b", 0) +
+            v = (v_ + lp.get("v_b", 0) +
                  _lora(lp, "v", x, lora_scalings, lora_slots)).reshape(
                      T, KH, D)
             q, k = apply_rotary_embedding(positions, q, k, D, D, max_pos,
@@ -230,11 +270,16 @@ class LlamaForCausalLM:
 
             residual = h
             x = rms_norm(h, lp["post_ln"], eps)
+            if "gateup_w" in lp:
+                gu = linear(x, lp["gateup_w"])
+                I = gu.shape[-1] // 2
+                g_, u_ = gu[:, :I], gu[:, I:]
+            else:
+                g_ = linear(x, lp["gate_w"])
+                u_ = linear(x, lp["up_w"])
             x = silu_and_mul(
-                linear(x, lp["gate_w"]) +
-                _lora(lp, "gate", x, lora_scalings, lora_slots),
-                linear(x, lp["up_w"]) +
-                _lora(lp, "up", x, lora_scalings, lora_slots))
+                g_ + _lora(lp, "gate", x, lora_scalings, lora_slots),
+                u_ + _lora(lp, "up", x, lora_scalings, lora_slots))
             h = residual + linear(x, lp["down_w"]) + _lora(
                 lp, "down", x, lora_scalings, lora_slots)
             return h, kv_cache
