@@ -404,9 +404,14 @@ def int4_matmul_plane_major(
         kernel_fn = _int4_dequant_matmul_kernel
     else:
         # Decode-kernel selector (measured on-chip via
-        # benchmarks/bench_int4_layer.py; see docs/BENCHMARKS.md).
+        # benchmarks/bench_int4_layer.py; see docs/BENCHMARKS.md): the
+        # factored raw-nibble kernel wins at M <= 8 (1.4-2.5x bf16,
+        # r2 table) but its 64 sliver dots + VPU corrections lose at
+        # serving batches (M=32: 10.6 vs 8.4 ms per 8B step), where the
+        # dequant-tile kernel's 8 full-depth dots win.
+        default = "factored" if M <= 8 else "dequant_tile"
         pick = (decode_kernel
-                or os.environ.get("LTR_TPU_INT4_DECODE_KERNEL", "factored"))
+                or os.environ.get("LTR_TPU_INT4_DECODE_KERNEL", default))
         kernel_fn = {
             "factored": _int4_matmul_kernel,
             "batched": _int4_batched_matmul_kernel,
