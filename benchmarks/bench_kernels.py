@@ -73,39 +73,52 @@ def bench_decode(args):
 
     iters = args.iters
 
-    @jax.jit
-    def chained(q, kv_new, cache):
-        def body(i, carry):
-            q, cache = carry
-            out, cache = fused_decode_attention(
-                q, kv_new, cache, jax.lax.rem(i, L), block_tables,
-                seq_lens, slot_mapping, scale=scale, window=args.window)
-            # Chain: fold the output back into q so iterations serialize.
-            q = q + 0.0 * out
-            return (q, cache)
-        q, cache = jax.lax.fori_loop(0, iters, body, (q, cache))
-        return q[0, 0, 0], cache
+    def make_chained(hp):
+        @jax.jit
+        def chained(q, kv_new, cache):
+            def body(i, carry):
+                q, cache = carry
+                out, cache = fused_decode_attention(
+                    q, kv_new, cache, jax.lax.rem(i, L), block_tables,
+                    seq_lens, slot_mapping, scale=scale,
+                    window=args.window, head_packed=hp)
+                # Chain: fold output back into q to serialize iterations.
+                q = q + 0.0 * out
+                return (q, cache)
+            q, cache = jax.lax.fori_loop(0, iters, body, (q, cache))
+            return q[0, 0, 0], cache
+        return chained
 
-    r, c = chained(q, kv_new, cache)
-    r.block_until_ready()
+    variants = ([False, True] if args.hp == "both" else
+                [args.hp == "1"] if args.hp in ("0", "1") else [None])
     floor = relay_floor()
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        r, c = chained(q, kv_new, cache)
-        r.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = (min(times) - floor) / iters
     page_bytes = 2 * KH * Bs * Dp * np.dtype(
         np.uint8 if args.fp8 else np.float16).itemsize
     read = S * pages_per_seq * page_bytes
-    bw = read / dt / 1e9
-    print(f"decode fused kernel: S={S} ctx={ctx} QH={QH} KH={KH} D={Dp} "
-          f"Bs={Bs} fp8={args.fp8} keys/iter={os.environ.get('LTR_TPU_DECODE_KEYS', '128')}")
-    print(f"  {dt*1e6:.1f} us/call  ({read/2**20:.1f} MiB KV read)  "
-          f"effective {bw:.0f} GB/s   [relay floor {floor*1e3:.1f} ms, "
-          f"{iters} chained calls]")
-    return dt, bw
+    results = []
+    for hp in variants:
+        chained = make_chained(hp)
+        r, c = chained(q, kv_new, cache)
+        r.block_until_ready()
+        del c
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            r, c = chained(q, kv_new, cache)
+            r.block_until_ready()
+            del c
+            times.append(time.perf_counter() - t0)
+        dt = (min(times) - floor) / iters
+        bw = read / dt / 1e9
+        tag = {None: "env", False: "page-major", True: "head-packed"}[hp]
+        print(f"decode fused kernel [{tag}]: S={S} ctx={ctx} QH={QH} "
+              f"KH={KH} D={Dp} Bs={Bs} fp8={args.fp8} "
+              f"keys/iter={os.environ.get('LTR_TPU_DECODE_KEYS', '128')}")
+        print(f"  {dt*1e6:.1f} us/call  ({read/2**20:.1f} MiB KV read)  "
+              f"effective {bw:.0f} GB/s   [relay floor {floor*1e3:.1f} ms, "
+              f"{iters} chained calls]")
+        results.append((dt, bw))
+    return results[-1]
 
 
 def main():
@@ -122,6 +135,8 @@ def main():
     p.add_argument("--fp8", action="store_true")
     p.add_argument("--iters", type=int, default=110)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--hp", default="env", choices=["env", "0", "1", "both"],
+                   help="head-packed GQA kernel: both = A/B in-process")
     args = p.parse_args()
 
     if args.mode == "decode":

@@ -104,6 +104,40 @@ def _strict_json(obj):
     return obj
 
 
+def scrape_debug(port):
+    import urllib.request
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/debug/stats", timeout=10) as r:
+            return json.loads(r.read())
+    except Exception:
+        return None
+
+
+def debug_delta(d0, d1):
+    """Per-pass deltas of the engine's /debug/stats counters."""
+    if not d0 or not d1:
+        return None
+    st0, st1 = d0.get("step_times", {}), d1.get("step_times", {})
+    sc0, sc1 = d0.get("scheduler") or {}, d1.get("scheduler") or {}
+    aux0, aux1 = sc0.get("aux") or {}, sc1.get("aux") or {}
+    steps = (st1.get("steps", 0) or 0) - (st0.get("steps", 0) or 0)
+    out = {
+        "steps": steps,
+        "schedule_s": round((st1.get("schedule_s", 0) or 0) -
+                            (st0.get("schedule_s", 0) or 0), 4),
+        "aux_scored": (aux1.get("total_scored", 0) or 0) -
+        (aux0.get("total_scored", 0) or 0),
+        "aux_seconds": round((aux1.get("total_seconds", 0) or 0) -
+                             (aux0.get("total_seconds", 0) or 0), 4),
+        "lazy_score_skips": (sc1.get("lazy_score_skips", 0) or 0) -
+        (sc0.get("lazy_score_skips", 0) or 0),
+    }
+    if steps > 0:
+        out["aux_ms_per_step"] = round(out["aux_seconds"] / steps * 1e3, 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="test-llama-1b")
@@ -171,8 +205,10 @@ def main():
             run_client(warm_args, rate=max(args.rates), tag=f"{sched}_warm")
             for rate in args.rates:
                 before = scrape_metrics(args.port)
+                dbg0 = scrape_debug(args.port)
                 res = run_client(args, rate, f"{sched}_r{rate:g}")
                 after = scrape_metrics(args.port)
+                dbg1 = scrape_debug(args.port)
                 hist = "ltr_tpu:time_to_first_token_seconds"
                 row = {
                     "schedule": sched,
@@ -188,6 +224,9 @@ def main():
                     },
                     "server_ttft_p50_le": hist_quantile(after, hist, .5),
                     "server_ttft_p99_le": hist_quantile(after, hist, .99),
+                    # Per-pass /debug/stats delta: aux-scoring cost per
+                    # engine step is the VERDICT r4 item-5 done metric.
+                    "server_debug": debug_delta(dbg0, dbg1),
                 }
                 results.append(_strict_json(row))
                 print(json.dumps(results[-1]))

@@ -839,7 +839,8 @@ def _stream_decode_kernel_hp(
 @functools.partial(
     jax.jit,
     donate_argnums=(2, ),
-    static_argnames=("scale", "kv_scale", "window", "interpret"))
+    static_argnames=("scale", "kv_scale", "window", "interpret",
+                     "head_packed"))
 def fused_decode_attention(
     q: jax.Array,  # [S, QH, D]
     kv_new: jax.Array,  # [S, 2, KH, Dp] new K/V rows (cache dtype)
@@ -854,6 +855,7 @@ def fused_decode_attention(
     window: int = 0,
     alibi: Optional[jax.Array] = None,  # [QH] f32 slopes
     interpret: bool = False,
+    head_packed: Optional[bool] = None,  # None = env/geometry default
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (attention output [S, QH, D], updated cache)."""
     S, QH, D = q.shape
@@ -898,8 +900,10 @@ def fused_decode_attention(
                                                window=window, vmax=vmax)
         # Head-packed GQA kernel: KH-fold less softmax VPU work, no
         # head-bias mask; needs real grouping and exact row packing.
-        head_packed = (G > 1 and Rp == QH
-                       and os.environ.get("LTR_TPU_DECODE_HP", "1") != "0")
+        if head_packed is None:
+            head_packed = (os.environ.get("LTR_TPU_DECODE_HP", "1")
+                           != "0")
+        head_packed = head_packed and G > 1 and Rp == QH
         if head_packed:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,
