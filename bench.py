@@ -191,6 +191,12 @@ def main():
     for key in ("kv_cache_dtype", "quantization"):
         if cfg.get(key):
             extra[key] = cfg[key]
+    if cfg.get("quantization"):
+        # Cache the host-side-quantized random init (~20 min for 8B) so
+        # repeat bench runs stream it back in seconds.
+        extra["load_format"] = "npcache"
+        extra["download_dir"] = os.path.expanduser(
+            "~/.cache/vllm_ltr_tpu/bench_npcache")
     llm = LLM(model=cfg["model"],
               skip_tokenizer_init=True,
               dtype="bfloat16",

@@ -562,6 +562,7 @@ class SchedulerConfig:
         precompile_shapes: bool = False,
         async_aux_scoring: bool = False,
         lazy_aux_scoring: bool = False,
+        pipeline_admission: bool = True,
     ) -> None:
         if max_num_batched_tokens is None:
             # Chunked prefill decouples the token budget from max_model_len;
@@ -591,6 +592,10 @@ class SchedulerConfig:
         # deliberate relaxation of the reference's score-before-first-
         # scheduling contract, exact under no contention.
         self.lazy_aux_scoring = lazy_aux_scoring
+        # Sneak new prompts' prefills behind the in-flight dispatch (both
+        # engines; the sync engine enqueues them back-to-back so an
+        # admitted cohort pays ONE device round trip, not one per wave).
+        self.pipeline_admission = pipeline_admission
         if isinstance(schedule_type, ScheduleSpec):
             self.schedule_spec = schedule_type
         else:

@@ -104,6 +104,11 @@ class EngineArgs:
         "seat/token/block contention); the first contended pass scores "
         "every unscored request in one batch.  Cuts schedule() blocking "
         "at trickle arrival rates; exact under no contention")
+    disable_pipeline_admission: bool = _flag(
+        False, "serve new prompts strictly step-by-step instead of "
+        "sneaking their prefills behind the in-flight dispatch (both "
+        "engines: the async loop sneaks mid-step; the sync loop enqueues "
+        "a cohort's prefill waves back-to-back in one step)")
 
     def create_engine_config(self) -> EngineConfig:
         mcfg = ModelConfig(
@@ -158,7 +163,8 @@ class EngineArgs:
             decode_steps_per_dispatch=self.decode_steps_per_dispatch,
             precompile_shapes=self.precompile_shapes,
             async_aux_scoring=self.async_aux_scoring,
-            lazy_aux_scoring=self.lazy_aux_scoring)
+            lazy_aux_scoring=self.lazy_aux_scoring,
+            pipeline_admission=not self.disable_pipeline_admission)
 
         speccfg = None
         if self.speculative_model is not None:
@@ -210,6 +216,3 @@ class AsyncEngineArgs(EngineArgs):
     """Arguments for the asynchronous (serving) engine."""
     disable_log_requests: bool = False
     max_log_len: Optional[int] = None
-    disable_pipeline_admission: bool = _flag(
-        False, "serve new prompts strictly step-by-step instead of "
-        "sneaking their prefills behind the in-flight decode dispatch")

@@ -259,8 +259,30 @@ class LLMEngine:
 
     def step(self) -> List[RequestOutput]:
         fin, plan = self.step_begin()
+        sneaks = []
+        if (fin is not None
+                and self.scheduler_config.pipeline_admission
+                and self.scheduler.waiting and not self.scheduler.swapped):
+            # Batch the admission cohort into THIS step: every waiting
+            # wave that fits the seat budget dispatches behind the main
+            # plan before anything is fetched, so the whole cohort pays
+            # one device round trip instead of one per wave (offline
+            # counterpart of the async loop's sneak admissions; VERDICT
+            # r4 "admission cadence" bottleneck).
+            for _ in range(8):  # bounds device-queue growth
+                fin2, plan2 = self.admission_step_begin()
+                if fin2 is None:
+                    if plan2.ignored_seq_groups or not plan2.is_empty():
+                        sneaks.append((None, plan2))
+                    break
+                sneaks.append((fin2, plan2))
+                if not self.scheduler.waiting:
+                    break
         raw = fin() if fin is not None else []
-        return self.step_finish(raw, plan)
+        out = self.step_finish(raw, plan)
+        for fin2, plan2 in sneaks:
+            out.extend(self.step_finish(fin2() if fin2 else [], plan2))
+        return out
 
     def step_begin(self):
         """Schedule one step and dispatch its device work.

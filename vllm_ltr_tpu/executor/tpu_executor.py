@@ -223,7 +223,9 @@ class TPUExecutor:
                              self.hf_config, self.dtype,
                              engine_config.load_config.load_format,
                              model_config.seed,
-                             quantization=model_config.quantization)
+                             quantization=model_config.quantization,
+                             download_dir=(
+                                 engine_config.load_config.download_dir))
         # FP8 KV-cache scales (reference --quantization-param-path +
         # kv_cache_scales.json schema, model_runner.py:195-208).
         if (cache_config.cache_dtype.startswith("fp8")

@@ -190,11 +190,15 @@ def _maybe_prefuse(model_cls, params, quantization):
 
 def load_params(model_cls, model_source: str, hf_config, dtype,
                 load_format: str = "auto", seed: int = 0,
-                quantization=None):
+                quantization=None, download_dir=None):
     """Resolve params for `model_cls` from a source path or built-in name.
 
     quantization: None | "int4" (quantize float weights at load) |
     "awq"/"gptq" (checkpoint already quantized; converter repacks).
+    download_dir: cache root for built-in (random-init) QUANTIZED models
+    with load_format="npcache" — host-side quantization of an 8B random
+    init costs ~20 min; the cache streams it back in seconds on re-runs
+    (real checkpoints cache under the checkpoint dir instead).
     """
     from vllm_ltr_tpu.layers.quantization import maybe_quantize_params
     from vllm_ltr_tpu.layers.quantization.int4 import (
@@ -203,6 +207,15 @@ def load_params(model_cls, model_source: str, hf_config, dtype,
         logger.info("Initializing random weights for %s (%s)", model_source,
                     model_cls.__name__)
         rng = jax.random.PRNGKey(seed)
+        rand_cache = None
+        if (load_format == "npcache" and download_dir and quantization):
+            rand_cache = os.path.join(
+                download_dir, f"npcache-{os.path.basename(model_source)}"
+                f"-s{seed}-{quantization}")
+            if os.path.exists(os.path.join(rand_cache, "manifest.json")):
+                logger.info("Streaming random-init quantized cache from %s",
+                            rand_cache)
+                return load_np_cache(rand_cache)
         if quantization:
             # Host-side init for quantized random weights: the bf16 tree
             # of an 8B model (16.1 GiB) would OOM a 16 GiB device before
@@ -225,7 +238,12 @@ def load_params(model_cls, model_source: str, hf_config, dtype,
 
             params = jax.tree.map(materialize, tree)
             params = _maybe_prefuse(model_cls, params, quantization)
-            return maybe_quantize_params(params, quantization)
+            params = maybe_quantize_params(params, quantization)
+            if rand_cache:
+                logger.info("Writing random-init quantized cache to %s",
+                            rand_cache)
+                save_np_cache(params, rand_cache)
+            return params
         params = model_cls.init_params(hf_config, rng, dtype)
         params = _maybe_prefuse(model_cls, params, quantization)
         return maybe_quantize_params(params, quantization)
