@@ -900,9 +900,18 @@ def fused_decode_attention(
                                                window=window, vmax=vmax)
         # Head-packed GQA kernel: KH-fold less softmax VPU work, no
         # head-bias mask; needs real grouping and exact row packing.
+        # Default OFF for fp8 caches: the head-major landing's strided
+        # destination splits each page-half copy into KH segments, and at
+        # 1 B/element those are 2 KiB runs — measured 1.45x SLOWER than
+        # the page-major kernel at 32x2048 fp8 (DMA-issue-bound), while
+        # bf16's 4 KiB runs measure +5-15%.  LTR_TPU_DECODE_HP=1/0
+        # forces either way.
         if head_packed is None:
-            head_packed = (os.environ.get("LTR_TPU_DECODE_HP", "1")
-                           != "0")
+            hp_env = os.environ.get("LTR_TPU_DECODE_HP")
+            if hp_env is not None:
+                head_packed = hp_env != "0"
+            else:
+                head_packed = kv_cache.dtype == jnp.bfloat16
         head_packed = head_packed and G > 1 and Rp == QH
         if head_packed:
             grid_spec = pltpu.PrefetchScalarGridSpec(
