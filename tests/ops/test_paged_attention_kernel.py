@@ -47,7 +47,8 @@ def build_case(S, QH, KH, D, max_blocks, seed=0, dtype=jnp.float32,
             jnp.asarray(seq_lens), jnp.asarray(slot))
 
 
-def run_both(case, scale, layer=1, window=0, alibi=None, tol=2e-4):
+def run_both(case, scale, layer=1, window=0, alibi=None, tol=2e-4,
+             head_packed=None):
     q, kv_new, cache, bt, slens, slot = case
     # Reference: write the new K/V rows with the XLA scatter, then attend.
     ref_cache = write_kv(cache, layer, kv_new[:, 0], kv_new[:, 1], slot)
@@ -56,7 +57,8 @@ def run_both(case, scale, layer=1, window=0, alibi=None, tol=2e-4):
         sliding_window=window or None, alibi=alibi)
     out, new_cache = fused_decode_attention(
         q, kv_new.astype(cache.dtype), cache, jnp.int32(layer), bt, slens,
-        slot, scale=scale, window=window, alibi=alibi, interpret=True)
+        slot, scale=scale, window=window, alibi=alibi, interpret=True,
+        head_packed=head_packed)
     live = np.asarray(slot) >= 0
     np.testing.assert_allclose(np.asarray(out)[live],
                                np.asarray(ref)[live], rtol=tol, atol=tol)
@@ -72,6 +74,38 @@ def run_both(case, scale, layer=1, window=0, alibi=None, tol=2e-4):
 def test_fused_decode_matches_reference(S, QH, KH, D):
     case = build_case(S, QH, KH, D, max_blocks=4)
     run_both(case, D**-0.5)
+
+
+@pytest.mark.parametrize("S,QH,KH,D", [
+    (4, 8, 2, 64),    # GQA group 4
+    (2, 16, 2, 128),  # GQA group 8
+])
+def test_fused_decode_head_packed_matches_reference(S, QH, KH, D):
+    """The head-packed GQA kernel (bf16 serving default) — forced
+    explicitly since the f32 test caches default to page-major."""
+    run_both(build_case(S, QH, KH, D, max_blocks=4), D**-0.5,
+             head_packed=True)
+    # Cache write-back parity too (the HP kernel stores per head-half);
+    # fresh case — fused_decode_attention donates the cache buffer.
+    new_cache, ref_cache = run_both(build_case(S, QH, KH, D, max_blocks=4),
+                                    D**-0.5, layer=2, head_packed=True)
+    np.testing.assert_array_equal(np.asarray(new_cache),
+                                  np.asarray(ref_cache))
+
+
+def test_head_packed_default_is_dtype_aware(monkeypatch):
+    """bf16 caches default to the head-packed kernel; fp8 keeps
+    page-major (2 KiB strided DMA runs measured 1.45x slower);
+    LTR_TPU_DECODE_HP forces either way."""
+    from vllm_ltr_tpu.ops.pallas.fused_decode import head_packed_default
+    monkeypatch.delenv("LTR_TPU_DECODE_HP", raising=False)
+    assert head_packed_default(jnp.bfloat16)
+    assert not head_packed_default(jnp.float8_e5m2)
+    assert not head_packed_default(jnp.float32)
+    monkeypatch.setenv("LTR_TPU_DECODE_HP", "1")
+    assert head_packed_default(jnp.float8_e5m2)
+    monkeypatch.setenv("LTR_TPU_DECODE_HP", "0")
+    assert not head_packed_default(jnp.bfloat16)
 
 
 def test_fused_decode_writes_cache_in_place():

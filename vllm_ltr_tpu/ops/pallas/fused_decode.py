@@ -343,6 +343,23 @@ def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
     return sched, V.reshape(1)
 
 
+def head_packed_default(cache_dtype) -> bool:
+    """Default kernel-layout choice for GQA decode.
+
+    The head-packed kernel's head-major landing splits each page-half
+    DMA into KH strided segments: at bf16 those are 4 KiB runs and the
+    KH-fold softmax saving nets +5-15% (measured 310-349 vs 295 GB/s at
+    QH32/KH8); at fp8's 1 B/element they shrink to 2 KiB and the kernel
+    goes DMA-issue-bound — measured 1.45x SLOWER than page-major at
+    32x2048 fp8 (1988 vs 1374 us, in-process A/B).  So: head-packed for
+    bf16 caches, page-major for fp8.  ``LTR_TPU_DECODE_HP=1/0`` forces
+    either way (geometry gates — G > 1, no pad rows — still apply)."""
+    hp_env = os.environ.get("LTR_TPU_DECODE_HP")
+    if hp_env is not None:
+        return hp_env != "0"
+    return cache_dtype == jnp.bfloat16
+
+
 _NBUF = 4  # stream buffer slots: 3 page groups in flight at all times
 
 
@@ -900,18 +917,8 @@ def fused_decode_attention(
                                                window=window, vmax=vmax)
         # Head-packed GQA kernel: KH-fold less softmax VPU work, no
         # head-bias mask; needs real grouping and exact row packing.
-        # Default OFF for fp8 caches: the head-major landing's strided
-        # destination splits each page-half copy into KH segments, and at
-        # 1 B/element those are 2 KiB runs — measured 1.45x SLOWER than
-        # the page-major kernel at 32x2048 fp8 (DMA-issue-bound), while
-        # bf16's 4 KiB runs measure +5-15%.  LTR_TPU_DECODE_HP=1/0
-        # forces either way.
         if head_packed is None:
-            hp_env = os.environ.get("LTR_TPU_DECODE_HP")
-            if hp_env is not None:
-                head_packed = hp_env != "0"
-            else:
-                head_packed = kv_cache.dtype == jnp.bfloat16
+            head_packed = head_packed_default(kv_cache.dtype)
         head_packed = head_packed and G > 1 and Rp == QH
         if head_packed:
             grid_spec = pltpu.PrefetchScalarGridSpec(
