@@ -77,6 +77,68 @@ def test_async_scorer_defers_one_pass():
     assert g3.aux_model_score == -7.0
 
 
+def test_prefetch_scores_land_without_blocking_dispatch():
+    """Score-at-arrival: prefetch dispatches once; the scheduling pass
+    folds the landed scores without a new dispatch (the r5 fix for the
+    ~30-90 ms/step blocking scorer round trip)."""
+    ex = FakeExecutor()
+    scorer = AuxScorer(ex, None)  # sync default mode
+    groups = [FakeGroup("a", 5), FakeGroup("b", 3)]
+    scorer.prefetch(groups)
+    assert ex.begin_calls == 1 and ex.fetch_calls == 0
+    assert scorer.total_prefetched == 2
+    # Re-prefetch of pending requests is a no-op (score-once).
+    scorer.prefetch(groups)
+    assert ex.begin_calls == 1
+
+    # The pass consumes the prefetched scores; no sync dispatch.
+    out = scorer.obtain_aux_scores(groups)
+    assert ex.begin_calls == 1 and ex.fetch_calls == 1
+    assert groups[0].aux_model_score == -5.0
+    assert groups[1].aux_model_score == -3.0
+    assert out == [-5.0, -3.0]
+    assert scorer.total_scored == 2
+
+    # Mixed pass: one prefetched, one brand-new -> the new one gets a
+    # sync dispatch, the prefetched one is never re-scored.
+    g3, g4 = FakeGroup("c", 7), FakeGroup("d", 2)
+    scorer.prefetch([g3])
+    out = scorer.obtain_aux_scores([g3, g4])
+    assert g3.aux_model_score == -7.0 and g4.aux_model_score == -2.0
+    assert scorer.total_scored == 4
+
+
+def test_prefetch_engine_parity():
+    """Engine end-to-end: prefetch_aux_scores at arrival, then step —
+    tokens and score-once bookkeeping identical to the plain path."""
+    rng = np.random.RandomState(1)
+    ps = [list(map(int, rng.randint(5, 500, size=10))) for _ in range(6)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    def run(prefetch):
+        eng = make_engine(False)
+        for i, p in enumerate(ps):
+            eng.add_request(str(i), None, sp, prompt_token_ids=p)
+            if prefetch:
+                eng.prefetch_aux_scores()
+        done = {}
+        for _ in range(300):
+            if not eng.has_unfinished_requests():
+                break
+            for out in eng.step():
+                if out.finished:
+                    done[out.request_id] = out.outputs[0].token_ids
+        assert eng.scheduler.aux_model.total_scored == len(ps)
+        return done, eng.scheduler.aux_model
+
+    plain, _ = run(False)
+    pre, scorer = run(True)
+    assert scorer.total_prefetched == len(ps)
+    assert set(plain) == set(pre)
+    for rid in plain:
+        assert plain[rid] == pre[rid], rid
+
+
 def test_unscored_requests_rank_last():
     from vllm_ltr_tpu.core.policy import _score_asc, _score_desc
     scored, pending = FakeGroup("s", 4), FakeGroup("p", 4)

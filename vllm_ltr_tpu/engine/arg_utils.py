@@ -216,3 +216,9 @@ class AsyncEngineArgs(EngineArgs):
     """Arguments for the asynchronous (serving) engine."""
     disable_log_requests: bool = False
     max_log_len: Optional[int] = None
+    prefetch_aux_scoring: bool = _flag(
+        False, "score-at-arrival: dispatch the ranking predictor for "
+        "each inbox drain's new requests immediately (the forward "
+        "queues behind the in-flight wave) instead of at the next "
+        "scheduling pass.  Exact — the pass still blocks on any "
+        "prefetch that has not landed")

@@ -74,12 +74,15 @@ class AsyncLLMEngine:
                  log_requests: bool = True, log_stats: bool = True,
                  max_log_len: int | None = None,
                  start_engine_loop: bool = True,
-                 pipeline_admission: bool = True) -> None:
+                 pipeline_admission: bool = True,
+                 prefetch_aux: bool = False) -> None:
         self.engine = LLMEngine(engine_config, log_stats=log_stats)
         self.log_requests, self.max_log_len = log_requests, max_log_len
         self._autostart = start_engine_loop
         # Admit mid-step arrivals behind the in-flight dispatch (TTFT).
         self.pipeline_admission = pipeline_admission
+        # Score-at-arrival predictor prefetch (--prefetch-aux-scoring).
+        self.prefetch_aux = prefetch_aux
 
         # Tokenizer pool (reference TokenizerPoolConfig /
         # RayTokenizerGroupPool): prompts encode off the event loop so
@@ -122,7 +125,8 @@ class AsyncLLMEngine:
                    max_log_len=a.max_log_len,
                    start_engine_loop=start_engine_loop,
                    pipeline_admission=not getattr(
-                       a, "disable_pipeline_admission", False))
+                       a, "disable_pipeline_admission", False),
+                   prefetch_aux=getattr(a, "prefetch_aux_scoring", False))
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -196,6 +200,12 @@ class AsyncLLMEngine:
                 self.engine.add_request(**sub)
             except ValueError as bad_request:
                 bad.append((sub["request_id"], bad_request))
+        if inbox and self.prefetch_aux:
+            # Score-at-arrival: one predictor dispatch covering this
+            # drain's arrivals rides the device queue behind the
+            # in-flight wave, so the next ranked pass finds the scores
+            # landed (exact; see AuxScorer.prefetch).
+            self.engine.prefetch_aux_scores()
         if cancels:
             self.engine.abort_request(cancels)
         return bad

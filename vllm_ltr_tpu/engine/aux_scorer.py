@@ -38,13 +38,38 @@ class AuxScorer:
         self.async_mode = async_mode
         self.total_scored = 0
         self.total_time = 0.0
+        self.total_prefetched = 0
+        self.prefetch_hits = 0  # groups whose score had landed by pass time
         # Per-call durations since the last stats drain: aux scoring runs
         # inside schedule() on the critical path (reference SURVEY §3.2
         # boundary note), so its latency is a first-class serving metric.
         self._recent: List[float] = []
-        # Async mode: dispatched-but-unfetched batches.
+        # Dispatched-but-unfetched batches (async mode + prefetch).
         self._pending: List = []  # [(groups, fetch_fn)]
         self._pending_ids: set = set()
+
+    def prefetch(self, seq_groups: List[SequenceGroup]) -> None:
+        """Dispatch scoring for new arrivals NOW, off the scheduling
+        critical path (score-at-arrival).  The device queues the
+        predictor forward behind whatever is executing, so by the time
+        the next scheduling pass needs the scores they have usually
+        landed — the pass pays a ready-fetch instead of a blocking
+        dispatch round trip (~30-90 ms/step at r4/r5 soak attribution).
+        Exactness is preserved: ``obtain_aux_scores`` still BLOCKS on
+        any prefetch that has not landed, so no request is ever ranked
+        or admitted unscored (unlike ``--async-aux-scoring`` /
+        ``--lazy-aux-scoring``, both measured negatives under load)."""
+        new = [
+            g for g in seq_groups if g.need_aux_model_score()
+            and g.request_id not in self._pending_ids
+        ]
+        if not new:
+            return
+        fetch = self.executor.score_prompts_begin(
+            [g.prompt_token_ids for g in new])
+        self._pending.append((new, fetch))
+        self._pending_ids.update(g.request_id for g in new)
+        self.total_prefetched += len(new)
 
     def poll(self) -> None:
         """Fold in scores from COMPLETED dispatches only — never blocks.
@@ -80,18 +105,35 @@ class AuxScorer:
             self.total_time += dt
             self._recent.append(dt)
             return []
-        prompts = [g.prompt_token_ids for g in seq_groups]
-        scores = self.executor.score_prompts(prompts)
-        for g, s in zip(seq_groups, scores):
-            g.set_aux_model_score(float(s))
+        # Fold in landed prefetches for free, then BLOCK on any pending
+        # prefetch that covers a still-unscored group (the fetch is
+        # usually ready — the dispatch overlapped the serving wave).
+        if self._pending:
+            self.poll()
+            self.prefetch_hits += sum(
+                1 for g in seq_groups if not g.need_aux_model_score())
+            if any(g.request_id in self._pending_ids for g in seq_groups):
+                pending, self._pending = self._pending, []
+                for groups, fetch in pending:
+                    for g, s in zip(groups, fetch()):
+                        self._pending_ids.discard(g.request_id)
+                        if g.need_aux_model_score():
+                            g.set_aux_model_score(float(s))
+                            self.total_scored += 1
+        remaining = [g for g in seq_groups if g.need_aux_model_score()]
+        if remaining:
+            prompts = [g.prompt_token_ids for g in remaining]
+            scores = self.executor.score_prompts(prompts)
+            for g, s in zip(remaining, scores):
+                g.set_aux_model_score(float(s))
+            self.total_scored += len(remaining)
         dt = time.time() - t0
-        self.total_scored += len(seq_groups)
         self.total_time += dt
         self._recent.append(dt)
         if int(os.environ.get("OPT_TIME", "0")):
             # Reference's ad-hoc scoring timer (scheduler.py:977-982).
             print("OPT-TIME: ", dt)
-        return [float(s) for s in scores]
+        return [g.aux_model_score for g in seq_groups]
 
     def drain_recent_times(self) -> List[float]:
         out, self._recent = self._recent, []

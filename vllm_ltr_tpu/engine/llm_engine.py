@@ -244,6 +244,22 @@ class LLMEngine:
             self._guided_mgr = mgr
         return mgr
 
+    def prefetch_aux_scores(self) -> None:
+        """Dispatch predictor scoring for unscored waiting requests NOW
+        (score-at-arrival): the forward queues behind the in-flight
+        serving wave, so the next scheduling pass usually finds the
+        scores landed instead of paying a blocking dispatch round trip.
+        Exact — the pass still blocks on any prefetch that has not
+        landed.  The async engine calls this once per inbox drain
+        (arrivals batch into one dispatch)."""
+        scorer = getattr(self.scheduler, "aux_model", None)
+        spec = getattr(self.scheduler, "spec", None)
+        if scorer is None or spec is None or not spec.needs_scores:
+            return
+        if not hasattr(scorer, "prefetch"):
+            return
+        scorer.prefetch(list(self.scheduler.waiting))
+
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
         self.scheduler.abort_seq_group(request_id)
 

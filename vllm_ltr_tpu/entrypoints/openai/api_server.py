@@ -81,6 +81,8 @@ async def debug_stats(request: web.Request) -> web.Response:
         aux_stats = {
             "total_scored": aux.total_scored,
             "total_seconds": round(aux.total_time, 4),
+            "total_prefetched": getattr(aux, "total_prefetched", 0),
+            "prefetch_hits": getattr(aux, "prefetch_hits", 0),
         }
     return web.json_response({
         "step_times": dict(eng.step_times),
