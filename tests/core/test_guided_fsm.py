@@ -299,3 +299,79 @@ def test_token_strings_byte_level():
 
     out = token_strings(GPT2ish())
     assert out[1] == " world" and out[2] == "\n" and out[3] == "hi"
+
+
+# ---------------------------------------------------------------------------
+# Backend semantics: native/outlines (strict) vs lm-format-enforcer
+# (whitespace-tolerant), reference DecodingConfig + per-request override
+# (vllm/config.py DecodingConfig, lm_format_enforcer_decoding.py)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_whitespace_mode():
+    sch = {"type": "object",
+           "properties": {"a": {"type": "integer"},
+                          "b": {"type": "string"}},
+           "required": ["a"]}
+    strict = schema_to_regex(sch)
+    loose = schema_to_regex(sch, whitespace=True)
+    for text, strict_ok, loose_ok in [
+        ('{"a":1,"b":"x"}', True, True),
+        ('{"a":1}', True, True),
+        ('{ "a" : 1 , "b" : "x" }', False, True),
+        ('{\n  "a": 1\n}', False, True),
+        ('{ "b": "x" }', False, False),  # missing required prop
+        ('{"a":1,}', False, False),      # trailing comma never legal
+    ]:
+        assert full_match(strict, text) == strict_ok, text
+        assert full_match(loose, text) == loose_ok, text
+    arr = schema_to_regex({"type": "array", "items": {"type": "integer"}},
+                          whitespace=True)
+    assert full_match(arr, "[ 1, 2,\n 3 ]")
+    assert full_match(arr, "[]")
+    from vllm_ltr_tpu.guided.json_schema import any_json_regex
+    assert full_match(any_json_regex(2, whitespace=True),
+                      '{ "k" : [ 1 , true ] }')
+
+
+def test_lmfe_backend_guide_masks(manager, fake_tok):
+    sch = {"type": "object", "properties": {"ok": {"type": "boolean"}}}
+    strict = manager.guide_for("json", sch)
+    loose = manager.guide_for("json", sch, "lm-format-enforcer")
+    assert strict is not loose  # distinct cache entries per backend
+    assert manager.guide_for("json", sch, "outlines") is strict
+    V = max(fake_tok.get_vocab().values()) + 1
+    s_strict = strict.advance(strict.start_state, fake_tok.id_of("{"))
+    s_loose = loose.advance(loose.start_state, fake_tok.id_of("{"))
+    space = fake_tok.id_of(" ")
+    assert not strict.mask(s_strict, V)[space]
+    assert loose.mask(s_loose, V)[space]
+    # The loose guide still completes to valid JSON of the schema shape.
+    s = loose.advance(s_loose, space)
+    assert loose.mask(s, V)[fake_tok.id_of('"')]
+
+
+def test_backend_override_from_sampling_params(manager, fake_tok):
+    from vllm_ltr_tpu.guided.manager import guide_from_sampling_params
+    from vllm_ltr_tpu.sampling_params import SamplingParams
+    sch = {"type": "object", "properties": {"ok": {"type": "boolean"}}}
+    sp = SamplingParams(guided_json=sch)
+    g_default = guide_from_sampling_params(manager, sp, "native")
+    sp_ws = SamplingParams(guided_json=sch,
+                           guided_decoding_backend="lm-format-enforcer")
+    g_ws = guide_from_sampling_params(manager, sp_ws, "native")
+    assert g_ws is not g_default
+    # Engine default applies when the request does not override.
+    assert guide_from_sampling_params(manager, sp,
+                                      "lm-format-enforcer") is g_ws
+    with pytest.raises(ValueError, match="guided_decoding_backend"):
+        guide_from_sampling_params(
+            manager, SamplingParams(guided_json=sch,
+                                    guided_decoding_backend="nope"))
+
+
+def test_decoding_config_validation():
+    from vllm_ltr_tpu.config import DecodingConfig
+    DecodingConfig("lm-format-enforcer")
+    with pytest.raises(ValueError):
+        DecodingConfig("bogus")

@@ -673,10 +673,14 @@ class SpeculativeConfig:
 @dataclass
 class DecodingConfig:
     """Guided-decoding backend selector (reference DecodingConfig,
-    vllm/config.py).  The only backend is the built-in token-FSM engine
-    (vllm_ltr_tpu/guided/) — the reference's 'outlines' /
-    'lm-format-enforcer' values map to it, since the constraint surface
-    (guided_choice/regex/json) is the same."""
+    vllm/config.py).  Both names run through the built-in token-FSM
+    engine (vllm_ltr_tpu/guided/) but with the reference backends'
+    semantics: 'native'/'outlines' compile guided_json to strict compact
+    JSON (outlines' build_regex_from_schema behavior), while
+    'lm-format-enforcer' compiles the whitespace-tolerant form the
+    reference's alternative backend accepts
+    (lm_format_enforcer_decoding.py).  choice/regex/grammar are
+    backend-independent."""
     guided_decoding_backend: str = "native"
 
     def __post_init__(self) -> None:

@@ -13,9 +13,9 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Optional
 
-from vllm_ltr_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
-                                 LoadConfig, LoRAConfig, ModelConfig,
-                                 ParallelConfig, SchedulerConfig,
+from vllm_ltr_tpu.config import (CacheConfig, DecodingConfig, DeviceConfig,
+                                 EngineConfig, LoadConfig, LoRAConfig,
+                                 ModelConfig, ParallelConfig, SchedulerConfig,
                                  SpeculativeConfig)
 
 
@@ -83,6 +83,11 @@ class EngineArgs:
     prefill_predictor_model_config: Optional[str] = _flag(
         None, "AUX prompt-scoring predictor JSON config")
     fake_allocate: bool = _flag(False, "no real KV blocks (aux engines)")
+    guided_decoding_backend: str = _flag(
+        "native", "default guided-decoding engine (reference "
+        "--guided-decoding-backend): native/outlines = strict compact "
+        "JSON, lm-format-enforcer = whitespace-tolerant JSON; "
+        "per-request guided_decoding_backend overrides")
     speculative_model: Optional[str] = _flag(None, "draft model for spec dec")
     num_speculative_tokens: int = _flag(0, "draft tokens proposed per step")
     decode_steps_per_dispatch: int = _flag(
@@ -179,7 +184,9 @@ class EngineArgs:
             lora_config=(LoRAConfig(max_lora_rank=self.max_lora_rank,
                                     max_loras=self.max_loras)
                          if self.enable_lora else None),
-            speculative_config=speccfg)
+            speculative_config=speccfg,
+            decoding_config=DecodingConfig(
+                guided_decoding_backend=self.guided_decoding_backend))
 
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser

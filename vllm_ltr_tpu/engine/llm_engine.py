@@ -215,8 +215,9 @@ class LLMEngine:
             from vllm_ltr_tpu.guided import guide_from_sampling_params
             # Compile (or fetch from cache) before admitting: a bad
             # pattern/schema must fail the request here, not a later step.
-            guide = guide_from_sampling_params(self._guided_manager(),
-                                               params)
+            guide = guide_from_sampling_params(
+                self._guided_manager(), params,
+                self.config.decoding_config.guided_decoding_backend)
 
         # NOTE: EOS handling stays on the ignore_eos-gated path in the stop
         # checker; adding EOS to stop_token_ids here would defeat ignore_eos.

@@ -175,8 +175,9 @@ class SamplingKnobs(BaseModel):
         "unbounded JSON grammar (guided/cfg.py JSON_GRAMMAR)")
     guided_decoding_backend: Optional[str] = Field(
         None, description="per-request backend override (reference "
-        "protocol parity); every name maps to the built-in token-FSM "
-        "engine here")
+        "protocol parity): native/outlines = strict compact guided_json, "
+        "lm-format-enforcer = whitespace-tolerant guided_json; None uses "
+        "the server's --guided-decoding-backend default")
 
     # Knobs copied verbatim into SamplingParams (same name both sides).
     _FORWARDED = ("n", "best_of", "presence_penalty", "frequency_penalty",
@@ -187,7 +188,7 @@ class SamplingKnobs(BaseModel):
                   "min_tokens", "skip_special_tokens",
                   "spaces_between_special_tokens", "est_tokens",
                   "guided_choice", "guided_regex", "guided_json",
-                  "guided_grammar")
+                  "guided_grammar", "guided_decoding_backend")
 
     def _effective_logprobs(self) -> Optional[int]:
         raise NotImplementedError

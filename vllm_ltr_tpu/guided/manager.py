@@ -185,7 +185,15 @@ class GuidedDecodingManager:
         self._eos = eos
         self._guides: Dict[Tuple[str, str], TokenGuide] = {}
 
-    def guide_for(self, kind: str, spec) -> TokenGuide:
+    def guide_for(self, kind: str, spec,
+                  backend: str = "native") -> TokenGuide:
+        # Backend semantics (reference DecodingConfig, vllm/config.py):
+        # "outlines" == the strict native engine; "lm-format-enforcer"
+        # differs only for guided_json, where it accepts whitespace-
+        # tolerant (pretty-printed) JSON instead of the compact form
+        # (lm_format_enforcer_decoding.py).  choice/regex/grammar are
+        # backend-independent.
+        permissive = backend == "lm-format-enforcer"
         if kind == "choice":
             if not isinstance(spec, (list, tuple)) or not spec:
                 raise ValueError("guided_choice needs a non-empty list")
@@ -196,7 +204,7 @@ class GuidedDecodingManager:
             pattern = str(spec)
             key = ("regex", pattern)
         elif kind == "json":
-            pattern = schema_to_regex(spec)
+            pattern = schema_to_regex(spec, whitespace=permissive)
             key = ("json", pattern)
         elif kind == "grammar":
             # Lark-style CFG: the pushdown engine exposes the CharDFA
@@ -223,8 +231,13 @@ class GuidedDecodingManager:
 
 
 def guide_from_sampling_params(manager: Optional[GuidedDecodingManager],
-                               sampling_params) -> Optional[TokenGuide]:
-    """Build the guide a request's SamplingParams asks for (or None)."""
+                               sampling_params,
+                               default_backend: str = "native",
+                               ) -> Optional[TokenGuide]:
+    """Build the guide a request's SamplingParams asks for (or None).
+    ``default_backend`` is the engine's DecodingConfig value; a
+    per-request ``guided_decoding_backend`` overrides it (reference
+    protocol.py guided_decoding_backend field)."""
     sp = sampling_params
     wanted = [("choice", sp.guided_choice), ("regex", sp.guided_regex),
               ("json", sp.guided_json),
@@ -240,5 +253,11 @@ def guide_from_sampling_params(manager: Optional[GuidedDecodingManager],
     if len(wanted) > 1:
         raise ValueError("at most one of guided_choice / guided_regex / "
                          "guided_json may be set")
+    backend = getattr(sp, "guided_decoding_backend", None) or default_backend
+    allowed = ("native", "outlines", "lm-format-enforcer")
+    if backend not in allowed:
+        raise ValueError(
+            f"guided_decoding_backend must be one of {allowed}, got "
+            f"{backend!r}")
     kind, spec = wanted[0]
-    return manager.guide_for(kind, spec)
+    return manager.guide_for(kind, spec, backend)

@@ -93,6 +93,11 @@ class SamplingParams:
     guided_json: Union[dict, str, None] = None
     # Lark-style context-free grammar (guided/cfg.py pushdown engine).
     guided_grammar: str | None = None
+    # Per-request backend override (reference protocol.py): None uses
+    # the engine's DecodingConfig default.  "outlines"/"native" compile
+    # guided_json to strict compact JSON; "lm-format-enforcer" to the
+    # whitespace-tolerant form (guided/json_schema.py).
+    guided_decoding_backend: str | None = None
     est_tokens: int = 16
 
     def __post_init__(self) -> None:
