@@ -519,3 +519,94 @@ def test_two_process_guided_mask():
     done = json.loads(leader_line[-1][len("RESULT "):])
     assert done["g"] == [5, 6], done
     assert len(done["free"]) == 2
+
+
+_WORKER_LOGITS_PROC = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["LTR_REPO"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from vllm_ltr_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                                 LoadConfig, ModelConfig, ParallelConfig,
+                                 SchedulerConfig)
+from vllm_ltr_tpu.engine.llm_engine import LLMEngine
+from vllm_ltr_tpu.sampling_params import SamplingParams
+from transformers import LlamaConfig
+
+hf_config = LlamaConfig(vocab_size=256, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=1,
+                        num_attention_heads=4, num_key_value_heads=4,
+                        max_position_embeddings=128)
+hf_config.architectures = ["LlamaForCausalLM"]
+
+engine_config = EngineConfig(
+    model_config=ModelConfig(model="mh-logproc", skip_tokenizer_init=True,
+                             dtype="float32", max_model_len=64,
+                             hf_config=hf_config),
+    cache_config=CacheConfig(block_size=16, swap_space=0.01,
+                             num_device_blocks_override=32),
+    parallel_config=ParallelConfig(
+        tensor_parallel_size=4,
+        distributed_coordinator=os.environ["MH_COORD"],
+        distributed_num_processes=2,
+        distributed_process_id=int(os.environ["MH_PID"])),
+    scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                     max_num_seqs=4, max_model_len=64,
+                                     schedule_type="fcfs"),
+    device_config=DeviceConfig("cpu"),
+    load_config=LoadConfig(load_format="dummy"),
+)
+engine = LLMEngine(engine_config)
+ex = engine.model_executor
+assert ex.multihost, "expected a 2-process runtime"
+
+if ex.is_leader:
+    # OpenAI logit_bias semantics: a host logits processor that forces
+    # token 42 on every step.  The follower must mirror the forward-only
+    # (return_logits) program variant; phase 2 samples on the leader.
+    def force_42(out_ids, logits):
+        logits = np.asarray(logits).copy()
+        logits[42] += 1000.0
+        return logits
+
+    engine.add_request("biased", prompt_token_ids=[3, 1, 4, 1, 5],
+                       sampling_params=SamplingParams(
+                           temperature=0.0, max_tokens=3, ignore_eos=True,
+                           logits_processors=[force_42]))
+    # A plain request in the same batch: regular and two-phase steps
+    # interleave through the same broadcast stream.
+    engine.add_request("plain", prompt_token_ids=[2, 7, 1],
+                       sampling_params=SamplingParams(
+                           temperature=0.0, max_tokens=3, ignore_eos=True))
+    done = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out.outputs[0].token_ids
+    ex.shutdown_followers()
+    print("RESULT " + json.dumps(done))
+else:
+    ex.serve_follower()
+    print("RESULT {}")
+"""
+
+
+@pytest.mark.timeout(420)
+def test_two_process_logits_processors():
+    """Per-request logits_processors on multi-host: followers mirror the
+    forward-only program variant via the OP_STEP header (return_logits),
+    the leader applies the host callables and samples leader-locally.
+    The +1000 bias on token 42 must dominate greedy sampling on every
+    step of the biased request, while an unbiased request decodes
+    normally in the same batch."""
+    outs = _run_pair(_WORKER_LOGITS_PROC, {})
+    leader_line = [
+        l for l in outs[0][1].splitlines() if l.startswith("RESULT ")
+    ]
+    assert leader_line, outs[0][1]
+    done = json.loads(leader_line[-1][len("RESULT "):])
+    assert done["biased"] == [42, 42, 42], done
+    assert len(done["plain"]) == 3

@@ -198,16 +198,10 @@ class LLMEngine:
                 "deployments (the teacher-forced scorer dispatch is not "
                 "mirrored to followers)")
 
-        if (params.logits_processors
-                and getattr(self.model_executor, "multihost", False)):
-            # The two-phase host-processor dispatch is single-host only
-            # (followers cannot replay host callables); reject the
-            # request cleanly instead of tripping the executor assert.
-            raise ValueError(
-                "per-request logits_processors (including logit_bias) "
-                "are not supported on multi-host deployments; use the "
-                "guided_* constraints, whose mask path is multi-host "
-                "safe")
+        # Per-request logits_processors are multi-host safe: followers
+        # mirror the forward-only (return_logits) program variant through
+        # the OP_STEP header and the leader samples the host-processed
+        # logits locally (tpu_executor._build_sample_fn).
 
         guide = None
         if (params.guided_choice or params.guided_regex

@@ -810,8 +810,19 @@ class TPUExecutor:
         the fused step (reference applies per-request processors between
         logits and sampling, vllm/model_executor/layers/
         logits_processor.py:82-98 — here that seam is an explicit
-        dispatch boundary)."""
+        dispatch boundary).
+
+        Multi-host: phase 2 is LEADER-LOCAL.  The forward step writes KV
+        and advances the shared PRNG identically on every process (the
+        followers mirror ``return_logits=True`` via the OP_STEP header);
+        sampling itself touches no model state — its inputs are the
+        host-processed logits and its outputs feed only the leader's
+        engine, while followers receive the next step's tokens through
+        the normal broadcast.  So the program compiles WITHOUT the global
+        mesh (a mesh-placed program would have to be launched by every
+        process) and runs on the leader's local device."""
         mesh = self.mesh
+        local_only = self.multihost
 
         @functools.partial(jax.jit,
                            static_argnames=("use_penalties",
@@ -832,15 +843,16 @@ class TPUExecutor:
             res = sample(logits, st, rng,
                          token_counts=token_counts if use_penalties else
                          None, exact=exact_sampling)
-            rep = NamedSharding(mesh, P())
-            out_i32 = jax.lax.with_sharding_constraint(
-                jnp.concatenate([res.tokens[:, None], res.topk_ids],
-                                axis=1), rep)
-            out_f32 = jax.lax.with_sharding_constraint(
-                jnp.concatenate([
-                    res.logprobs[:, None], pred_scores[:, None],
-                    res.topk_logprobs
-                ], axis=1), rep)
+            out_i32 = jnp.concatenate([res.tokens[:, None], res.topk_ids],
+                                      axis=1)
+            out_f32 = jnp.concatenate([
+                res.logprobs[:, None], pred_scores[:, None],
+                res.topk_logprobs
+            ], axis=1)
+            if not local_only:
+                rep = NamedSharding(mesh, P())
+                out_i32 = jax.lax.with_sharding_constraint(out_i32, rep)
+                out_f32 = jax.lax.with_sharding_constraint(out_f32, rep)
             return out_i32, out_f32, next_rng
 
         return sample_fn
@@ -1065,10 +1077,6 @@ class TPUExecutor:
                        jnp.zeros((1, 1), jnp.uint8))
         two_phase = batch.has_host_processors
         if self.multihost:
-            assert not two_phase, (
-                "per-request logits_processors run host-side and are "
-                "single-host only (guided decoding's mask path is "
-                "multi-host safe)")
             # Followers keep their own device-resident PRNG key in sync by
             # replaying the identical split sequence — no key broadcast.
             # Image embeddings (VLM prefill) are mirrored as the projected
@@ -1082,7 +1090,8 @@ class TPUExecutor:
                                     logits_mask if has_mask else None,
                                     has_lora=has_lora,
                                     has_page_dst=has_page_dst,
-                                    image_embeds=image_embeds)
+                                    image_embeds=image_embeds,
+                                    return_logits=two_phase)
         if needs_draft_mirror:
             self.draft_kv_cache = self._draft_prefill_fn(
                 self.draft_params, self.draft_kv_cache, i32_t[0], i32_t[1],
@@ -1117,10 +1126,16 @@ class TPUExecutor:
                     for proc in procs:
                         row_logits = proc(out_ids, row_logits)
                     logits[row] = np.asarray(row_logits)
+                # Multi-host: the sample program is leader-local (see
+                # _build_sample_fn), so its inputs must be local arrays —
+                # pred_dev is a global replicated step output, re-home its
+                # local copy.
+                pred_in = (jnp.asarray(self._fetch(pred_dev))
+                           if self.multihost else pred_dev)
                 with self._rng2_lock:
                     out_i32p, out_f32p, self._rng2 = self._sample_fn(
                         jnp.asarray(logits), i32_s, f32_s, token_counts,
-                        pred_dev, self._rng2, use_penalties=use_penalties,
+                        pred_in, self._rng2, use_penalties=use_penalties,
                         exact_sampling=exact_sampling)
                 h_i32 = self._fetch(out_i32p)
                 h_f32 = self._fetch(out_f32p)
@@ -1798,7 +1813,8 @@ class TPUExecutor:
                            exact_sampling, logits_mask=None,
                            has_lora: bool = False,
                            has_page_dst: bool = False,
-                           image_embeds=None) -> None:
+                           image_embeds=None,
+                           return_logits: bool = False) -> None:
         header = np.zeros(dist.HEADER_LEN, np.int32)
         header[0] = dist.OP_STEP
         header[1] = int(use_penalties)
@@ -1816,6 +1832,10 @@ class TPUExecutor:
         # VLM prefill: hidden width of the mirrored [T, H] image-feature
         # buffer (0 = text-only step).
         header[14] = 0 if image_embeds is None else image_embeds.shape[1]
+        # Two-phase (host logits_processors) step: followers run the same
+        # forward-only program variant (KV write + PRNG advance, logits
+        # returned and discarded); phase 2 samples leader-locally.
+        header[15] = int(return_logits)
         dist.broadcast_header(header)
         for arr, dt in ((i32_t, np.int32), (i32_s, np.int32),
                         (f32_s, np.float32), (block_tables, np.int32),
@@ -1917,6 +1937,7 @@ class TPUExecutor:
                     step_tile, image_embeds,
                     exact_sampling=bool(header[10]),
                     logits_mask=logits_mask, has_logits_mask=has_mask,
+                    return_logits=bool(header[15]),
                     has_page_dst=has_page_dst)
             elif op == dist.OP_MULTI_STEP:
                 use_penalties = bool(header[1])
