@@ -40,11 +40,14 @@ def relay_floor(n=20):
     """Median round-trip of an empty jitted fn (host->device->host)."""
     f = jax.jit(lambda x: x + 1)
     x = jnp.zeros((8,), jnp.float32)
-    f(x).block_until_ready()
+    # float() forces a host round trip: through the relay tunnel,
+    # block_until_ready can acknowledge before execution drains, letting
+    # queued work pollute the next timed region (observed 2026-08).
+    float(f(x)[0])
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        f(x).block_until_ready()
+        float(f(x)[0])
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -99,13 +102,13 @@ def bench_decode(args):
     for hp in variants:
         chained = make_chained(hp)
         r, c = chained(q, kv_new, cache)
-        r.block_until_ready()
+        float(r)  # full drain (see relay_floor note)
         del c
         times = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             r, c = chained(q, kv_new, cache)
-            r.block_until_ready()
+            float(r)
             del c
             times.append(time.perf_counter() - t0)
         dt = (min(times) - floor) / iters
