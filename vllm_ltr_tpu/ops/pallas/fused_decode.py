@@ -278,8 +278,8 @@ def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
     iteration that serialized ~0.8 us of scalar work per iteration
     (measured 490 GB/s).  Here every decision is a table: row layout
     [s, base, npages, contig, b0, inject_jw, first, last, wb_page,
-    seq_len, full] x (vmax + 2) columns (four pad columns so the
-    three-deep lookahead prefetch needs no bounds check; pad columns
+    seq_len, full] x (vmax + _NBUF) columns (pad columns so the
+    _PREFETCH-deep lookahead prefetch needs no bounds check; pad columns
     have npages=0/contig=0 and issue nothing).  Returns
     (sched [11, vmax+4] i32, V [1] i32).
     """
@@ -299,7 +299,7 @@ def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
     ni = (nb - fb + ppi - 1) // ppi
     cum = jnp.cumsum(ni)
     V = cum[-1].astype(i32)
-    v_idx = jnp.arange(vmax + 4, dtype=i32)
+    v_idx = jnp.arange(vmax + _NBUF, dtype=i32)
     s_c = jnp.minimum(
         jnp.searchsorted(cum, v_idx, side="right").astype(i32), S - 1)
     it = v_idx - (cum[s_c] - ni[s_c])
@@ -360,7 +360,13 @@ def head_packed_default(cache_dtype) -> bool:
     return cache_dtype == jnp.bfloat16
 
 
-_NBUF = 4  # stream buffer slots: 3 page groups in flight at all times
+# Stream buffer slots: _NBUF-1 page groups in flight at all times.  4 (3
+# in flight) measured parity with 3 in round 3 under the old
+# block_until_ready timing; LTR_TPU_DECODE_NBUF re-opens the experiment
+# under the forced-fetch methodology (read at trace time, like
+# LTR_TPU_DECODE_KEYS).
+_NBUF = max(3, int(os.environ.get("LTR_TPU_DECODE_NBUF", "4")))
+_PREFETCH = _NBUF - 1
 
 
 def _stream_decode_kernel(
@@ -368,7 +374,7 @@ def _stream_decode_kernel(
     layer_ref,  # [1] i32 (SMEM)
     block_tables_ref,  # [S, MB] i32 (SMEM)
     slot_ref,  # [S] i32; -1 = padded lane (SMEM)
-    sched_ref,  # [11, Vmax+4] i32 (SMEM) — see _build_stream_schedule
+    sched_ref,  # [11, Vmax+NBUF] i32 (SMEM) — _build_stream_schedule
     vbound_ref,  # [1] i32: live virtual iterations
     # inputs
     q_ref,  # [S, Rp, Dp] VMEM (whole batch)
@@ -499,11 +505,10 @@ def _stream_decode_kernel(
     if use_alibi:
         slopes = alibi_ref[:, 0:1]  # [Rp, 1]
 
-    # Fill the pipeline three groups deep (pad schedule columns are
+    # Fill the pipeline _PREFETCH groups deep (pad schedule columns are
     # no-ops).
-    start_iter(0, 0)
-    start_iter(1, 1)
-    start_iter(2, 2)
+    for _pf in range(_PREFETCH):
+        start_iter(_pf, _pf)
 
     def body(v, carry):
         wb_pend, wb_slot, wb_j, wb_b = carry
@@ -517,7 +522,7 @@ def _stream_decode_kernel(
             pltpu.make_async_copy(kv_buf.at[wb_slot, wb_j],
                                   cache_out.at[lid, wb_b], wsem.at[0]).wait()
 
-        start_iter(jax.lax.rem(v + 3, _NBUF), v + 3)
+        start_iter(jax.lax.rem(v + _PREFETCH, _NBUF), v + _PREFETCH)
         wait_iter(slot_i, v)
 
         s = sched_ref[0, v]
@@ -635,7 +640,7 @@ def _stream_decode_kernel_hp(
     layer_ref,  # [1] i32 (SMEM)
     block_tables_ref,  # [S, MB] i32 (SMEM)
     slot_ref,  # [S] i32; -1 = padded lane (SMEM)
-    sched_ref,  # [11, Vmax+4] i32 (SMEM)
+    sched_ref,  # [11, Vmax+NBUF] i32 (SMEM)
     vbound_ref,  # [1] i32
     # inputs
     q_ref,  # [S, Rp, Dp] VMEM
@@ -731,9 +736,8 @@ def _stream_decode_kernel_hp(
     if use_alibi:
         slopes = alibi_ref[:, 0:1]  # [Rp, 1]
 
-    start_iter(0, 0)
-    start_iter(1, 1)
-    start_iter(2, 2)
+    for _pf in range(_PREFETCH):
+        start_iter(_pf, _pf)
 
     def body(v, carry):
         wb_pend, wb_slot, wb_j, wb_b = carry
@@ -746,7 +750,7 @@ def _stream_decode_kernel_hp(
                                       cache_out.at[lid, wb_b, h],
                                       wsem.at[h]).wait()
 
-        start_iter(jax.lax.rem(v + 3, _NBUF), v + 3)
+        start_iter(jax.lax.rem(v + _PREFETCH, _NBUF), v + _PREFETCH)
         wait_iter(slot_i, v)
 
         s = sched_ref[0, v]
