@@ -92,6 +92,13 @@ def summarize(entries: List[TraceEntry], outputs: List[RequestFuncOutput],
 
     ttft = _stats_ms(ttfts)
     tpot = _stats_ms(tpots)
+    # Fairness metric (reference --eval-max-tpot, fair-*.sh drivers;
+    # benchmark_serving_real.py:438-451): each request's WORST token gap
+    # — max(TTFT, max inter-token latency) — exposes scheduling stalls
+    # (preemption, starvation) that mean/median TPOT averages away.
+    max_tpots = [
+        max([o.ttft] + o.itl) for _, o in ok if o.new_tokens > 0
+    ]
     return {
         "duration": elapsed,
         "completed": len(ok),
@@ -107,6 +114,8 @@ def summarize(entries: List[TraceEntry], outputs: List[RequestFuncOutput],
         "p99_tpot_ms": tpot["p99"],
         "latency_percentiles": _pcts(lats),
         "norm_latency_percentiles": _pcts(norm_lats),
+        "mean_max_tpot_ms": float(np.mean(max_tpots or [0.0])) * 1000,
+        "max_tpot_percentiles": _pcts(max_tpots),
     }
 
 
@@ -166,7 +175,9 @@ def _print_report(r: dict) -> None:
         ("Median TPOT (ms):", f"{r['median_tpot_ms']:.2f}"),
         ("P99 TPOT (ms):", f"{r['p99_tpot_ms']:.2f}"),
     ]
-    for family in ("latency_percentiles", "norm_latency_percentiles"):
+    rows.append(("Mean MAX-TPOT (ms):", f"{r['mean_max_tpot_ms']:.2f}"))
+    for family in ("latency_percentiles", "norm_latency_percentiles",
+                   "max_tpot_percentiles"):
         label = family.replace("_percentiles", "")
         for key, val in r[family].items():
             rows.append((f"{label} {key} (s):", f"{val:.4f}"))
