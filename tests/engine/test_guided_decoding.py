@@ -110,6 +110,32 @@ def test_guided_json_parses_and_validates(guided_llm):
         assert isinstance(doc["ok"], bool)
 
 
+def test_guided_json_lmfe_backend(guided_llm):
+    """lm-format-enforcer backend (per-request override): guided_json
+    compiles the whitespace-tolerant form — output still parses and
+    matches the schema shape, and whitespace tokens are legal between
+    structural characters (the strict backend would mask them out).
+    Reference: DecodingConfig backends, lm_format_enforcer_decoding.py."""
+    from vllm_ltr_tpu import SamplingParams
+    schema = {"type": "object",
+              "properties": {"name": MAXLEN3, "ok": {"type": "boolean"}}}
+    sp = SamplingParams(temperature=1.0, max_tokens=80, seed=3,
+                        guided_json=schema,
+                        guided_decoding_backend="lm-format-enforcer")
+    outs = guided_llm.generate(["give me json"] * 2, sp, use_tqdm=False)
+    for out in outs:
+        doc = json.loads(_completed_text(guided_llm, out))
+        assert list(doc) == ["name", "ok"]
+    # The two backends compile to distinct guides for the same schema.
+    mgr = guided_llm.llm_engine._guided_manager()
+    assert (mgr.guide_for("json", schema) is not
+            mgr.guide_for("json", schema, "lm-format-enforcer"))
+    # Unknown backend fails the request at add_request, not mid-decode.
+    bad = SamplingParams(guided_json=schema, guided_decoding_backend="x")
+    with pytest.raises(ValueError, match="guided_decoding_backend"):
+        guided_llm.generate(["q"], bad, use_tqdm=False)
+
+
 def test_guided_greedy_and_multi_step_exclusion(guided_llm):
     """Greedy + guided works, and guided requests mix with unguided ones
     in the same batch without cross-contamination."""
