@@ -66,8 +66,17 @@ def bench_decode(args):
                               jnp.bfloat16).astype(dtype)
     q = jax.random.normal(key, (S, QH, Dp), jnp.bfloat16)
     kv_new = jax.random.normal(key, (S, 2, KH, Dp), jnp.bfloat16).astype(dtype)
-    # Disjoint pages per sequence, like the real allocator.
+    # Disjoint pages per sequence.  Default arange = every page group is
+    # a contiguous run, so the kernel's fused whole-group DMA path
+    # (schedule 'contig') covers all fetches — the best case.  Real
+    # serving tables fragment as requests churn; --shuffle-pages
+    # permutes the assignment so every group takes the per-page DMA
+    # path — the worst case.  Serving truth lies between.
     bt = np.arange(1, S * MB + 1, dtype=np.int32).reshape(S, MB)
+    if args.shuffle_pages:
+        flat = bt.reshape(-1)
+        np.random.RandomState(0).shuffle(flat)
+        bt = flat.reshape(S, MB)
     block_tables = jnp.asarray(bt)
     seq_lens = jnp.full((S,), ctx, jnp.int32)
     slot_mapping = jnp.asarray(
@@ -138,6 +147,8 @@ def main():
     p.add_argument("--fp8", action="store_true")
     p.add_argument("--iters", type=int, default=110)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--shuffle-pages", action="store_true",
+                   help="fragmented block tables (per-page DMA path)")
     p.add_argument("--hp", default="env", choices=["env", "0", "1", "both"],
                    help="head-packed GQA kernel: both = A/B in-process")
     args = p.parse_args()
