@@ -238,7 +238,12 @@ def main():
     # any consumer (driver, judge, future round) normalize for window
     # state instead of misreading drift as a code regression.
     win_bw = win_tf = None
+    # CPU smoke runs skip the probe: the chained matmuls take minutes on
+    # a host CPU and the fields would describe the host, not a TPU window.
+    probe_ok = "tpu" in device.device_kind.lower() or peak is not None
     try:
+        if not probe_ok:
+            raise RuntimeError("non-TPU device; window probe skipped")
         import jax.numpy as jnp
         from jax import lax
         # Methodology (each detail is load-bearing on the relay tunnel):

@@ -96,6 +96,11 @@ def summarize(entries: List[TraceEntry], outputs: List[RequestFuncOutput],
     # benchmark_serving_real.py:438-451): each request's WORST token gap
     # — max(TTFT, max inter-token latency) — exposes scheduling stalls
     # (preemption, starvation) that mean/median TPOT averages away.
+    # Gaps are measured between SSE frames: at decode_steps_per_dispatch
+    # K=1 (the reference's setting) a frame is one token and this IS
+    # max TPOT; at K>1 a frame carries up to K tokens and gaps scale
+    # with K — compare runs only at equal K (run_online_ab.py holds K
+    # fixed across schedules).
     max_tpots = [
         max([o.ttft] + o.itl) for _, o in ok if o.new_tokens > 0
     ]

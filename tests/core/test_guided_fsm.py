@@ -375,3 +375,25 @@ def test_decoding_config_validation():
     DecodingConfig("lm-format-enforcer")
     with pytest.raises(ValueError):
         DecodingConfig("bogus")
+
+
+def test_backend_none_disables_guided(manager):
+    from vllm_ltr_tpu.guided.manager import guide_from_sampling_params
+    from vllm_ltr_tpu.sampling_params import SamplingParams
+    sp = SamplingParams(guided_regex=r"\d+")
+    with pytest.raises(ValueError, match="disabled"):
+        guide_from_sampling_params(manager, sp, "none")
+
+
+def test_falsy_guided_specs_fail_loudly(manager):
+    """guided_json={} / guided_choice=[] must hit the compiler's explicit
+    rejection, never be silently dropped (which would decode
+    unconstrained while the client believes output is guided)."""
+    from vllm_ltr_tpu.guided.manager import guide_from_sampling_params
+    from vllm_ltr_tpu.sampling_params import SamplingParams
+    with pytest.raises(ValueError):  # SchemaError: unsupported schema
+        guide_from_sampling_params(
+            manager, SamplingParams(guided_json={}), "native")
+    with pytest.raises(ValueError, match="non-empty"):
+        guide_from_sampling_params(
+            manager, SamplingParams(guided_choice=[]), "native")

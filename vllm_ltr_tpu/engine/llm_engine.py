@@ -204,8 +204,14 @@ class LLMEngine:
         # logits locally (tpu_executor._build_sample_fn).
 
         guide = None
-        if (params.guided_choice or params.guided_regex
-                or params.guided_json or params.guided_grammar):
+        if (params.guided_choice is not None
+                or params.guided_regex is not None
+                or params.guided_json is not None
+                or params.guided_grammar is not None):
+            # `is not None`, not truthiness: guided_json={} ("any value")
+            # and guided_choice=[] must reach the compiler (which accepts
+            # or rejects them explicitly), never silently decode
+            # unconstrained.
             from vllm_ltr_tpu.guided import guide_from_sampling_params
             # Compile (or fetch from cache) before admitting: a bad
             # pattern/schema must fail the request here, not a later step.

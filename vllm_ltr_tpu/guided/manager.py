@@ -242,7 +242,9 @@ def guide_from_sampling_params(manager: Optional[GuidedDecodingManager],
     wanted = [("choice", sp.guided_choice), ("regex", sp.guided_regex),
               ("json", sp.guided_json),
               ("grammar", getattr(sp, "guided_grammar", None))]
-    wanted = [(k, v) for k, v in wanted if v]
+    # `is not None`: falsy specs (guided_json={}, guided_choice=[]) must
+    # reach the compiler's explicit accept/reject, not silently vanish.
+    wanted = [(k, v) for k, v in wanted if v is not None]
     if not wanted:
         return None
     if manager is None:
@@ -254,6 +256,13 @@ def guide_from_sampling_params(manager: Optional[GuidedDecodingManager],
         raise ValueError("at most one of guided_choice / guided_regex / "
                          "guided_json may be set")
     backend = getattr(sp, "guided_decoding_backend", None) or default_backend
+    if backend == "none":
+        # Engine started with --guided-decoding-backend none: guided
+        # decoding is administratively disabled (per-request 'none' gets
+        # the same treatment — there is no constraint to honor).
+        raise ValueError(
+            "guided decoding is disabled on this server "
+            "(--guided-decoding-backend none)")
     allowed = ("native", "outlines", "lm-format-enforcer")
     if backend not in allowed:
         raise ValueError(

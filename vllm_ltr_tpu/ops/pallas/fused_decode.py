@@ -28,18 +28,18 @@ Two kernels share this file (round 3):
   one program per sequence; a fixed ~4 us per-sequence pipeline
   fill/drain caps it at 437 GB/s at 576 ctx.
 
-The stream kernel is DMA-bound at ~500 GB/s — the platform ceiling for
-paged HBM->VMEM streaming here, not a kernel artifact.  Evidence
-(32x576, 110-call chained loop): the DMA-only ablation
-(``LTR_TPU_DECODE_ABLATE=dma``) equals the full kernel's time while
-compute-only runs 1.5x faster, and six structural variants land within
-+-5%: per-page parallel DMAs (507), one fused whole-group DMA (470-503
-at 2-3 in flight), split K/V half-page copies (507), 3- vs 4-deep
-buffering (parity), 256-key groups (456), f32 vs bf16 matmuls (parity).
-XLA's dense-matmul weight streaming reaches 790-840 GB/s on the same
-part via MXU operand prefetch — a different mechanism unavailable to
-scatter-paged reads.  Cutting KV *bytes* (FP8 cache) is the remaining
-lever, which serving exposes as ``kv_cache_dtype=fp8``.
+Round-5 re-attribution (docs/BENCHMARKS.md "Round-5 timing-methodology
+correction" — the r3 block_until_ready-based numbers were contaminated
+by relay early-ack): under forced-fetch timing at QH32/KH8 32x576 the
+kernel is bound by PER-ITERATION SCALAR SEQUENCING, not the page
+stream — full 247 us vs 154 DMA-only vs 152 compute-only
+(``LTR_TPU_DECODE_ABLATE``), keys/iter flat 64-512, pipeline depth >4
+worse (``LTR_TPU_DECODE_NBUF``), fragmented vs contiguous tables +2%
+(``bench_kernels.py --shuffle-pages``).  XLA's dense-matmul weight
+streaming reaches 790-840 GB/s on the same part via MXU operand
+prefetch — a mechanism unavailable to scatter-paged reads.  Cutting KV
+*bytes* (FP8 cache, ``kv_cache_dtype=fp8``) remains the byte-side
+lever.
 
 GQA across heads runs as ONE block-diagonal matmul pair per iteration:
 queries flatten to ``[QH, Dp]`` rows (row r = head r//G), keys/values to
@@ -281,7 +281,7 @@ def _build_stream_schedule(block_tables, seq_lens, slot_mapping, *,
     seq_len, full] x (vmax + _NBUF) columns (pad columns so the
     _PREFETCH-deep lookahead prefetch needs no bounds check; pad columns
     have npages=0/contig=0 and issue nothing).  Returns
-    (sched [11, vmax+4] i32, V [1] i32).
+    (sched [11, vmax+_NBUF] i32, V [1] i32).
     """
     i32 = jnp.int32
     S, MB = block_tables.shape
@@ -360,11 +360,12 @@ def head_packed_default(cache_dtype) -> bool:
     return cache_dtype == jnp.bfloat16
 
 
-# Stream buffer slots: _NBUF-1 page groups in flight at all times.  4 (3
-# in flight) measured parity with 3 in round 3 under the old
-# block_until_ready timing; LTR_TPU_DECODE_NBUF re-opens the experiment
-# under the forced-fetch methodology (read at trace time, like
-# LTR_TPU_DECODE_KEYS).
+# Stream buffer slots: _NBUF-1 page groups in flight at all times.
+# LTR_TPU_DECODE_NBUF is read ONCE AT IMPORT (unlike LTR_TPU_DECODE_KEYS,
+# which is read at trace time) — in-process A/Bs must use a fresh
+# process per setting (the bench_kernels decode-sweep pattern).
+# Measured under forced-fetch timing: deeper is worse (176 us NBUF=4 vs
+# 212 us NBUF=6 at 440 chained calls, QH32/KH8 32x576) — keep 4.
 _NBUF = max(3, int(os.environ.get("LTR_TPU_DECODE_NBUF", "4")))
 _PREFETCH = _NBUF - 1
 

@@ -148,7 +148,7 @@ class SamplingParams:
         guided = [
             n for n in ("guided_choice", "guided_regex", "guided_json",
                         "guided_grammar")
-            if getattr(self, n)
+            if getattr(self, n) is not None
         ]
         if len(guided) > 1:
             raise ValueError("at most one of guided_choice / guided_regex"
