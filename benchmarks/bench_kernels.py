@@ -85,7 +85,7 @@ def bench_decode(args):
 
     iters = args.iters
 
-    def make_chained(hp):
+    def make_chained(hp, iters):
         @jax.jit
         def chained(q, kv_new, cache):
             def body(i, carry):
@@ -108,19 +108,34 @@ def bench_decode(args):
         np.uint8 if args.fp8 else np.float16).itemsize
     read = S * pages_per_seq * page_bytes
     results = []
+    # Two-length delta (the bench_int4.py method): per-call time comes
+    # from (deep chain - shallow chain) / extra iterations, cancelling
+    # BOTH the relay round trip and the fixed per-chain cost that the
+    # floor subtraction misses (measured: the same kernel reads 220-247
+    # us/call from a single 110-iter chain minus floor, but 176-197 from
+    # the 440-vs-110 delta — the delta is the honest number).
+    shallow_iters = max(iters // 4, 1)
+    extra = iters - shallow_iters
     for hp in variants:
-        chained = make_chained(hp)
-        r, c = chained(q, kv_new, cache)
-        float(r)  # full drain (see relay_floor note)
-        del c
-        times = []
+        deep = make_chained(hp, iters)
+        shallow = make_chained(hp, shallow_iters)
+
+        def run(fn):
+            r, c = fn(q, kv_new, cache)
+            float(r)  # full drain (see relay_floor note)
+            del c
+
+        run(deep)
+        run(shallow)
+        ts = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            r, c = chained(q, kv_new, cache)
-            float(r)
-            del c
-            times.append(time.perf_counter() - t0)
-        dt = (min(times) - floor) / iters
+            run(shallow)
+            t1 = time.perf_counter()
+            run(deep)
+            t2 = time.perf_counter()
+            ts.append(((t2 - t1) - (t1 - t0)) / extra)
+        dt = float(np.median(ts))
         bw = read / dt / 1e9
         tag = {None: "env", False: "page-major", True: "head-packed"}[hp]
         print(f"decode fused kernel [{tag}]: S={S} ctx={ctx} QH={QH} "
@@ -128,7 +143,7 @@ def bench_decode(args):
               f"keys/iter={os.environ.get('LTR_TPU_DECODE_KEYS', '128')}")
         print(f"  {dt*1e6:.1f} us/call  ({read/2**20:.1f} MiB KV read)  "
               f"effective {bw:.0f} GB/s   [relay floor {floor*1e3:.1f} ms, "
-              f"{iters} chained calls]")
+              f"{iters}-vs-{shallow_iters} chain delta]")
         results.append((dt, bw))
     return results[-1]
 
